@@ -1,0 +1,98 @@
+"""Vector scalar functions as pure column expressions (SURVEY.md §2.8).
+
+All of these stay JVM-side inside whole-stage codegen — no Python UDFs.
+Arithmetic is done in float64 regardless of the storage type (embeddings
+are ``array<float>`` on disk) so results are deterministic and match the
+DuckDB oracle bit-for-bit: both engines fold the array left-to-right in
+double precision (verified empirically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def _d(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("array<double>")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Inner product (F5) — ``MEVI/pq.py:124-131`` ``compute_scores('ip')``,
+    ``MEVI/document_encoder.py:128-132``."""
+    return F.aggregate(
+        F.zip_with(_d(a), _d(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_dist_sq(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 distance (F5, 'l2' metric in ``MEVI/pq.py:124-131``)."""
+    return F.aggregate(
+        F.zip_with(_d(a), _d(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def neg_l2_score(a: Column | str, b: Column | str) -> Column:
+    """Negative L2 used as a similarity score (bigger = closer)."""
+    return -l2_dist_sq(a, b)
+
+
+def iptol2_doc(v: Column | str, phi: Column) -> Column:
+    """MIPS→L2 augmentation, doc side (F6): ``v ← (v, sqrt(phi − ‖v‖²))``.
+
+    The known reduction the reference applies at ``MEVI/pq.py:82-119`` so
+    inner-product search can run on L2-only structures (our
+    ``BucketedRandomProjectionLSH``). ``phi`` must be ≥ max ‖v‖² over the
+    corpus.
+    """
+    extra = F.sqrt(F.greatest(phi - dot(v, v), F.lit(0.0)))
+    return F.concat(_d(v), F.array(extra))
+
+
+def iptol2_query(v: Column | str) -> Column:
+    """MIPS→L2 augmentation, query side (F6): ``q ← (q, 0)``."""
+    return F.concat(_d(v), F.array(F.lit(0.0)))
+
+
+def code_flat(code: Column | str, k: int) -> Column:
+    """Flat cluster index (F8): ``idx = Σ code_i · K^(M−1−i)``, the
+    radix-K fold of ``MEVI/main_models.py:1046-1051`` / ``3355-3358``.
+
+    Used as the *physical* join/partition key everywhere instead of the
+    ``array<int>`` code (SURVEY §7.5.5): a long hashes/partitions cheaply
+    and makes the code→docs join partition-prunable at scale.
+    """
+    code = F.col(code) if isinstance(code, str) else code
+    return F.aggregate(
+        code,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * k + x.cast("long"),
+    )
+
+
+def code_unflat(flat: Column | str, k: int, m: int) -> Column:
+    """Inverse of :func:`code_flat`: long → ``array<int>`` of length M.
+
+    Mirrors ``decode_token`` (``MEVI/main_models.py:117-136``) without the
+    token-offset arithmetic (our codes are plain per-level ints; the
+    reference's ``level·K + code + 2`` token packing, F7, only exists to
+    share one T5 vocabulary).
+    """
+    flat = F.col(flat) if isinstance(flat, str) else flat
+    parts = [
+        ((flat / F.lit(k ** (m - 1 - i))).cast("long") % k).cast("int")
+        for i in range(m)
+    ]
+    return F.array(*parts)

@@ -1,0 +1,251 @@
+"""Residual Quantization (RQ) — train, encode, cluster-table build.
+
+Reference surface (SURVEY.md §2.4/§2.9):
+
+* A4  k-means per subvector level on residuals (``MEVI/pq.py:550-598``,
+  faiss variant ``:175-198``), M=4 levels × K=32 codes at full config.
+* A5  centroid-average init: ``codebook[k] = mean of member embeddings``,
+  then subtract-assign the residual (``MEVI/pq.py:488-524``).
+* U2  encode: per level, argmin distance to the level's codebook,
+  subtract the centroid, recurse on the residual
+  (``MEVI/pq.py:281-305``).
+* A1  cluster table: group docs by code (``MEVI/pq.py:200-247``).
+
+Spark restatement: the per-level loop runs on the driver (M is 2-4); each
+iteration is a DataFrame job. Codebooks are tiny (M×K rows) and always
+broadcast. Assignment = broadcast-crossJoin + argmin window; at K≤64 the
+crossJoin fans each row out K ways — fine at any corpus size because it
+is map-side only (no shuffle until the argmin window, which AQE handles;
+for very large corpora switch ``argmin_impl='pandas'`` to keep argmin
+inside the scan stage).
+
+Two trainers:
+
+* :func:`train_rq_kmeans` — MLlib KMeans per level (the production
+  path; distributed Lloyd's, seeded).
+* :func:`rq_level_centroids` + seeded assignments — the
+  centroid-average-init-only variant (exactly A5), fully deterministic
+  and SQL-expressible, used for cross-engine oracle parity.
+
+Determinism: centroid means accumulate element sums in DECIMAL(28,12)
+(order-independent, exact) and divide once in float64; distances are the
+expanded form ``‖a‖² − 2·a·c + ‖c‖²`` built from the same left-to-right
+array folds the DuckDB oracle uses, so assignments match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from mevi_spark.functions.vector import code_flat, dot
+from mevi_spark.operators.topk import topk_per_group
+
+
+def rq_level_centroids(
+    assigned: DataFrame,
+    code_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """A5 centroid-average: per-code elementwise mean → ``(code, centroid)``.
+
+    Exact/order-independent via decimal accumulation. The explode shuffles
+    n·dim rows — at extreme scale swap for an RDD treeAggregate; the
+    explode keeps the whole path in SQL, which the oracle needs.
+    """
+    pos_val = assigned.select(
+        F.col(code_col).alias("code"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    )
+    sums = pos_val.groupBy("code", "pos").agg(
+        F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    elem = sums.select(
+        "code", "pos", (F.col("s").cast("double") / F.col("n")).alias("m")
+    )
+    return elem.groupBy("code").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+        ).alias("centroid")
+    )
+
+
+def assign_nearest(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_code: str = "code",
+) -> DataFrame:
+    """U2 one level: argmin_{code} ‖v − c‖², deterministic tie-break on
+    code. Returns ``(id_col, vec_col, out_code)``.
+
+    Distance uses the expanded form so every float op is a sequential
+    array fold (cross-engine bit-stable); ‖v‖² is constant per row and
+    dropped from the argmin.
+    """
+    c = F.broadcast(centroids.select(F.col("code").alias("_c"), "centroid"))
+    scored = vectors.select(id_col, vec_col).crossJoin(c).select(
+        id_col,
+        vec_col,
+        F.col("_c"),
+        (dot("centroid", "centroid") - 2.0 * dot(vec_col, "centroid")).alias("_d"),
+    )
+    best = topk_per_group(
+        scored.withColumn("_nd", -F.col("_d")), [id_col], "_nd", 1, ["_c"]
+    )
+    return best.select(id_col, vec_col, F.col("_c").alias(out_code))
+
+
+def subtract_centroid(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    code_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Residual step of U2: ``r = v − c[code]`` (elementwise, float64)."""
+    c = F.broadcast(
+        centroids.select(F.col("code").alias(code_col), "centroid")
+    )
+    return assigned.join(c, code_col).withColumn(
+        out_col,
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("centroid"),
+            lambda a, b: a - b,
+        ),
+    ).drop("centroid")
+
+
+def rq_encode_seeded(
+    vectors: DataFrame,
+    seed_code: str,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    levels: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic RQ: level-0 codebook is the centroid-average of a
+    seed partition (``seed_code`` column, e.g. a class label — exactly
+    the reference's cluster-mean init, ``MEVI/pq.py:488-524``); each
+    later level is the centroid-average of the previous level's residual
+    groups. No iterative refinement → fully SQL-expressible.
+
+    Returns ``(mapping, codebook)``:
+    ``mapping = (id, code_0..code_{L-1})``,
+    ``codebook = (level, code, centroid)``.
+    """
+    cur = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("resid"),
+        F.col(seed_code).alias("_seed"),
+    )
+    codebooks = []
+    codes = cur.select("id")
+    seed_col = "_seed"
+    for lvl in range(levels):
+        cents = rq_level_centroids(cur, seed_col, "resid")
+        codebooks.append(cents.select(F.lit(lvl).alias("level"), "code", "centroid"))
+        assigned = assign_nearest(cur, cents, "id", "resid", out_code=f"code_{lvl}")
+        cur = subtract_centroid(
+            assigned, cents, "resid", f"code_{lvl}", "resid2"
+        ).select("id", F.col("resid2").alias("resid"), f"code_{lvl}")
+        codes = codes.join(cur.select("id", f"code_{lvl}"), "id")
+        seed_col = f"code_{lvl}"
+    codebook = codebooks[0]
+    for cb in codebooks[1:]:
+        codebook = codebook.unionByName(cb)
+    return codes, codebook
+
+
+def train_rq_kmeans(
+    vectors: DataFrame,
+    levels: int = 4,
+    k: int = 32,
+    seed: int = 42,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    max_iter: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """A4 production path: MLlib KMeans per level on residuals
+    (``MEVI/pq.py:550-598``; driver loop over M levels as SURVEY §7.1).
+
+    Returns ``(mapping, codebook)`` like :func:`rq_encode_seeded`, plus a
+    ``code`` array and ``code_flat`` radix index on the mapping.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    cur = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("resid"),
+    )
+    spark = vectors.sparkSession
+    codebooks = []
+    codes = cur.select("id")
+    for lvl in range(levels):
+        feat = cur.withColumn("features", array_to_vector("resid"))
+        model = KMeans(k=k, seed=seed + lvl, maxIter=max_iter).fit(feat)
+        cents = spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "code int, centroid array<double>",
+        )
+        codebooks.append(cents.select(F.lit(lvl).alias("level"), "code", "centroid"))
+        pred = model.transform(feat).select(
+            "id", "resid", F.col("prediction").alias(f"code_{lvl}")
+        )
+        cur = subtract_centroid(
+            pred, cents, "resid", f"code_{lvl}", "resid2"
+        ).select("id", F.col("resid2").alias("resid"), f"code_{lvl}")
+        # checkpoint the lineage: each level reuses the previous residual
+        cur = cur.localCheckpoint(eager=False) if levels > 2 else cur
+        codes = codes.join(cur.select("id", f"code_{lvl}"), "id")
+    codebook = codebooks[0]
+    for cb in codebooks[1:]:
+        codebook = codebook.unionByName(cb)
+    code_cols = [f"code_{i}" for i in range(levels)]
+    mapping = codes.withColumn(
+        "code", F.array(*[F.col(c) for c in code_cols])
+    ).withColumn("code_flat", code_flat("code", k))
+    return mapping, codebook
+
+
+def build_doc_cluster(
+    mapping: DataFrame,
+    code_col: str = "code_flat",
+    id_col: str = "id",
+) -> DataFrame:
+    """A1: cluster table ``code → (n_docs, member list)``
+    (``MEVI/pq.py:236-247``). Kept as a normalized mapping join at scale;
+    the collected-list form exists for run-file parity and small dims."""
+    return mapping.groupBy(code_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+    )
+
+
+def reconstruct(
+    mapping: DataFrame,
+    codebook: DataFrame,
+    levels: int,
+    id_col: str = "id",
+) -> DataFrame:
+    """F11: embedding ≈ Σ_level codebook[level][code_level]
+    (``MEVI/pq.py:768-799``). Never materializes the K^M table the
+    reference precomputes (``MEVI/main_models.py:3272-3309``, flagged in
+    SURVEY §7.5.3) — joins per level instead."""
+    out = mapping
+    for lvl in range(levels):
+        cb = F.broadcast(
+            codebook.filter(F.col("level") == lvl).select(
+                F.col("code").alias(f"code_{lvl}"),
+                F.col("centroid").alias(f"_c{lvl}"),
+            )
+        )
+        out = out.join(cb, f"code_{lvl}")
+    recon = F.col("_c0")
+    for lvl in range(1, levels):
+        recon = F.zip_with(recon, F.col(f"_c{lvl}"), lambda a, b: a + b)
+    return out.withColumn("reconstructed", recon).drop(
+        *[f"_c{i}" for i in range(levels)]
+    )

@@ -1,0 +1,166 @@
+"""Top-k similarity join (J4) and per-group top-k (W3).
+
+The reference's two physical strategies:
+
+* faiss ANN search, top-1000 by inner product (``MEVI/faiss_search.py:13-21``)
+* blocked running top-k — keep a running top-``pool_size`` while scanning
+  doc blocks so all scores are never materialized
+  (``MEVI/main_models.py:3818-3876, 3919-3989``)
+
+Two Spark implementations, chosen by ``impl``:
+
+``sql``
+    Broadcast the query side, score with a JVM column expression
+    (whole-stage codegen), per-query window top-k. Zero Python; the plan
+    a SQL user would write. Shuffles the full (queries × docs) score
+    relation, so it is the right choice when that product is modest
+    (small query batches, pre-pruned candidate sets — e.g. the fine
+    re-rank after coarse pruning).
+
+``blocked``
+    The reference's W3 reborn: broadcast the query *matrix*, stream doc
+    partitions through an Arrow-batched ``mapInPandas`` that keeps a
+    running top-k per query (NumPy matmul + argpartition per batch), then
+    a final per-query window over the ≤ k·P survivors. The corpus is
+    **never shuffled** — only (n_queries × k × n_partitions) candidate
+    rows move. This is the 100 TB path: doc partitions stream from
+    parquet, nothing is materialized.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from mevi_spark.functions import vector as V
+
+_SCORES = {
+    "ip": V.dot,
+    "cosine": V.cosine,
+    "neg_l2": V.neg_l2_score,
+}
+
+
+def score_expr(metric: str, a: Column | str, b: Column | str) -> Column:
+    """F5: compute_scores — 'ip' | 'cosine' | 'neg_l2'
+    (``MEVI/pq.py:124-131``)."""
+    return _SCORES[metric](a, b)
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    tiebreak_cols: list[str] | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """W3/W2: per-group top-k with deterministic tie-break.
+
+    Ranks descending by ``order_col``; ties broken ascending by
+    ``tiebreak_cols`` so results are reproducible across engines (the
+    float-parity discipline of SURVEY §7.5.2).
+    """
+    order = [F.col(order_col).desc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def exact_topk_join(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int,
+    metric: str = "ip",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    doc_id: str = "doc_id",
+    doc_vec: str = "doc_vec",
+    score_col: str = "score",
+    impl: str = "blocked",
+) -> DataFrame:
+    """J4 exact path: brute-force top-k similarity join.
+
+    Returns ``(query_id, doc_id, score, rank)`` with rank 1..k per query,
+    deterministic tie-break on (−score, doc_id).
+    """
+    if impl == "sql":
+        q = queries.select(query_id, query_vec)
+        d = docs.select(doc_id, doc_vec)
+        scored = F.broadcast(q).crossJoin(d).select(
+            query_id,
+            doc_id,
+            score_expr(metric, query_vec, doc_vec).alias(score_col),
+        )
+        return topk_per_group(scored, [query_id], score_col, k, [doc_id])
+    if impl != "blocked":
+        raise ValueError(f"unknown impl: {impl!r}")
+
+    # -- blocked running top-k (W3), the scale path --------------------
+    spark = docs.sparkSession
+    qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"{query_id} long, {doc_id} long, {score_col} double, rank int"
+        )
+    q_ids = np.array([r[0] for r in qrows])
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)  # (nq, dim)
+    if metric == "cosine":
+        norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+        q_mat = q_mat / np.where(norms == 0, 1.0, norms)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, metric, k))
+
+    out_schema = f"{query_id} long, {doc_id} long, {score_col} double"
+
+    def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, met, kk = bc.value
+        nq = len(ids)
+        # running pools per partition: scores (nq, pool), doc ids (nq, pool)
+        top_s = np.full((nq, 0), -np.inf)
+        top_d = np.full((nq, 0), -1, dtype=np.int64)
+        for pdf in batches:
+            d_ids = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+            d_mat = np.array(list(pdf.iloc[:, 1]), dtype=np.float64)
+            if met == "ip":
+                s = mat @ d_mat.T
+            elif met == "cosine":
+                dn = np.linalg.norm(d_mat, axis=1, keepdims=True)
+                s = mat @ (d_mat / np.where(dn == 0, 1.0, dn)).T
+            elif met == "neg_l2":
+                s = -(
+                    (mat * mat).sum(1)[:, None]
+                    - 2.0 * (mat @ d_mat.T)
+                    + (d_mat * d_mat).sum(1)[None, :]
+                )
+            else:
+                raise ValueError(met)
+            # concat pools with this block, re-prune to k (torch.topk analog,
+            # MEVI/main_models.py:3855-3876)
+            all_s = np.concatenate([top_s, s], axis=1)
+            all_d = np.concatenate([top_d, np.broadcast_to(d_ids, (nq, len(d_ids)))], axis=1)
+            if all_s.shape[1] > kk:
+                # deterministic: order by (-score, doc_id)
+                order = np.lexsort((all_d, -all_s), axis=1)[:, :kk]
+                top_s = np.take_along_axis(all_s, order, axis=1)
+                top_d = np.take_along_axis(all_d, order, axis=1)
+            else:
+                top_s, top_d = all_s, all_d
+        if top_s.shape[1]:
+            n = top_s.shape[1]
+            yield pd.DataFrame(
+                {
+                    query_id: np.repeat(ids, n),
+                    doc_id: top_d.ravel(),
+                    score_col: top_s.ravel(),
+                }
+            )
+
+    candidates = docs.select(doc_id, doc_vec).mapInPandas(block_topk, out_schema)
+    return topk_per_group(candidates, [query_id], score_col, k, [doc_id])

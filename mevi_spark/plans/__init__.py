@@ -1,0 +1,3 @@
+from mevi_spark.plans.registry import QUERIES, ORACLES, get_queries, get_oracles
+
+__all__ = ["QUERIES", "ORACLES", "get_queries", "get_oracles"]

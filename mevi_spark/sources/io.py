@@ -1,0 +1,128 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+The reference's file zoo — TSV (S1/S2), np.memmap matrices (S3), pickle
+caches (S4), per-rank TSV shards merged by rank 0 (S5/S6) — collapses to
+two Spark-native ideas:
+
+* **Parquet** for every large artifact (embeddings, mappings, clusters,
+  runs). Spark writes sharded files natively, so the reference's
+  rank-shard-then-merge dance (``MEVI/main_models.py:190-273``,
+  ``MEVI/generate.py:152-187``) disappears.
+* **Schema-explicit TSV readers** for interop with the reference's text
+  formats (corpus/queries/qrels/run files).
+
+All readers take explicit schemas — never ``inferSchema`` (a full extra
+pass over 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mevi_spark import schemas
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated testdata table (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read all testdata tables and register them as temp views."""
+    out: dict[str, DataFrame] = {}
+    for name in schemas.TESTDATA_TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+# --- reference TSV formats --------------------------------------------------
+
+
+def read_corpus_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """S1: corpus scan ``(doc_id, title, content)`` with ``fillna('')``.
+
+    Mirrors ``MEVI/main_utils.py:188-213`` (pandas ``read_csv(sep='\\t')``
+    + ``fillna('')``).
+    """
+    df = spark.read.csv(
+        path,
+        sep="\t",
+        schema="doc_id LONG, title STRING, content STRING",
+        header=False,
+    )
+    return df.na.fill({"title": "", "content": ""})
+
+
+def read_queries_train_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """S2: train pairs ``(query, doc_id)`` — ``MEVI/main_utils.py:114-127``."""
+    return spark.read.csv(
+        path, sep="\t", schema="query STRING, doc_id LONG", header=False
+    ).na.drop(subset=["query"])
+
+
+def read_queries_dev_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """S2: dev rows ``(query, doc_ids)`` where doc_ids is comma-joined.
+
+    The reference parses with a ``comma_split`` converter
+    (``MEVI/main_utils.py:237, 264-278``).
+    """
+    raw = spark.read.csv(
+        path, sep="\t", schema="query STRING, doc_ids_csv STRING", header=False
+    )
+    return raw.select(
+        "query",
+        F.split(F.col("doc_ids_csv"), ",").cast("array<long>").alias("doc_ids"),
+    )
+
+
+def read_qrels_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """qrels 4-column form ``(qid, iteration, doc_id, rel)`` —
+    ``dataprocess/msmarco_passage/prepare_origin.py:38-48``."""
+    return spark.read.csv(
+        path,
+        sep="\t",
+        schema="qid LONG, iteration INT, doc_id LONG, rel INT",
+        header=False,
+    )
+
+
+def read_run_tsv(spark: SparkSession, path: str, with_clusters: bool = False) -> DataFrame:
+    """Run-file scan ``(query, clusters?, preds, scores)``.
+
+    The reference writes ``(query, '', preds_csv, scores_csv)``
+    (``MEVI/faiss_search.py:71-77``) and parses with positional templates
+    (``MEVI/ensemble_marco.py:92-111, 164-166``). Cluster lists are
+    python-literal ``[[...]]`` strings; we parse them with ``from_json``
+    (F2 in SURVEY §2.8).
+    """
+    raw = spark.read.csv(
+        path,
+        sep="\t",
+        schema="query STRING, clusters_raw STRING, preds_csv STRING, scores_csv STRING",
+        header=False,
+    )
+    out = raw.select(
+        "query",
+        (
+            F.from_json(F.col("clusters_raw"), "array<array<int>>")
+            if with_clusters
+            else F.lit(None).cast("array<array<int>>")
+        ).alias("clusters"),
+        F.split(F.col("preds_csv"), ",").cast("array<long>").alias("preds"),
+        F.split(F.col("scores_csv"), ",").cast("array<double>").alias("scores"),
+    )
+    return out
+
+
+def write_run_tsv(run: DataFrame, path: str) -> None:
+    """Run-file sink (S5). One Spark write replaces the reference's
+    per-rank tmp files + rank-0 merge (``MEVI/main_models.py:190-273``)."""
+    out = run.select(
+        "query",
+        F.coalesce(F.to_json("clusters"), F.lit("")).alias("clusters_raw"),
+        F.concat_ws(",", F.col("preds").cast("array<string>")).alias("preds_csv"),
+        F.concat_ws(",", F.col("scores").cast("array<string>")).alias("scores_csv"),
+    )
+    out.write.mode("overwrite").csv(path, sep="\t")
