@@ -1,0 +1,101 @@
+"""Per-level RQ beam search (U3/W5) — the coarse retrieval step.
+
+Reference: the embedding-space RQ beam at ``MEVI/pq.py:613-713``:
+
+* state per hypothesis: residual ``temp_embed = q − Σ chosen centroids``,
+  running ``beam_score`` (init 1.0), code prefix;
+* per level ``i``: similarity of the residual to each of the K level-``i``
+  centroids (``compute_scores``, ``MEVI/pq.py:124-131``), softmaxed over
+  the K codes (``:662``), multiplied into the beam score
+  (``rq_topk_score='prod'``, ``:664-666``);
+* top ``num_beams`` of the beam×K candidates (``:684-691``), then the
+  chosen centroid is subtracted from the residual (``:697-701``; skipped
+  at the last level).
+
+Spark restatement: a driver loop of M (=levels, 2-4) iterations; the
+beam DataFrame holds ≤ ``num_beams`` rows per query and is joined
+against the **K-row** broadcast level codebook — the intermediate is
+``num_beams × K`` rows per query. Nothing of size K^M is ever built or
+broadcast (SURVEY §7.5.3 forbids materializing the flat-code table; the
+round-1 flat centroid scan was exactly that mistake).
+
+The softmax per hypothesis is two window passes (max, then sum of
+exp-shifted) over the (query, prefix) partition — all JVM expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from mevi_spark.functions.vector import code_flat, dot, neg_l2_score
+from mevi_spark.operators.topk import topk_per_group
+
+_METRICS = {"ip": dot, "neg_l2": neg_l2_score}
+
+
+def rq_beam_search(
+    queries: DataFrame,
+    codebook: DataFrame,
+    levels: int,
+    num_beams: int,
+    k_per_level: int,
+    metric: str = "ip",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """U3: top-``num_beams`` RQ codes per query with beam probabilities.
+
+    ``codebook``: ``(level, code, centroid)`` — M×K rows, always
+    broadcast. Returns ``(query_id, code: array<int>, code_flat,
+    beam_score, beam_rank)`` with rank 1..num_beams per query,
+    deterministic tie-break on the flattened prefix index (the order of
+    ``torch.topk`` over the beam×K flat dimension, ``MEVI/pq.py:684``).
+    """
+    score_fn = _METRICS[metric]
+    beam = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.array().cast("array<int>").alias("prefix"),
+        F.lit(1.0).alias("beam_score"),
+        F.col(query_vec).cast("array<double>").alias("resid"),
+    )
+    for lvl in range(levels):
+        cb = F.broadcast(
+            codebook.filter(F.col("level") == lvl).select(
+                F.col("code").alias("_code"), F.col("centroid").alias("_cent")
+            )
+        )
+        cand = beam.crossJoin(cb).withColumn(
+            "_raw", score_fn("resid", "_cent")
+        )
+        # softmax over the K codes of each hypothesis (MEVI/pq.py:662)
+        hyp = Window.partitionBy("query_id", "prefix")
+        shifted = F.exp(F.col("_raw") - F.max("_raw").over(hyp))
+        cand = cand.withColumn("_p", shifted / F.sum(shifted).over(hyp))
+        cand = cand.withColumn("beam_score", F.col("beam_score") * F.col("_p"))
+        # top num_beams over beam×K; tie-break = flattened candidate index
+        cand = cand.withColumn(
+            "_flat", code_flat("prefix", k_per_level) * k_per_level + F.col("_code")
+        )
+        kept = topk_per_group(
+            cand, ["query_id"], "beam_score", num_beams, ["_flat"],
+            rank_col="beam_rank",
+        )
+        new_prefix = F.concat("prefix", F.array(F.col("_code")))
+        if lvl < levels - 1:
+            resid = F.zip_with("resid", "_cent", lambda a, b: a - b)
+        else:
+            resid = F.col("resid")
+        beam = kept.select(
+            "query_id",
+            new_prefix.alias("prefix"),
+            "beam_score",
+            resid.alias("resid"),
+            "beam_rank",
+        )
+    return beam.select(
+        "query_id",
+        F.col("prefix").alias("code"),
+        code_flat("prefix", k_per_level).alias("code_flat"),
+        "beam_score",
+        "beam_rank",
+    )

@@ -30,9 +30,11 @@ from pyspark.sql import DataFrame, Window, functions as F
 def _dedup_last_wins(df: DataFrame, key: str, order: str | None) -> DataFrame:
     """Last occurrence wins, mirroring dict-overwrite parsing
     (``MEVI/main_models.py:4119-4126``). ``order`` is a column that
-    defines file order; callers that already deduped pass None."""
+    defines file order; with ``order=None`` an arbitrary-but-single row
+    survives (``dropDuplicates``) — still one row per key, as the dict
+    guarantees, just without the file-order tie-break."""
     if order is None:
-        return df
+        return df.dropDuplicates([key])
     w = Window.partitionBy(key).orderBy(F.col(order).desc())
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -47,15 +49,22 @@ def ranks_of_ground_truth(
     query_col: str = "query",
     preds_col: str = "preds",
     gt_col: str = "gt_ids",
+    order_col: str | None = None,
 ) -> DataFrame:
     """W1: per (query, gt doc) 0-based rank in the ranked preds list, NULL
     when absent (``preds.index(g)`` loop at ``MEVI/evaluate.py:36-41``).
 
     Returns ``(query, gt_id, rank)``; queries missing from ``run`` keep
-    NULL ranks (left join) so they still count in metric denominators.
+    NULL ranks (left join) so they still count in metric denominators; a
+    query with an EMPTY gt array yields one row with NULL ``gt_id``
+    (``explode_outer``) so it still reaches the denominators. Duplicate
+    query rows in either input collapse to one (last wins when
+    ``order_col`` names a file-order column).
     """
-    g = gt.select(query_col, F.explode(gt_col).alias("gt_id"))
-    r = run.select(query_col, preds_col)
+    g = _dedup_last_wins(gt, query_col, order_col).select(
+        query_col, F.explode_outer(gt_col).alias("gt_id")
+    )
+    r = _dedup_last_wins(run, query_col, order_col).select(query_col, preds_col)
     joined = g.join(r, query_col, "left")
     pos = F.array_position(F.col(preds_col), F.col("gt_id"))  # 1-based, 0=absent
     return joined.select(
@@ -72,17 +81,20 @@ def evaluate_run(
     query_col: str = "query",
     preds_col: str = "preds",
     gt_col: str = "gt_ids",
+    order_col: str | None = None,
 ) -> DataFrame:
     """A3: Recall@K / MRR@K / HitRate@K for K in ``cutoffs``.
 
     One output row per K: ``(k, recall, mrr, hitrate, n_queries)``.
     Mirrors ``MEVI/evaluate.py:27-58`` + ``MEVI/main_models.py:4144-4201``.
+    A query with zero positives contributes 0 to every metric but still
+    counts in ``n_queries`` (the reference iterates all queries in gts).
     """
-    per_gt = ranks_of_ground_truth(run, gt, query_col, preds_col, gt_col)
+    per_gt = ranks_of_ground_truth(run, gt, query_col, preds_col, gt_col, order_col)
 
     # per-query: number of positives, min rank, ranks list
     per_q = per_gt.groupBy(query_col).agg(
-        F.count("*").alias("n_gt"),
+        F.count("gt_id").alias("n_gt"),  # non-null: empty-gt query → 0
         F.min("rank").alias("min_rank"),
         F.collect_list("rank").alias("ranks"),  # NULLs drop out: absent preds
     )
@@ -97,7 +109,11 @@ def evaluate_run(
     return (
         exploded.select(
             "k",
-            (hits_at_k.cast("double") / F.col("n_gt")).alias("q_recall"),
+            F.when(
+                F.col("n_gt") > 0, hits_at_k.cast("double") / F.col("n_gt")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("q_recall"),
             F.when(found, F.lit(1.0) / (F.col("min_rank") + 1))
             .otherwise(F.lit(0.0))
             .alias("q_mrr"),

@@ -1,18 +1,21 @@
 """Coarse-to-fine retrieval (J3 + J5 + A7 + W2) — the flagship MEVI path.
 
 Reference flow (``MEVI/main_models.py:3554-4098``): the query model
-predicts top-R cluster codes ("coarse"), each code expands to its member
-docs (J3, ``:3923-3935``), members are re-scored by embedding dot product
-(J5, ``:3944-3991``), duplicate docs across clusters are merged (A7,
-``:3999-4011``), and the per-query top-k is taken (W2).
+predicts top-R cluster codes ("coarse" — here
+:func:`mevi_spark.operators.beam.rq_beam_search`), each code expands to
+its member docs (J3, ``:3923-3935``), members are re-scored by embedding
+dot product (J5, ``:3944-3991``), duplicate docs across clusters are
+merged by max-aggregating their scores (A7, ``:3999-4011``), and the
+per-query top-k is taken (W2).
 
 Spark restatement — and the one optimization that matters at 100 TB
 (SURVEY §4 row 1): the doc-embedding table is **physically keyed by the
 flat cluster code**, so the coarse→fine expansion is an equi-join on
 ``code_flat`` that prunes the corpus scan to the predicted clusters
 (partition pruning / DPP when the table is written partitioned by a
-code prefix). The reference tracks this win as ``ndocs@cluster``
-(``MEVI/main_models.py:4182``); here it is simply the join selectivity.
+code prefix — see :func:`write_partitioned_embeddings`). The reference
+tracks this win as ``ndocs@cluster`` (``MEVI/main_models.py:4182``);
+here it is simply the join selectivity.
 """
 
 from __future__ import annotations
@@ -23,37 +26,17 @@ from mevi_spark.functions.vector import dot
 from mevi_spark.operators.topk import topk_per_group
 
 
-def coarse_rank_clusters(
-    queries: DataFrame,
-    centroids: DataFrame,
-    top_r: int,
-    query_id: str = "query_id",
-    query_vec: str = "query_vec",
-    metric_col: str = "coarse_score",
-) -> DataFrame:
-    """Coarse step stand-in for the seq2seq beam (U3/U4): rank cluster
-    centroids by inner product with the query, keep top-R.
-
-    This is the embedding-space RQ beam of ``MEVI/pq.py:613-713`` with
-    beam width = R at the last level; the tree constraint is a no-op for
-    RQ (every code valid at every level, ``MEVI/main_models.py:1700-1706``).
-
-    ``centroids``: ``(code_flat, centroid)`` — one row per addressable
-    cluster. Returns ``(query_id, code_flat, coarse_score, coarse_rank)``.
-    """
-    scored = (
-        queries.select(query_id, query_vec)
-        .crossJoin(F.broadcast(centroids.select("code_flat", "centroid")))
-        .select(
-            query_id,
-            "code_flat",
-            dot(query_vec, "centroid").alias(metric_col),
-        )
-    )
-    out = topk_per_group(
-        scored, [query_id], metric_col, top_r, ["code_flat"], rank_col="coarse_rank"
-    )
-    return out
+def write_partitioned_embeddings(
+    doc_embeddings: DataFrame,
+    path: str,
+    prefix_col: str = "code_prefix",
+) -> None:
+    """Persist the corpus embedding table partitioned by a coarse code
+    prefix, the physical layout that lets the coarse→fine join prune the
+    scan to predicted clusters (SURVEY §4 row 1). ``prefix_col`` is
+    typically the level-0 code (K partitions) — partitioning by the full
+    ``code_flat`` would create K^M directories."""
+    doc_embeddings.write.mode("overwrite").partitionBy(prefix_col).parquet(path)
 
 
 def coarse_to_fine(
@@ -81,14 +64,15 @@ def coarse_to_fine(
     candidates = coarse.select(query_id, "code_flat").join(
         doc_embeddings.select(doc_id, "code_flat", doc_vec), "code_flat"
     )
-    # A7: a doc reachable through multiple predicted clusters must score
-    # once (reference dedups with np.unique + max-agg,
-    # MEVI/main_models.py:3999-4011)
-    candidates = candidates.dropDuplicates([query_id, doc_id])
     # J5: gather the query vector and re-rank by dot product
     q = F.broadcast(queries.select(query_id, query_vec))
     scored = candidates.join(q, query_id).select(
         query_id, doc_id, dot(query_vec, doc_vec).alias("score")
     )
+    # A7: a doc reachable through multiple predicted clusters scores once,
+    # max-aggregated (np.unique + max-agg, MEVI/main_models.py:3999-4011 —
+    # NOT dropDuplicates, which keeps an arbitrary row and silently picks
+    # wrong answers the moment scores differ per cluster)
+    scored = scored.groupBy(query_id, doc_id).agg(F.max("score").alias("score"))
     # W2/W3: per-query top-k
     return topk_per_group(scored, [query_id], "score", k, [doc_id])

@@ -85,11 +85,19 @@ def exact_topk_join(
     doc_vec: str = "doc_vec",
     score_col: str = "score",
     impl: str = "blocked",
+    query_chunk: int = 65536,
 ) -> DataFrame:
     """J4 exact path: brute-force top-k similarity join.
 
     Returns ``(query_id, doc_id, score, rank)`` with rank 1..k per query,
     deterministic tie-break on (−score, doc_id).
+
+    The ``blocked`` impl pulls query vectors to the driver in chunks of
+    ``query_chunk`` (never the whole side at once — round-1's driver-OOM
+    finding) and broadcasts one chunk's matrix at a time; each chunk
+    streams the corpus once. For query sides too large for a few corpus
+    passes, use the LSH join
+    (:func:`mevi_spark.operators.ann.lsh_topk_join`) instead.
     """
     if impl == "sql":
         q = queries.select(query_id, query_vec)
@@ -105,19 +113,50 @@ def exact_topk_join(
 
     # -- blocked running top-k (W3), the scale path --------------------
     spark = docs.sparkSession
-    qrows = queries.select(query_id, query_vec).collect()
-    if not qrows:
+    out_schema = f"{query_id} long, {doc_id} long, {score_col} double"
+
+    def chunk_candidates(q_ids: np.ndarray, q_mat: np.ndarray) -> DataFrame:
+        if metric == "cosine":
+            norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+            q_mat = q_mat / np.where(norms == 0, 1.0, norms)
+        bc = spark.sparkContext.broadcast((q_ids, q_mat, metric, k))
+        return docs.select(doc_id, doc_vec).mapInPandas(
+            _make_block_topk(bc, query_id, doc_id, score_col), out_schema
+        )
+
+    # iterate the query side in driver-bounded chunks
+    parts: list[DataFrame] = []
+    buf_ids: list = []
+    buf_vecs: list = []
+    for row in queries.select(query_id, query_vec).toLocalIterator(
+        prefetchPartitions=True
+    ):
+        buf_ids.append(row[0])
+        buf_vecs.append(row[1])
+        if len(buf_ids) >= query_chunk:
+            parts.append(
+                chunk_candidates(
+                    np.array(buf_ids), np.array(buf_vecs, dtype=np.float64)
+                )
+            )
+            buf_ids, buf_vecs = [], []
+    if buf_ids:
+        parts.append(
+            chunk_candidates(np.array(buf_ids), np.array(buf_vecs, dtype=np.float64))
+        )
+    if not parts:
         return spark.createDataFrame(
             [], f"{query_id} long, {doc_id} long, {score_col} double, rank int"
         )
-    q_ids = np.array([r[0] for r in qrows])
-    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)  # (nq, dim)
-    if metric == "cosine":
-        norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
-        q_mat = q_mat / np.where(norms == 0, 1.0, norms)
-    bc = spark.sparkContext.broadcast((q_ids, q_mat, metric, k))
+    candidates = parts[0]
+    for p in parts[1:]:
+        candidates = candidates.unionByName(p)
+    return topk_per_group(candidates, [query_id], score_col, k, [doc_id])
 
-    out_schema = f"{query_id} long, {doc_id} long, {score_col} double"
+
+def _make_block_topk(bc, query_id: str, doc_id: str, score_col: str):
+    """Build the per-partition running-top-k kernel (torch.topk analog,
+    ``MEVI/main_models.py:3855-3876``) over one broadcast query chunk."""
 
     def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, mat, met, kk = bc.value
@@ -162,5 +201,4 @@ def exact_topk_join(
                 }
             )
 
-    candidates = docs.select(doc_id, doc_vec).mapInPandas(block_topk, out_schema)
-    return topk_per_group(candidates, [query_id], score_col, k, [doc_id])
+    return block_topk

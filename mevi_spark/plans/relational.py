@@ -450,14 +450,14 @@ def corpus_sample_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The reference uses ``random.random() < rate``; we need a seedless
     cross-engine-deterministic filter, so the keep decision hashes the id
-    (md5 prefix mod 10). The dense remap is a global row_number — fine
-    for dimension-sized tables; at 100 TB use zipWithIndex-style
-    per-partition offsets instead."""
+    (md5 prefix mod 10). The dense remap is the scalable two-pass
+    zipWithIndex pattern: range-partition + sort by doc_id (so global
+    order = partition order), then per-partition offsets — no
+    single-partition global window anywhere (round-1 straggler
+    finding)."""
     docs = load_table(spark, sf_dir, "documents")
     keep_hash = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("bigint")
     kept = docs.filter(keep_hash % 10 < 7).select("doc_id")
-    w = Window.orderBy(F.asc("doc_id"))
-    return kept.select(
-        F.col("doc_id").alias("old_id"),
-        (F.row_number().over(w) - 1).cast("long").alias("new_id"),
-    )
+    parted = kept.repartitionByRange(F.asc("doc_id")).sortWithinPartitions("doc_id")
+    indexed = parted.rdd.map(lambda r: r[0]).zipWithIndex()
+    return spark.createDataFrame(indexed, "old_id long, new_id long")

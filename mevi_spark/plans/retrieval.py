@@ -1,0 +1,676 @@
+"""Retrieval operator surface (SURVEY.md §2 J4/J5/A3/A5/A7/U2/U3/W1-W6)
+registered as driver-checkable queries over the testdata ``embeddings``
+and ``documents`` tables.
+
+Each query pairs the Spark operator (the real implementation from
+``mevi_spark.operators``) with a DuckDB oracle that recomputes the same
+semantics in pure SQL. Cross-engine determinism (registry docstring):
+scores round(6), ranked lists tie-break (−score, id), element sums
+through DECIMAL, sequential array folds are bit-stable between Spark's
+``F.aggregate`` and DuckDB's ``list_dot_product`` (verified).
+
+The retrieval data model maps onto the testdata as:
+
+* corpus/doc embeddings = ``embeddings`` (vec_id, embedding float[64], label)
+* query set              = the ``vec_id % 50 = 0`` subset (10 at sf0.01)
+* ground truth           = same-``label`` membership (the planted cluster)
+* RQ seed partition      = ``label`` (the reference's cluster-mean init,
+  ``MEVI/pq.py:488-524``)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mevi_spark.operators.beam import rq_beam_search
+from mevi_spark.operators.ensemble import fuse_runs
+from mevi_spark.operators.metrics import evaluate_run
+from mevi_spark.operators.rerank import coarse_to_fine
+from mevi_spark.operators.rq import (
+    assign_nearest,
+    rq_encode_seeded,
+    rq_level_centroids,
+)
+from mevi_spark.operators.topk import exact_topk_join, topk_per_group
+from mevi_spark.plans.registry import register
+from mevi_spark.sources.io import load_table
+
+K_LABELS = 10  # embeddings.label ∈ 0..9 at every sf
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation query subset: every 50th vector."""
+    return (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            "label",
+        )
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("doc_vec"),
+        "label",
+    )
+
+
+# SQL fragments shared by oracles -------------------------------------------
+
+_SQL_Q = "SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label FROM embeddings WHERE vec_id % 50 = 0"
+_SQL_D = "SELECT vec_id AS doc_id, embedding::DOUBLE[] AS dv, label FROM embeddings"
+
+# per-label element means (A5 centroid-average) in exact decimal
+_SQL_CENT = """
+  SELECT label AS code, pos, CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS m
+  FROM (SELECT label, unnest(embedding::DOUBLE[]) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+  GROUP BY label, pos
+"""
+_SQL_CENT_LIST = f"""
+  SELECT code, list(m ORDER BY pos) AS centroid
+  FROM ({_SQL_CENT}) GROUP BY code
+"""
+
+
+# ---------------------------------------------------------------------------
+# J4: exact top-k similarity join
+
+
+@register(
+    "knn_topk_ip",
+    oracle=f"""
+WITH q AS ({_SQL_Q}), d AS ({_SQL_D}),
+s AS (SELECT query_id, doc_id, list_dot_product(qv, dv) AS s FROM q, d),
+r AS (SELECT query_id, doc_id, s,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+      FROM s)
+SELECT query_id, doc_id, ROUND(s, 6) AS score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""",
+)
+def knn_topk_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/W3: blocked exact top-10 by inner product (the faiss search of
+    ``MEVI/faiss_search.py:13-21`` done as a streaming corpus scan)."""
+    out = exact_topk_join(
+        _queries(spark, sf_dir), _docs(spark, sf_dir), k=10, metric="ip"
+    )
+    return out.withColumn("score", F.round("score", 6))
+
+
+@register(
+    "knn_topk_cosine",
+    oracle=f"""
+WITH q AS ({_SQL_Q}), d AS ({_SQL_D}),
+s AS (SELECT query_id, doc_id,
+             list_dot_product(qv, dv) /
+             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(dv, dv))) AS s
+      FROM q, d),
+r AS (SELECT query_id, doc_id, s,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+      FROM s)
+SELECT query_id, doc_id, ROUND(s, 6) AS score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""",
+)
+def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 with the cosine metric (F5's other branch), SQL impl — the
+    whole-stage-codegen plan for pre-pruned candidate sets."""
+    out = exact_topk_join(
+        _queries(spark, sf_dir), _docs(spark, sf_dir), k=10, metric="cosine",
+        impl="sql",
+    )
+    return out.withColumn("score", F.round("score", 6))
+
+
+# ---------------------------------------------------------------------------
+# A3/W1/W4: retrieval metrics
+
+
+@register(
+    "retrieval_eval_metrics",
+    oracle=f"""
+WITH q AS ({_SQL_Q}), d AS ({_SQL_D}),
+ranked AS (SELECT q.query_id, d.doc_id, (q.label = d.label) AS is_gt,
+                  ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                     ORDER BY list_dot_product(q.qv, d.dv) DESC, d.doc_id ASC) AS rnk
+           FROM q, d),
+gtr AS (SELECT query_id, rnk FROM ranked WHERE is_gt),
+perq AS (SELECT query_id, COUNT(*) AS n_gt, MIN(rnk) AS min_rnk, list(rnk) AS rnks
+         FROM gtr GROUP BY query_id),
+ks AS (SELECT unnest([1, 5, 10]) AS k),
+perqk AS (SELECT k, query_id,
+                 len(list_filter(rnks, r -> r <= k))::DOUBLE / n_gt AS q_recall,
+                 CASE WHEN min_rnk <= k THEN 1.0 / min_rnk ELSE 0.0 END AS q_mrr,
+                 CASE WHEN min_rnk <= k THEN 1.0 ELSE 0.0 END AS q_hit
+          FROM perq, ks)
+SELECT k, ROUND(AVG(q_recall), 6) AS recall, ROUND(AVG(q_mrr), 6) AS mrr,
+       ROUND(AVG(q_hit), 6) AS hitrate, COUNT(*) AS n_queries
+FROM perqk GROUP BY k
+""",
+)
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/W1/W4: Recall@K / MRR@K / HitRate@K of the exact-IP run against
+    the planted same-label ground truth (reference semantics:
+    gt-denominator recall, min-rank MRR — ``MEVI/evaluate.py:9-24``)."""
+    topk = exact_topk_join(
+        _queries(spark, sf_dir), _docs(spark, sf_dir), k=10, metric="ip"
+    )
+    run = topk.groupBy("query_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rank", "doc_id"))),
+            lambda s: s["doc_id"],
+        ).alias("preds")
+    )
+    gt = (
+        _queries(spark, sf_dir)
+        .select("query_id", "label")
+        .join(
+            _docs(spark, sf_dir).select("doc_id", "label"),
+            "label",
+        )
+        .groupBy("query_id")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("gt_ids"))
+    )
+    out = evaluate_run(run, gt, cutoffs=(1, 5, 10), query_col="query_id")
+    return out.select(
+        "k",
+        F.round("recall", 6).alias("recall"),
+        F.round("mrr", 6).alias("mrr"),
+        F.round("hitrate", 6).alias("hitrate"),
+        "n_queries",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5/U2: centroid-average init + nearest-centroid assignment
+
+
+@register(
+    "rq_centroids_label",
+    oracle=f"""
+SELECT code, pos, ROUND(m, 6) AS m FROM ({_SQL_CENT})
+""",
+)
+def rq_centroids_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-label element-mean centroids (cluster-mean codebook init,
+    ``MEVI/pq.py:488-524``), long form ``(code, pos, m)`` with 1-based
+    ``pos`` so array serialization can't mask element drift."""
+    cents = rq_level_centroids(
+        _emb(spark, sf_dir), code_col="label", vec_col="embedding"
+    )
+    return cents.select(
+        "code",
+        F.posexplode("centroid").alias("pos0", "m"),
+    ).select("code", (F.col("pos0") + 1).alias("pos"), F.round("m", 6).alias("m"))
+
+
+@register(
+    "rq_assign_nearest",
+    oracle=f"""
+WITH cent AS ({_SQL_CENT_LIST}),
+scored AS (
+  SELECT e.vec_id, c.code,
+         list_dot_product(c.centroid, c.centroid)
+           - 2 * list_dot_product(e.embedding::DOUBLE[], c.centroid) AS d
+  FROM embeddings e, cent c),
+r AS (SELECT vec_id, code,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, code ASC) AS rn
+      FROM scored)
+SELECT vec_id, code FROM r WHERE rn = 1
+""",
+)
+def rq_assign_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 (one level): argmin-distance assignment to the label codebook
+    (``MEVI/pq.py:281-305``), expanded-form distance, tie-break on code."""
+    emb = _emb(spark, sf_dir)
+    cents = rq_level_centroids(emb, code_col="label", vec_col="embedding")
+    out = assign_nearest(emb, cents, id_col="vec_id", vec_col="embedding")
+    return out.select("vec_id", "code")
+
+
+@register(
+    "rq_encode_two_level",
+    oracle=f"""
+WITH cent0 AS ({_SQL_CENT_LIST}),
+a0 AS (
+  SELECT vec_id, code AS code_0, emb, centroid FROM (
+    SELECT e.vec_id, c.code, e.embedding::DOUBLE[] AS emb, c.centroid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(c.centroid, c.centroid)
+               - 2 * list_dot_product(e.embedding::DOUBLE[], c.centroid) ASC,
+             c.code ASC) AS rn
+    FROM embeddings e, cent0 c) WHERE rn = 1),
+resid AS (
+  SELECT vec_id, code_0,
+         list_transform(list_zip(emb, centroid), x -> x[1] - x[2]) AS rv
+  FROM a0),
+cent1 AS (
+  SELECT code, list(m ORDER BY pos) AS centroid FROM (
+    SELECT code_0 AS code, pos, CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS m
+    FROM (SELECT code_0, unnest(rv) AS val, generate_subscripts(rv, 1) AS pos FROM resid)
+    GROUP BY code_0, pos) GROUP BY code),
+a1 AS (
+  SELECT vec_id, code_0, code AS code_1 FROM (
+    SELECT r.vec_id, r.code_0, c.code,
+           ROW_NUMBER() OVER (PARTITION BY r.vec_id ORDER BY
+             list_dot_product(c.centroid, c.centroid)
+               - 2 * list_dot_product(r.rv, c.centroid) ASC,
+             c.code ASC) AS rn
+    FROM resid r, cent1 c) WHERE rn = 1)
+SELECT vec_id, code_0, code_1 FROM a1
+""",
+)
+def rq_encode_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 full RQ encode, two levels, label-seeded codebooks — the
+    deterministic SQL-expressible residual-quantization path
+    (assign → subtract → recurse, ``MEVI/pq.py:281-305``)."""
+    mapping, _ = rq_encode_seeded(
+        _emb(spark, sf_dir), seed_code="label", id_col="vec_id",
+        vec_col="embedding", levels=2,
+    )
+    return mapping.select(F.col("id").alias("vec_id"), "code_0", "code_1")
+
+
+# ---------------------------------------------------------------------------
+# U3/W5: per-level RQ beam search
+
+# two-level label-seeded codebook chain (shared with rq_encode_two_level)
+_SQL_ENC2 = f"""
+cent0 AS ({_SQL_CENT_LIST}),
+a0 AS (
+  SELECT vec_id, code AS code_0, emb, centroid FROM (
+    SELECT e.vec_id, c.code, e.embedding::DOUBLE[] AS emb, c.centroid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(c.centroid, c.centroid)
+               - 2 * list_dot_product(e.embedding::DOUBLE[], c.centroid) ASC,
+             c.code ASC) AS rn
+    FROM embeddings e, cent0 c) WHERE rn = 1),
+resid AS (
+  SELECT vec_id, code_0,
+         list_transform(list_zip(emb, centroid), x -> x[1] - x[2]) AS rv
+  FROM a0),
+cent1 AS (
+  SELECT code, list(m ORDER BY pos) AS centroid FROM (
+    SELECT code_0 AS code, pos, CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS m
+    FROM (SELECT code_0, unnest(rv) AS val, generate_subscripts(rv, 1) AS pos FROM resid)
+    GROUP BY code_0, pos) GROUP BY code)
+"""
+
+# the M=2 beam over that codebook, beam width 4 (softmax per hypothesis,
+# product scores, flat-index tie-break — MEVI/pq.py:646-707)
+_SQL_BEAM2 = f"""
+{_SQL_ENC2},
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+l0raw AS (SELECT query_id, qv, c.code AS c0, c.centroid AS cent,
+                 list_dot_product(qv, c.centroid) AS raw
+          FROM q, cent0 c),
+l0e AS (SELECT *, exp(raw - MAX(raw) OVER (PARTITION BY query_id)) AS e FROM l0raw),
+l0p AS (SELECT query_id, qv, c0, cent, e / SUM(e) OVER (PARTITION BY query_id) AS p FROM l0e),
+b1 AS (SELECT query_id, c0, p AS bscore,
+              list_transform(list_zip(qv, cent), x -> x[1] - x[2]) AS rv,
+              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY p DESC, c0 ASC) AS r
+       FROM l0p QUALIFY r <= 4),
+l1raw AS (SELECT b.query_id, b.c0, b.bscore, c.code AS c1,
+                 list_dot_product(b.rv, c.centroid) AS raw
+          FROM b1 b, cent1 c),
+l1e AS (SELECT *, exp(raw - MAX(raw) OVER (PARTITION BY query_id, c0)) AS e FROM l1raw),
+l1p AS (SELECT query_id, c0, c1,
+               bscore * (e / SUM(e) OVER (PARTITION BY query_id, c0)) AS score
+        FROM l1e),
+beam AS (SELECT query_id, c0 * 10 + c1 AS code_flat, score,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, c0 * 10 + c1 ASC) AS beam_rank
+         FROM l1p QUALIFY beam_rank <= 4)
+"""
+
+
+def _codebook2(spark: SparkSession, sf_dir: str):
+    """(mapping, codebook) of the two-level label-seeded RQ."""
+    return rq_encode_seeded(
+        _emb(spark, sf_dir), seed_code="label", id_col="vec_id",
+        vec_col="embedding", levels=2,
+    )
+
+
+@register(
+    "rq_beam_search",
+    oracle=f"""
+WITH {_SQL_BEAM2}
+SELECT query_id, code_flat, ROUND(score, 6) AS beam_score,
+       CAST(beam_rank AS INT) AS beam_rank
+FROM beam
+""",
+)
+def rq_beam_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/W5: the real per-level beam (``MEVI/pq.py:613-713``) over the
+    two-level label-seeded codebook — beam ≤4 rows/query joined against
+    the K-row level codebook, softmax probabilities, product scores.
+    Nothing of size K^M is built (round-1 flat-scan fix)."""
+    _, codebook = _codebook2(spark, sf_dir)
+    out = rq_beam_search(
+        _queries(spark, sf_dir), codebook, levels=2, num_beams=4,
+        k_per_level=K_LABELS,
+    )
+    return out.select(
+        "query_id", "code_flat",
+        F.round("beam_score", 6).alias("beam_score"), "beam_rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3+J5+A7+W2: coarse-to-fine
+
+# single-level coarse ranking: softmax over the 10 label centroids, top-4
+_SQL_COARSE1 = f"""
+cent AS ({_SQL_CENT_LIST}),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+craw AS (SELECT query_id, qv, c.code, list_dot_product(qv, c.centroid) AS raw FROM q, cent c),
+ce AS (SELECT *, exp(raw - MAX(raw) OVER (PARTITION BY query_id)) AS e FROM craw),
+cp AS (SELECT query_id, code, e / SUM(e) OVER (PARTITION BY query_id) AS p FROM ce),
+coarse AS (SELECT query_id, code AS code_flat,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY p DESC, code ASC) AS coarse_rank
+           FROM cp QUALIFY coarse_rank <= 4)
+"""
+
+
+def _coarse1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-level coarse run: beam with M=1 over the label codebook.
+    Returns ``(query_id, code_flat, coarse_rank)``, rank 1..4."""
+    cents = rq_level_centroids(
+        _emb(spark, sf_dir), code_col="label", vec_col="embedding"
+    )
+    codebook = cents.select(F.lit(0).alias("level"), "code", "centroid")
+    out = rq_beam_search(
+        _queries(spark, sf_dir), codebook, levels=1, num_beams=4,
+        k_per_level=K_LABELS,
+    )
+    return out.select(
+        "query_id", "code_flat", F.col("beam_rank").alias("coarse_rank")
+    )
+
+
+@register(
+    "coarse_to_fine_retrieval",
+    oracle=f"""
+WITH {_SQL_COARSE1},
+d AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS dv, label FROM embeddings),
+cand AS (SELECT c.query_id, d.doc_id, d.dv FROM coarse c JOIN d ON d.label = c.code_flat),
+scored AS (SELECT cand.query_id, cand.doc_id, MAX(list_dot_product(q.qv, cand.dv)) AS score
+           FROM cand JOIN q ON q.query_id = cand.query_id
+           GROUP BY cand.query_id, cand.doc_id),
+fin AS (SELECT query_id, doc_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+        FROM scored)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, CAST(rank AS INT) AS rank
+FROM fin WHERE rank <= 10
+""",
+)
+def coarse_to_fine_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship path: coarse cluster prediction → member expansion
+    (J3) → dot-product re-rank (J5) → max-agg dedup (A7) → per-query
+    top-10 (W2). Corpus scan is pruned to the predicted clusters by the
+    ``code_flat`` equi-join (SURVEY §4 row 1)."""
+    coarse = _coarse1(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("label").cast("long").alias("code_flat"), "doc_vec"
+    )
+    out = coarse_to_fine(
+        _queries(spark, sf_dir), coarse, docs, k=10
+    )
+    return out.withColumn("score", F.round("score", 6))
+
+
+# ---------------------------------------------------------------------------
+# J6+W6+F9: ensemble fusion
+
+
+@register(
+    "ensemble_fuse",
+    oracle=f"""
+WITH {_SQL_COARSE1},
+d AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS dv, label FROM embeddings),
+ann AS (SELECT query_id, doc_id, s AS score, rank FROM (
+          SELECT q.query_id, d.doc_id, list_dot_product(q.qv, d.dv) AS s,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY list_dot_product(q.qv, d.dv) DESC, d.doc_id ASC) AS rank
+          FROM q, d) WHERE rank <= 10),
+cand AS (SELECT c.query_id, d.doc_id, d.dv FROM coarse c JOIN d ON d.label = c.code_flat),
+fine AS (SELECT query_id, doc_id, score, rank FROM (
+           SELECT s.query_id, s.doc_id, s.score,
+                  ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS rank
+           FROM (SELECT cand.query_id, cand.doc_id, MAX(list_dot_product(q.qv, cand.dv)) AS score
+                 FROM cand JOIN q ON q.query_id = cand.query_id
+                 GROUP BY cand.query_id, cand.doc_id) s) WHERE rank <= 10),
+merged AS (SELECT query_id, doc_id, score FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, doc_id
+                                          ORDER BY prio DESC, rank DESC) AS rn
+             FROM (SELECT query_id, doc_id, score, rank, 0 AS prio FROM ann
+                   UNION ALL
+                   SELECT query_id, doc_id, score, rank, 1 AS prio FROM fine)) WHERE rn = 1),
+feat AS (SELECT m.query_id, m.doc_id, m.score,
+                c.coarse_rank - 1 AS cluster_rank,
+                (SELECT COUNT(*) FROM coarse cc WHERE cc.query_id = m.query_id) AS num_clusters
+         FROM merged m
+         LEFT JOIN d ON d.doc_id = m.doc_id
+         LEFT JOIN coarse c ON c.query_id = m.query_id AND c.code_flat = d.label),
+fused AS (SELECT query_id, doc_id,
+                 CASE WHEN cluster_rank IS NULL
+                      THEN (score + 0.6 / (0.03 * num_clusters + 1)) * (1 - 0.02 * 0.6)
+                      ELSE score + 0.6 / (0.03 * cluster_rank + 1) END AS fused_score
+          FROM feat),
+fin AS (SELECT query_id, doc_id, fused_score,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY fused_score DESC, doc_id ASC) AS rank
+        FROM fused)
+SELECT query_id, doc_id, ROUND(fused_score, 6) AS fused_score, CAST(rank AS INT) AS rank
+FROM fin WHERE rank <= 10
+""",
+)
+def ensemble_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6+W6+F9: dict-overwrite merge of the ANN run with the fine run
+    (``MEVI/ensemble_marco.py:224-238``), cluster-rank feature, fused
+    score with the (0.6, 0.03, 0.02) defaults, per-query top-10."""
+    qs, docs = _queries(spark, sf_dir), _docs(spark, sf_dir)
+    ann = exact_topk_join(qs, docs, k=10, metric="ip")
+    coarse = _coarse1(spark, sf_dir)
+    code_docs = docs.select(
+        "doc_id", F.col("label").cast("long").alias("code_flat"), "doc_vec"
+    )
+    fine = coarse_to_fine(qs, coarse, code_docs, k=10)
+    mapping = docs.select("doc_id", F.col("label").cast("long").alias("code_flat"))
+    out = fuse_runs(ann, coarse, mapping, k=10, fine_run=fine)
+    return out.withColumn("fused_score", F.round("fused_score", 6))
+
+
+# ---------------------------------------------------------------------------
+# J8: negative sampling
+
+
+@register(
+    "negatives_cluster",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, label FROM embeddings WHERE vec_id % 50 = 0)
+SELECT query_id, neg_id FROM (
+  SELECT q.query_id, d.vec_id AS neg_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY d.vec_id ASC) AS rn
+  FROM q JOIN embeddings d ON d.label = q.label AND d.vec_id != q.query_id)
+WHERE rn <= 5
+""",
+)
+def negatives_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: cluster members minus the positive (``remove_ele``,
+    ``MEVI/main_models.py:1841-1866``), first-5 deterministic sample.
+    The query's own vector is the positive; its label is the cluster."""
+    from mevi_spark.operators.negatives import negative_samples
+
+    pairs = _queries(spark, sf_dir).select(
+        "query_id", F.col("query_id").alias("pos_id")
+    )
+    mapping = _docs(spark, sf_dir).select(
+        "doc_id", F.col("label").cast("long").alias("code_flat")
+    )
+    return negative_samples(pairs, mapping, n=5)
+
+
+@register(
+    "negatives_notclus",
+    oracle=f"""
+WITH {_SQL_ENC2},
+codes AS (SELECT vec_id, code_0, code_1 FROM (
+  SELECT r.vec_id, r.code_0, c.code AS code_1,
+         ROW_NUMBER() OVER (PARTITION BY r.vec_id ORDER BY
+           list_dot_product(c.centroid, c.centroid)
+             - 2 * list_dot_product(r.rv, c.centroid) ASC, c.code ASC) AS rn
+  FROM resid r, cent1 c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 50 = 0),
+qc AS (SELECT q.query_id, c.code_0 AS q0, c.code_1 AS q1 FROM q JOIN codes c ON c.vec_id = q.query_id)
+SELECT query_id, neg_id FROM (
+  SELECT qc.query_id, d.vec_id AS neg_id,
+         ROW_NUMBER() OVER (PARTITION BY qc.query_id ORDER BY d.vec_id ASC) AS rn
+  FROM qc JOIN codes d ON d.code_0 != qc.q0 AND d.code_0 != qc.q1
+                      AND d.code_1 != qc.q0 AND d.code_1 != qc.q1)
+WHERE rn <= 5
+""",
+)
+def negatives_notclus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 ``notclus``: docs whose two-level RQ code shares no digit with
+    the positive's code (``MEVI/main_models.py:1867-1908``), first-5."""
+    from mevi_spark.operators.negatives import negative_samples_notclus
+
+    mapping, _ = _codebook2(spark, sf_dir)
+    code_map = mapping.select(
+        F.col("id").alias("doc_id"),
+        F.array("code_0", "code_1").alias("code"),
+    )
+    pairs = _queries(spark, sf_dir).select(
+        "query_id", F.col("query_id").alias("pos_id")
+    )
+    return negative_samples_notclus(pairs, code_map, n=5)
+
+
+# ---------------------------------------------------------------------------
+# A8/J7: inverse answer index + hit test
+
+
+@register(
+    "inverse_answer_index",
+    oracle="""
+WITH q AS (SELECT doc_id AS query_idx, string_split(text, ' ')[1] AS answer
+           FROM documents WHERE doc_id % 50 = 0)
+SELECT q.query_idx, d.doc_id
+FROM q JOIN documents d ON list_contains(string_split(d.text, ' '), q.answer)
+""",
+)
+def inverse_answer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: doc → query-idx pairs for docs containing the query's answer
+    token (``dataprocess/NQ_dpr/get_inverse_answers.py:10-27``; the CSR
+    memmap pair becomes plain (doc, query) rows per SURVEY §1.1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    qs = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_idx"),
+        F.element_at(F.split("text", " "), 1).alias("answer"),
+    )
+    return (
+        F.broadcast(qs)
+        .join(docs, F.array_contains(F.split(docs.text, " "), qs.answer))
+        .select("query_idx", "doc_id")
+    )
+
+
+@register(
+    "nq_hit_test",
+    oracle=f"""
+WITH q AS ({_SQL_Q}), d AS ({_SQL_D}),
+preds AS (SELECT query_id, doc_id FROM (
+            SELECT q.query_id, d.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                      ORDER BY list_dot_product(q.qv, d.dv) DESC, d.doc_id ASC) AS rank
+            FROM q, d) WHERE rank <= 10),
+ans AS (SELECT doc_id AS query_id, string_split(text, ' ')[1] AS answer
+        FROM documents WHERE doc_id % 50 = 0)
+SELECT p.query_id,
+       MAX(CASE WHEN list_contains(string_split(t.text, ' '), ans.answer)
+                THEN 1 ELSE 0 END) AS hit
+FROM preds p
+JOIN ans ON ans.query_id = p.query_id
+JOIN documents t ON t.doc_id = p.doc_id
+GROUP BY p.query_id
+""",
+)
+def nq_hit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: NQ-style answer-containment hit@10 — pred docs semi-joined
+    against the answer set (``MEVI/main_models.py:4061-4077``). vec_id
+    and doc_id share the id space in the testdata."""
+    docs = load_table(spark, sf_dir, "documents")
+    preds = exact_topk_join(
+        _queries(spark, sf_dir), _docs(spark, sf_dir), k=10, metric="ip"
+    ).select("query_id", "doc_id")
+    ans = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.element_at(F.split("text", " "), 1).alias("answer"),
+    )
+    hit = F.max(
+        F.when(
+            F.array_contains(F.split(F.col("text"), " "), F.col("answer")), 1
+        ).otherwise(0)
+    )
+    return (
+        preds.join(F.broadcast(ans), "query_id")
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .groupBy("query_id")
+        .agg(hit.alias("hit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# U6: doc2query (UDTF shape: 1 doc → N query rows)
+
+
+@register(
+    "doc2query_expand",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                  unnest([0, 1, 2]) AS qidx
+           FROM documents),
+o AS (SELECT doc_id, qidx, toks,
+             (doc_id * 7 + qidx * 13) % (len(toks) - 3) AS off
+      FROM t WHERE len(toks) >= 4)
+SELECT doc_id, qidx,
+       toks[off + 1] || ' ' || toks[off + 2] || ' ' || toks[off + 3] || ' ' || toks[off + 4] AS query
+FROM o
+""",
+)
+def doc2query_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6: deterministic doc2query — 3 pseudo-queries per doc, each a
+    4-token window at a doc/index-seeded offset (the sampling generation
+    of ``dataprocess/msmarco_passage/doc2query.py:65-92`` with the T5
+    swapped for a deterministic generator; 1-to-many = UDTF shape via
+    ``explode``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.select(
+        "doc_id", toks.alias("toks"),
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("qidx"),
+    ).filter(F.size("toks") >= 4)
+    off = (
+        (F.col("doc_id") * 7 + F.col("qidx") * 13) % (F.size("toks") - 3)
+    ).cast("int")
+    return base.select(
+        "doc_id",
+        "qidx",
+        F.concat_ws(
+            " ",
+            F.element_at("toks", off + 1),
+            F.element_at("toks", off + 2),
+            F.element_at("toks", off + 3),
+            F.element_at("toks", off + 4),
+        ).alias("query"),
+    )

@@ -19,6 +19,7 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
@@ -26,20 +27,32 @@ def get_spark(
     ``shuffle_partitions`` defaults to the core count — the right size
     for local mode; on a real cluster you would size it to ~2-3× total
     executor cores (AQE coalescing makes over-provisioning cheap).
+
+    ``master`` is only applied when no master is already configured (via
+    ``spark-submit --master``, ``$MASTER``, or an existing session), so
+    the same code runs unchanged under a real cluster manager; absent
+    both, it falls back to ``local[cpus]``.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    elif not (os.environ.get("MASTER") or os.environ.get("SPARK_MASTER")):
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4 refuses TIMESTAMP(NANOS) parquet columns by default;
+        # read them as long nanos and convert in load_table (VERDICT r1 #3)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.driver.memory", os.environ.get("MEVI_SPARK_DRIVER_MEM", "8g"))

@@ -23,8 +23,21 @@ from mevi_spark import schemas
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver-generated testdata table (TESTDATA.md)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one driver-generated testdata table (TESTDATA.md).
+
+    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark 4 refuses to read as a timestamp. We read it as long nanos
+    (``spark.sql.legacy.parquet.nanosAsLong`` — set here at runtime so
+    sessions not built by :func:`mevi_spark.session.get_spark` work too)
+    and convert losslessly to a micros timestamp with integer division
+    (the testdata has zero sub-microsecond bits; float division would
+    lose precision at 1.7e18 ns).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
