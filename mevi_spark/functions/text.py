@@ -56,9 +56,15 @@ def word_shingles(c: Column | str, n: int = 3) -> Column:
     """n-gram *word* shingles of the normalized text → ``array<string>``
     (distinct). The unit of MinHash / Jaccard dedup."""
     toks = tokens(normalize_text(c))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, so short docs must
+    # short-circuit to an empty set before the sequence is evaluated
+    return F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        )
     )
 
 
@@ -67,5 +73,7 @@ def char_ngrams(c: Column | str, n: int = 3) -> Column:
     (distinct). Used by the language-ID heuristic."""
     x = normalize_text(c)
     ln = F.length(x)
-    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(x, i, n)))
+    idx = F.sequence(F.lit(1), ln - (n - 1))
+    return F.when(ln < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.transform(idx, lambda i: F.substring(x, i, n)))
+    )

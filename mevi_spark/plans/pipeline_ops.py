@@ -1,0 +1,501 @@
+"""LLM-data-pipeline operators registered as driver-checkable queries:
+dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding
+cosine / connected components), text analysis (language-ID, quality
+scoring, token counting, fingerprinting).
+
+The testdata ``documents`` table has no duplicates, so every dedup
+query first PLANTS deterministic duplicates (the same construction in
+Spark and in the oracle SQL):
+
+* exact copies:  ``doc_id % 7 == 0`` → ``doc_id + 100000``, text verbatim
+* near copies:   ``doc_id % 5 == 0`` → ``doc_id + 200000``, first token
+  dropped (``regexp_replace(text, '^\\S+\\s*', '')``)
+
+Cross-engine determinism: all hashes are md5-derived (``hash60``),
+folds sequential, per-doc ratios rounded before decimal-stabilized
+averaging (see ``mevi_spark.plans.registry`` docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mevi_spark.functions import text_analysis as TA
+from mevi_spark.functions.text import normalize_text, word_shingles
+from mevi_spark.operators import dedup as D
+from mevi_spark.plans.registry import register
+from mevi_spark.sources.io import load_table
+
+# ---------------------------------------------------------------------------
+# shared corpus-with-planted-duplicates (Spark + SQL twin definitions)
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s*", "").alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+_SQL_CORPUS = r"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, regexp_replace(text, '^\S+\s*', '') AS text
+  FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+# normalized text + whitespace tokens + distinct word 3-shingles
+_SQL_TOKS = r"""
+toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+              ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+         END AS s
+  FROM toks
+)
+"""
+
+# md5-derived 60-bit hash (DuckDB side of text_analysis.hash60)
+def _h60(seed_expr: str, val_expr: str) -> str:
+    return (
+        f"('0x' || substring(md5({seed_expr} || '|' || {val_expr}), 1, 15))::BIGINT"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+WITH {_SQL_CORPUS},
+k AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS key
+  FROM corpus)
+SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups,
+       array_to_string(list_sort(list(doc_id)), ',') AS member_ids
+FROM k GROUP BY key
+""",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-of-normalized-text groups over the planted
+    corpus — one shuffle, map-side hashing (the hash-groupBy tier of
+    web-scale dedup)."""
+    out = D.dedup_exact(_corpus(spark, sf_dir))
+    return out.select(
+        "canonical_id",
+        "n_dups",
+        F.concat_ws(
+            ",", F.transform("member_ids", lambda x: x.cast("string"))
+        ).alias("member_ids"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+_NH, _BANDS, _ROWS = 12, 4, 3  # 12 hashes, 4 bands × 3 rows
+
+_SQL_MINHASH = f"""
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, {_NH}),
+           i -> coalesce(list_min(list_transform(s,
+                  x -> {_h60("i::VARCHAR", "x")})), 1152921504606846976)) AS sig
+  FROM sh),
+banded AS (
+  SELECT doc_id, b AS band,
+         array_to_string(list_slice(sig, b * {_ROWS} + 1, b * {_ROWS} + {_ROWS}), ',') AS key
+  FROM sig, (SELECT unnest(range(0, {_BANDS})) AS b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+"""
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=f"""
+WITH {_SQL_CORPUS}, {_SQL_TOKS}, {_SQL_MINHASH}
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM (
+  SELECT c.id_a, c.id_b,
+         CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) = 0 THEN 0.0
+              ELSE len(list_intersect(sa.s, sb.s))::DOUBLE
+                   / len(list_distinct(list_concat(sa.s, sb.s))) END AS jaccard
+  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b)
+WHERE jaccard >= 0.5
+""",
+)
+def dedup_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: MinHash(12) → LSH(4 bands × 3) → exact-Jaccard
+    verify ≥ 0.5. Candidates come from the band equi-join — never
+    all-pairs (the C4/GPT-3 dedup recipe)."""
+    out = D.dedup_minhash(
+        _corpus(spark, sf_dir),
+        num_hashes=_NH,
+        bands=_BANDS,
+        threshold=0.5,
+    )
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (inverted-index exact pairs)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SQL_CORPUS}, {_SQL_TOKS}
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+              ELSE len(list_intersect(a.s, b.s))::DOUBLE
+                   / len(list_distinct(list_concat(a.s, b.s))) END AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+WHERE jaccard >= 0.6
+""",
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.6 pairs via the inverted-shingle-index join
+    (complete — no LSH misses; the oracle brute-forces all pairs, the
+    Spark plan only materializes pairs sharing ≥1 shingle)."""
+    out = D.ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.6)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH {_SQL_CORPUS}, {_SQL_TOKS},
+th AS (
+  SELECT doc_id, {_h60("'sh'", "tok")} AS h
+  FROM (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks)),
+bits AS (
+  SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS sgn
+  FROM th, (SELECT unnest(range(0, 60)) AS b)
+  GROUP BY doc_id, b),
+sim AS (
+  SELECT doc_id,
+         SUM(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sh
+  FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sh, b.sh)) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+""",
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(60-bit) pairs within Hamming ≤ 3. Spark candidates via
+    the 4-chunk pigeonhole equi-join (complete for Hamming ≤ 3), so the
+    all-pairs oracle and the banded plan agree exactly."""
+    return D.simhash_pairs(_corpus(spark, sf_dir), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+
+_DIM, _NPLANES, _EBANDS = 64, 8, 2
+_PLANES = D.deterministic_planes(_DIM, _NPLANES)
+
+
+def _sql_plane_list(plane: list[int]) -> str:
+    return "[" + ", ".join(f"{v}.0" for v in plane) + "]"
+
+
+def _sql_band_key(band: int) -> str:
+    per = _NPLANES // _EBANDS
+    terms = []
+    for i in range(per):
+        p = band * per + i
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {_sql_plane_list(_PLANES[p])}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH evec AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 10 = 0),
+keyed AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         {_sql_band_key(0)} AS b0, {_sql_band_key(1)} AS b1
+  FROM evec),
+banded AS (
+  SELECT vec_id, v, nrm, 0 AS band, b0 AS key FROM keyed
+  UNION ALL
+  SELECT vec_id, v, nrm, 1 AS band, b1 AS key FROM keyed),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM (
+  SELECT c.id_a, c.id_b,
+         list_dot_product(ka.v, kb.v) / (ka.nrm * kb.nrm) AS cosine
+  FROM cand c
+  JOIN (SELECT DISTINCT vec_id, v, nrm FROM keyed) ka ON ka.vec_id = c.id_a
+  JOIN (SELECT DISTINCT vec_id, v, nrm FROM keyed) kb ON kb.vec_id = c.id_b)
+WHERE cosine >= 0.9
+""",
+)
+def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: deterministic sign-LSH buckets (8 planes, 2
+    bands) → cosine-verified ≥ 0.9 over the embeddings table with
+    planted copies (``vec_id % 10 == 0`` → ``+100000``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.unionByName(
+        emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+        )
+    )
+    out = D.embedding_near_dup(
+        planted,
+        threshold=0.9,
+        n_planes=_NPLANES,
+        bands=_EBANDS,
+        dim=_DIM,
+    )
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+# ---------------------------------------------------------------------------
+# connected components over near-dup pairs
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE {_SQL_CORPUS}, {_SQL_TOKS},
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                ELSE len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s))) END AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+  WHERE jaccard >= 0.6),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(id, m) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.m FROM edges e JOIN reach r ON r.id = e.dst)
+SELECT id, MIN(m) AS component FROM reach GROUP BY id
+""",
+)
+def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization: connected components (min-label propagation)
+    over the Jaccard ≥ 0.6 near-dup graph — each dup cluster collapses
+    to its minimum doc_id. Oracle = recursive-CTE transitive closure."""
+    pairs = D.ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.6)
+    return D.connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+# quality stats are averaged per source with decimal stabilization
+_SQL_NORM_T = r"""
+string_split(trim(regexp_replace(regexp_replace(lower(text),
+  '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')
+"""
+
+_STOP_SQL = "['" + "','".join(TA.STOPWORDS) + "']"
+
+
+@register(
+    "text_quality_stats",
+    oracle=f"""
+WITH d AS (
+  SELECT source, {_SQL_NORM_T} AS t, text FROM documents),
+m AS (
+  SELECT source,
+         ROUND(len(t)::DOUBLE, 6) AS ws_tokens,
+         ROUND(len(regexp_extract_all(lower(text), '{TA.BPE_PATTERN}'))::DOUBLE, 6) AS bpe_tokens,
+         ROUND(CASE WHEN len(t) = 0 THEN 0.0
+               ELSE len(list_filter(t, x -> list_contains({_STOP_SQL}, x)))::DOUBLE / len(t) END, 6) AS sw_ratio,
+         ROUND(CASE WHEN len(t) = 0 THEN 0.0
+               ELSE len(list_distinct(t))::DOUBLE / len(t) END, 6) AS ttr,
+         ROUND(CASE WHEN len(t) = 0 THEN 0.0
+               ELSE list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t) END, 6) AS tok_len
+  FROM d)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(ws_tokens AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_ws_tokens,
+       ROUND(CAST(SUM(CAST(bpe_tokens AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_bpe_tokens,
+       ROUND(CAST(SUM(CAST(sw_ratio AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_stopword_ratio,
+       ROUND(CAST(SUM(CAST(ttr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_type_token_ratio,
+       ROUND(CAST(SUM(CAST(tok_len AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_token_len
+FROM m GROUP BY source
+""",
+)
+def text_quality_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring rolled up per source: token counts (whitespace +
+    BPE-ish regex), stopword ratio, type-token ratio, mean token length.
+    Per-doc ratios round(6) then decimal-sum → order-independent
+    averages (map-side partial agg does the heavy lifting at scale)."""
+    from mevi_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.round(
+            F.size(tokens(normalize_text("text"))).cast("double"), 6
+        ).alias("ws"),
+        F.round(TA.bpe_token_count("text").cast("double"), 6).alias("bpe"),
+        F.round(TA.stopword_ratio("text"), 6).alias("sw"),
+        F.round(TA.type_token_ratio("text"), 6).alias("ttr"),
+        F.round(TA.mean_token_len("text"), 6).alias("tl"),
+    )
+
+    def _avg(c: str):
+        return F.round(
+            F.sum(F.col(c).cast("decimal(18,6)")).cast("double") / F.count("*"),
+            6,
+        )
+
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        _avg("ws").alias("avg_ws_tokens"),
+        _avg("bpe").alias("avg_bpe_tokens"),
+        _avg("sw").alias("avg_stopword_ratio"),
+        _avg("ttr").alias("avg_type_token_ratio"),
+        _avg("tl").alias("avg_token_len"),
+    )
+
+
+def _sql_lang_pred() -> str:
+    """Generate the argmax-with-first-wins CASE chain mirroring
+    ``text_analysis.lang_id``'s fold."""
+    hits = {
+        name: (
+            f"len(list_filter(t, x -> list_contains(["
+            + ",".join(f"'{w}'" for w in words)
+            + "], x)))"
+        )
+        for name, words in TA.LANG_PROFILES
+    }
+    names = [n for n, _ in TA.LANG_PROFILES]
+    pred = f"'{names[0]}'"
+    best = hits[names[0]]
+    for name in names[1:]:
+        h = hits[name]
+        pred = f"CASE WHEN {h} > ({best}) THEN '{name}' ELSE ({pred}) END"
+        best = f"CASE WHEN {h} > ({best}) THEN ({h}) ELSE ({best}) END"
+    return pred
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_SQL_NORM_T} AS t FROM documents)
+SELECT doc_id, {_sql_lang_pred()} AS pred_lang FROM d
+""",
+)
+def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax of per-language stopword-profile
+    hits (first profile wins ties) — the n-gram-free tier of web-corpus
+    lang filtering, pure codegen expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TA.lang_id("text").alias("pred_lang"))
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id, text || ' (v' || doc_id || ')' AS text FROM documents)
+SELECT doc_id,
+       len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS n_ws,
+       len(regexp_extract_all(lower(text), '{TA.BPE_PATTERN}')) AS n_bpe
+FROM aug
+""",
+)
+def text_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens vs BPE-ish regex pre-tokens
+    over text with injected punctuation/digits (``' (v<id>)'`` suffix)
+    so the two counters genuinely diverge."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" (v"), F.col("doc_id").cast("string"), F.lit(")")
+        ).alias("text"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.split(
+                F.trim(
+                    F.regexp_replace(
+                        F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", " "),
+                        r"\s+",
+                        " ",
+                    )
+                ),
+                " ",
+            )
+        ).alias("n_ws"),
+        TA.bpe_token_count("text").alias("n_bpe"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         list_transform({_SQL_NORM_T},
+           x -> {_h60("'fp'", "x")} % 1048573) AS hs
+  FROM documents)
+SELECT doc_id,
+       list_reduce(list_prepend(0, hs), (a, b) -> (a * 131 + b) % 1048573) AS fp,
+       CASE WHEN len(hs) < 5
+            THEN list_reduce(list_prepend(0, hs), (a, b) -> (a * 131 + b) % 1048573)
+            ELSE list_min(list_transform(range(1, len(hs) - 3),
+                   i -> list_reduce(list_prepend(0, list_slice(hs, i, i + 4)),
+                          (a, b) -> (a * 131 + b) % 1048573)))
+       END AS winnow_fp
+FROM d
+""",
+)
+def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-doc polynomial rolling hash +
+    winnowing-style min-of-5-token-windows hash (edit-robust)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TA.doc_fingerprint("text").alias("fp"),
+        TA.winnow_fingerprint("text", k=5).alias("winnow_fp"),
+    )

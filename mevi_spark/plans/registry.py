@@ -65,16 +65,9 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from mevi_spark.plans import (  # noqa: F401
+        pipeline_ops,
         relational,
         retrieval,
     )
 
-    try:
-        from mevi_spark.plans import pipeline_ops  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from mevi_spark.plans import streaming_ops  # noqa: F401
-    except ImportError:
-        pass
     _LOADED = True

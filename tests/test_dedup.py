@@ -1,0 +1,135 @@
+"""Unit tests for the dedup operator layer on tiny planted corpora.
+
+Oracle strategy mirrors FIXTURES.md: plant exact/near duplicates with
+known relationships and assert the operators find exactly them; verify
+connected components against a hand-rolled union-find.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mevi_spark.operators import dedup as D
+
+DOCS = [
+    # cluster A: 1 == 2 (exact), 3 near-dup of 1 (one word changed)
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy dog again and again"),
+    (3, "the quick brown fox leaps over the lazy dog again and again"),
+    # cluster B: 4 == 5 exact after normalization (case/punct)
+    (4, "Spark SQL, rewrites; queries!"),
+    (5, "spark sql rewrites queries"),
+    # singletons
+    (6, "completely different text about residual quantization beams"),
+    (7, "short doc"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_dedup_exact_groups(docs):
+    out = {
+        r["canonical_id"]: (r["n_dups"], r["member_ids"])
+        for r in D.dedup_exact(docs).collect()
+    }
+    assert out[1] == (2, [1, 2])
+    assert out[4] == (2, [4, 5])
+    assert out[3][0] == 1 and out[6][0] == 1 and out[7][0] == 1
+
+
+def test_minhash_finds_planted_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.dedup_minhash(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dup → jaccard 1
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5  # near dup
+    assert all(6 not in p and 7 not in p for p in pairs)
+
+
+def test_ngram_jaccard_complete_and_exact(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    # hand-computed: doc1/doc3 share 6 of 10 distinct 3-shingles each
+    # (one-word edit breaks 3 shingles); union = 10+10-7... verify vs
+    # python oracle instead of a hardcoded value
+    import itertools
+
+    def shingles(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    expect = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.4:
+            expect[(min(ia, ib), max(ia, ib))] = pytest.approx(j)
+    # normalize: punctuation differs between 4 and 5 in raw python;
+    # operator normalizes first — recompute with normalization
+    import re
+
+    def norm(t):
+        return re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", " ", t.lower())).strip()
+
+    expect = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        sa, sb = shingles(norm(ta)), shingles(norm(tb))
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.4:
+            expect[(min(ia, ib), max(ia, ib))] = pytest.approx(j)
+    assert pairs == expect
+
+
+def test_simhash_exact_dups_collide(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_pairs(docs, max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical text → identical simhash
+    assert pairs[(4, 5)] == 0  # identical after normalization
+    assert pairs[(1, 3)] <= 10  # one-word edit → few bits
+
+
+def test_embedding_near_dup_planted(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0, 0.0]),  # ~same direction as 1
+        (3, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.embedding_near_dup(
+            df, threshold=0.99, n_planes=4, bands=2, dim=4
+        ).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] > 0.999
+    assert all(3 not in p and 4 not in p for p in out)
+
+
+def test_connected_components_union_find(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in D.connected_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
