@@ -1,0 +1,154 @@
+"""Approximate nearest-neighbor top-k join (J4 approx — SURVEY §2.3,
+§7.3 M5).
+
+The reference does ANN with a faiss ``HNSW256`` inner-product index
+(``MEVI/faiss_search.py:13-21``, config ``README.md:109-117``). Spark has
+no HNSW; the Spark-native equivalent of an ANN *join* between two large
+distributed sides is locality-sensitive-hash bucketing:
+
+1. hash every vector (both sides) into ``bands`` bucket keys, each built
+   from ``n_planes/bands`` sign bits of projections onto deterministic
+   ±1 hyperplanes (random-hyperplane LSH, collision probability
+   ``(1 − θ/π)^bits`` per band);
+2. equi-join queries×docs on ``(band, key)`` — a plain shuffle join that
+   never broadcasts or collects either side, so BOTH sides scale to
+   arbitrary row counts (unlike :func:`~mevi_spark.operators.topk.
+   exact_topk_join`, which streams the corpus but chunks query vectors
+   through the driver);
+3. exact-score the surviving candidate pairs only, then per-query
+   window top-k.
+
+Inner-product search is reduced to angular search with the iptol2
+augmentation (F6, ``MEVI/pq.py:82-119``): docs get an extra coordinate
+``sqrt(Φ − ‖v‖²)`` (Φ ≥ max ‖v‖²), queries get ``0``. Every augmented
+doc then has norm ``√Φ``, so angular similarity between augmented
+vectors ranks documents exactly as raw inner product does — which is
+what lets a cosine-family LSH answer MIPS queries.
+
+Scale notes (100 TB): the only shuffle is the ``(band, key)`` equi-join
+(plus the top-k window on candidates); bucket skew is bounded by
+``n_planes/bands`` (more bits → smaller buckets → fewer, better
+candidates; more bands → higher recall). Φ is a 1-row aggregate, the
+single driver-side scalar. AQE's skew-join handles residual hot buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from mevi_spark.functions.vector import cosine, dot, iptol2_doc, iptol2_query
+from mevi_spark.operators.dedup import _sign_key, deterministic_planes
+
+
+def _band_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    key_vec: F.Column,
+    planes: list[list[int]],
+    bands: int,
+) -> DataFrame:
+    """Explode one side into ``(id, vec, band, key)`` rows — one row per
+    band, keyed by that band's sign bits."""
+    per_band = len(planes) // bands
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
+        *[
+            _sign_key(
+                key_vec, planes[b * per_band : (b + 1) * per_band]
+            ).alias(f"_b{b}")
+            for b in range(bands)
+        ],
+    )
+    return keyed.select(
+        "_id",
+        "_vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"_b{b}").alias("key")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bk"),
+    ).select("_id", "_vec", F.col("_bk.band").alias("_band"), F.col("_bk.key").alias("_key"))
+
+
+def lsh_topk_join(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int = 10,
+    metric: str = "ip",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    doc_id: str = "doc_id",
+    doc_vec: str = "doc_vec",
+    n_planes: int = 16,
+    bands: int = 8,
+    phi: float | None = None,
+) -> DataFrame:
+    """Approximate per-query top-k ``(query_id, doc_id, score, rank)``.
+
+    ``metric`` ∈ {'ip', 'cosine'}. For 'ip' the LSH keys are computed on
+    iptol2-augmented vectors (see module docstring) while the reported
+    score stays the raw inner product; for 'cosine' keys are on the raw
+    vectors. ``phi`` overrides the Φ aggregate (pass it when the corpus
+    max-norm is known, e.g. unit-normalized embeddings → 1.0).
+
+    Recall is tuned by ``(n_planes, bands)``: ``bands`` keys per vector,
+    ``n_planes/bands`` sign bits each. A doc is a candidate if it shares
+    ≥ 1 band key with the query — exactly faiss's bucketed-probe shape,
+    re-expressed as a relational equi-join Catalyst can shuffle-plan.
+    """
+    if metric not in ("ip", "cosine"):
+        raise ValueError(f"metric must be 'ip' or 'cosine', got {metric!r}")
+    if n_planes % bands:
+        raise ValueError("n_planes must be divisible by bands")
+
+    dim = len(docs.select(doc_vec).first()[0])
+    if metric == "ip":
+        if phi is None:
+            phi = docs.agg(
+                F.max(dot(doc_vec, doc_vec)).alias("phi")
+            ).first()["phi"]
+        planes = deterministic_planes(dim + 1, n_planes)
+        d_key = iptol2_doc(F.col(doc_vec).cast("array<double>"), F.lit(float(phi)))
+        q_key = iptol2_query(F.col(query_vec).cast("array<double>"))
+    else:
+        planes = deterministic_planes(dim, n_planes)
+        d_key = F.col(doc_vec).cast("array<double>")
+        q_key = F.col(query_vec).cast("array<double>")
+
+    q_rows = _band_rows(queries, query_id, query_vec, q_key, planes, bands)
+    d_rows = _band_rows(docs, doc_id, doc_vec, d_key, planes, bands)
+
+    cand = (
+        q_rows.alias("q")
+        .join(
+            d_rows.alias("d"),
+            (F.col("q._band") == F.col("d._band"))
+            & (F.col("q._key") == F.col("d._key")),
+        )
+        .select(
+            F.col("q._id").alias(query_id),
+            F.col("d._id").alias(doc_id),
+            F.col("q._vec").alias("_qv"),
+            F.col("d._vec").alias("_dv"),
+        )
+        .dropDuplicates([query_id, doc_id])
+    )
+
+    score = (
+        dot("_qv", "_dv") if metric == "ip" else cosine("_qv", "_dv")
+    ).alias("score")
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("score"), F.asc(doc_id)
+    )
+    return (
+        cand.select(query_id, doc_id, score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -22,7 +22,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from mevi_spark.operators.ann import lsh_topk_join
 from mevi_spark.operators.beam import rq_beam_search
+from mevi_spark.operators.dedup import deterministic_planes
 from mevi_spark.operators.ensemble import fuse_runs
 from mevi_spark.operators.metrics import evaluate_run
 from mevi_spark.operators.rerank import coarse_to_fine
@@ -674,3 +676,75 @@ def doc2query_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("toks", off + 4),
         ).alias("query"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J4 approx: LSH ANN top-k (the faiss HNSW path, SURVEY §7.3 M5)
+
+_ANN_NPLANES, _ANN_BANDS = 16, 8
+_ANN_PLANES = deterministic_planes(65, _ANN_NPLANES)  # 64-d + iptol2 coord
+
+
+def _ann_sql_band_key(band: int) -> str:
+    per = _ANN_NPLANES // _ANN_BANDS
+    terms = []
+    for i in range(per):
+        plane = _ANN_PLANES[band * per + i]
+        lst = "[" + ", ".join(f"{v}.0" for v in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lst}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _ann_sql_banded(src: str, idc: str) -> str:
+    branches = " UNION ALL ".join(
+        f"SELECT {idc}, {b} AS band, {_ann_sql_band_key(b)} AS key FROM {src}"
+        for b in range(_ANN_BANDS)
+    )
+    return branches
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+WITH q AS ({_SQL_Q}), d AS ({_SQL_D}),
+ph AS (SELECT MAX(list_dot_product(dv, dv)) AS phi FROM d),
+qa AS (SELECT query_id, qv, list_append(qv, 0.0) AS v FROM q),
+da AS (SELECT doc_id, dv,
+              list_append(dv, sqrt(greatest(phi - list_dot_product(dv, dv), 0.0))) AS v
+       FROM d, ph),
+qb AS ({_ann_sql_banded("qa", "query_id")}),
+db AS ({_ann_sql_banded("da", "doc_id")}),
+cand AS (
+  SELECT DISTINCT qb.query_id, db.doc_id
+  FROM qb JOIN db ON qb.band = db.band AND qb.key = db.key),
+s AS (
+  SELECT c.query_id, c.doc_id, list_dot_product(q.qv, d.dv) AS s
+  FROM cand c JOIN q ON q.query_id = c.query_id
+              JOIN d ON d.doc_id = c.doc_id),
+r AS (SELECT query_id, doc_id, s,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+      FROM s)
+SELECT query_id, doc_id, ROUND(s, 6) AS score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 approx: LSH-bucketed ANN top-10 by inner product — the
+    Spark-native re-expression of the faiss ``HNSW256`` IP search
+    (``MEVI/faiss_search.py:13-21``). Sign-LSH over iptol2-augmented
+    vectors (F6, ``MEVI/pq.py:82-119``) makes the angular LSH family
+    answer MIPS; candidates come from a (band, key) shuffle equi-join
+    that never collects or broadcasts either side. recall@10 ≈ 0.97 vs
+    ``exact_topk_join`` on this data (tests/test_ann.py)."""
+    out = lsh_topk_join(
+        _queries(spark, sf_dir).select("query_id", "query_vec"),
+        _docs(spark, sf_dir).select("doc_id", "doc_vec"),
+        k=10,
+        metric="ip",
+        n_planes=_ANN_NPLANES,
+        bands=_ANN_BANDS,
+    )
+    return out.withColumn("score", F.round("score", 6))

@@ -1,0 +1,71 @@
+"""LSH ANN join (J4 approx) vs the exact top-k join.
+
+The contract the reference's faiss path implies (``MEVI/faiss_search.py``,
+HNSW256 top-1000 vs brute force): high recall at k, identical scores for
+the pairs both return.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mevi_spark.operators.ann import lsh_topk_join
+from mevi_spark.operators.topk import exact_topk_join
+
+
+def _sides(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ds = emb.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("doc_vec")
+    )
+    return qs, ds
+
+
+def test_lsh_recall_vs_exact_ip(spark, sf_dir):
+    qs, ds = _sides(spark, sf_dir)
+    exact = {
+        (r.query_id, r.doc_id)
+        for r in exact_topk_join(qs, ds, k=10, metric="ip").collect()
+    }
+    approx = {
+        (r.query_id, r.doc_id)
+        for r in lsh_topk_join(qs, ds, k=10, metric="ip").collect()
+    }
+    assert exact, "exact top-k returned nothing"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall@10 too low: {recall}"
+
+
+def test_lsh_scores_match_exact_on_shared_pairs(spark, sf_dir):
+    qs, ds = _sides(spark, sf_dir)
+    exact = {
+        (r.query_id, r.doc_id): r.score
+        for r in exact_topk_join(qs, ds, k=10, metric="ip").collect()
+    }
+    approx = {
+        (r.query_id, r.doc_id): r.score
+        for r in lsh_topk_join(qs, ds, k=10, metric="ip").collect()
+    }
+    shared = set(exact) & set(approx)
+    assert shared
+    for pair in shared:
+        assert abs(exact[pair] - approx[pair]) < 1e-9
+
+
+def test_lsh_cosine_metric(spark, sf_dir):
+    qs, ds = _sides(spark, sf_dir)
+    out = lsh_topk_join(qs, ds, k=5, metric="cosine").collect()
+    assert out
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert len(rows) <= 5
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        # every query should at least find itself (cosine 1.0 with itself)
+        assert any(abs(r.score - 1.0) < 1e-9 for r in rows)
