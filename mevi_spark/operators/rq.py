@@ -249,3 +249,129 @@ def reconstruct(
     return out.withColumn("reconstructed", recon).drop(
         *[f"_c{i}" for i in range(levels)]
     )
+
+
+def ema_update_codebook(
+    assigned: DataFrame,
+    codebook: DataFrame,
+    decay: float = 0.99,
+    restart_min: float = 1.0,
+    code_col: str = "code",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """A6: exponential-moving-average codebook update with dead-code
+    restart (``MEVI/pq.py:371-433``).
+
+    The reference keeps per-code EMA state ``cluster_size`` and
+    ``embed_avg`` (one-hot scatter-add + all-reduce, ``:371-400``):
+
+        N_k ← γ·N_k + (1−γ)·n_k
+        m_k ← γ·m_k + (1−γ)·Σ_{v∈k} v
+        centroid_k = m_k / N_k
+
+    and *restarts* any code whose EMA size falls under ``restart_min``
+    with a sampled input vector (``:402-433``). Spark restatement: the
+    batch statistics are ONE aggregation (per-code count + decimal
+    element sums — order-independent, ``M×K`` result rows); the EMA
+    arithmetic runs driver-side on the tiny codebook, exactly like the
+    reference's all-reduced update. Restart vectors are the
+    lowest-``_row_id`` inputs (deterministic stand-in for the
+    reference's random sample).
+
+    ``codebook`` needs ``(code, centroid)`` and optionally the EMA state
+    ``(cluster_size, embed_avg)`` from a previous call (bootstrapped as
+    ``cluster_size=1``, ``embed_avg=centroid`` when absent). Returns the
+    updated ``(code, centroid, cluster_size, embed_avg)``.
+    """
+    import numpy as np
+
+    stats = {
+        int(r["code"]): (int(r["n"]), np.array(r["s"], dtype=np.float64))
+        for r in assigned.select(
+            F.col(code_col).alias("code"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .select("code", F.posexplode("v").alias("pos", "val"))
+        .groupBy("code", "pos")
+        .agg(
+            F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .groupBy("code")
+        .agg(
+            F.max("n").alias("n"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x["s"].cast("double"),
+            ).alias("s"),
+        )
+        .collect()
+    }
+
+    has_state = "cluster_size" in codebook.columns
+    cb_rows = codebook.collect()
+    n_restart = sum(
+        1
+        for r in cb_rows
+        if decay * (float(r["cluster_size"]) if has_state else 1.0)
+        + (1 - decay) * stats.get(int(r["code"]), (0, None))[0]
+        < restart_min
+    )
+    restart_pool = [
+        np.array(r["v"], dtype=np.float64)
+        for r in assigned.select(
+            F.col(vec_col).cast("array<double>").alias("v")
+        ).limit(max(n_restart, 0)).collect()
+    ]
+
+    out, pool_i = [], 0
+    for r in sorted(cb_rows, key=lambda r: int(r["code"])):
+        k = int(r["code"])
+        cent = np.array(r["centroid"], dtype=np.float64)
+        size = float(r["cluster_size"]) if has_state else 1.0
+        avg = (
+            np.array(r["embed_avg"], dtype=np.float64)
+            if has_state
+            else cent.copy()
+        )
+        n_k, sum_k = stats.get(k, (0, np.zeros_like(cent)))
+        size = decay * size + (1 - decay) * n_k
+        avg = decay * avg + (1 - decay) * sum_k
+        if size < restart_min and pool_i < len(restart_pool):
+            cent = restart_pool[pool_i]
+            pool_i += 1
+            size, avg = 1.0, cent.copy()
+        else:
+            cent = avg / max(size, 1e-12)
+        out.append((k, cent.tolist(), size, avg.tolist()))
+
+    return assigned.sparkSession.createDataFrame(
+        out,
+        "code int, centroid array<double>, cluster_size double, "
+        "embed_avg array<double>",
+    )
+
+
+def save_rq_model(
+    mapping: DataFrame, codebook: DataFrame, path: str
+) -> None:
+    """S7 sink: persist the trained model as two Parquet tables — the
+    faiss ``write_index`` / pickled-mapping pair of the reference
+    (``MEVI/pq.py:175-198``, ``:217-247``) without the bespoke formats.
+    The mapping is repartitioned by ``code_flat`` when present so the
+    coarse-to-fine join reads only the matching files (DPP-prunable)."""
+    cb = codebook.coalesce(1)  # M×K rows — one small file
+    cb.write.mode("overwrite").parquet(f"{path}/codebook")
+    m = mapping
+    if "code_flat" in m.columns:
+        m = m.repartition("code_flat")
+    m.write.mode("overwrite").parquet(f"{path}/mapping")
+
+
+def load_rq_model(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """S7 scan: reload ``(mapping, codebook)`` written by
+    :func:`save_rq_model` (``MEVI/pq.py:143-173`` reload path)."""
+    return (
+        spark.read.parquet(f"{path}/mapping"),
+        spark.read.parquet(f"{path}/codebook"),
+    )

@@ -30,8 +30,11 @@ from mevi_spark.operators.metrics import evaluate_run
 from mevi_spark.operators.rerank import coarse_to_fine
 from mevi_spark.operators.rq import (
     assign_nearest,
+    ema_update_codebook,
+    load_rq_model,
     rq_encode_seeded,
     rq_level_centroids,
+    save_rq_model,
 )
 from mevi_spark.operators.topk import exact_topk_join, topk_per_group
 from mevi_spark.plans.registry import register
@@ -748,3 +751,85 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_ANN_BANDS,
     )
     return out.withColumn("score", F.round("score", 6))
+
+
+# ---------------------------------------------------------------------------
+# A6: EMA codebook update — one step, label assignment, zero-init state
+
+
+@register(
+    "rq_ema_step",
+    oracle=f"""
+WITH sums AS (
+  SELECT label AS code, pos,
+         CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) AS s,
+         COUNT(*) AS n
+  FROM (SELECT label, unnest(embedding::DOUBLE[]) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+  GROUP BY label, pos)
+SELECT code,
+       ROUND(0.5 * 1.0 + 0.5 * MAX(n), 6) AS cluster_size,
+       list(ROUND((0.5 * s) / (0.5 * 1.0 + 0.5 * n), 6) ORDER BY pos) AS centroid
+FROM sums GROUP BY code
+""",
+)
+def rq_ema_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: one EMA codebook update (``MEVI/pq.py:371-433``): zero-init
+    centroids, ``code = label`` assignment, γ=0.5 —
+    ``N_k ← γ + (1−γ)n_k``, ``m_k ← (1−γ)·Σv``, centroid ``m_k/N_k``.
+    The batch statistics are one Spark aggregation; the oracle replays
+    the same decimal-stabilized sums."""
+    emb = _emb(spark, sf_dir)
+    assigned = emb.select(
+        F.col("label").alias("code"), F.col("embedding").alias("vector")
+    )
+    dim = len(emb.first()["embedding"])
+    init = spark.createDataFrame(
+        [(int(i), [0.0] * dim) for i in range(K_LABELS)],
+        "code int, centroid array<double>",
+    )
+    out = ema_update_codebook(assigned, init, decay=0.5)
+    return out.select(
+        "code",
+        F.round("cluster_size", 6).alias("cluster_size"),
+        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S7: model persistence round-trip (save → load → codebook intact)
+
+
+@register(
+    "rq_model_roundtrip",
+    oracle=f"""
+SELECT 0 AS level, code, pos, ROUND(m, 6) AS m FROM ({_SQL_CENT})
+""",
+)
+def rq_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 sink+scan: train the seeded 1-level RQ, persist with
+    :func:`save_rq_model` (Parquet codebook + code-partitioned mapping —
+    the ``write_index``/pickle pair of ``MEVI/pq.py:175-198`` as tables),
+    reload with :func:`load_rq_model`, and emit the reloaded codebook in
+    long form — proving the artifact survives the round trip bit-exact."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    mapping, codebook = rq_encode_seeded(
+        emb, seed_code="label", id_col="vec_id", vec_col="embedding",
+        levels=1,
+    )
+    path = tempfile.mkdtemp(prefix="mevi_rq_model_") + "/model"
+    save_rq_model(
+        mapping.withColumnRenamed("vec_id", "id"), codebook, path
+    )
+    _, cb = load_rq_model(spark, path)
+    return cb.select(
+        "level",
+        "code",
+        F.posexplode("centroid").alias("pos0", "m0"),
+    ).select(
+        "level", "code", (F.col("pos0") + 1).alias("pos"),
+        F.round("m0", 6).alias("m"),
+    )
