@@ -42,6 +42,7 @@ def rq_beam_search(
     metric: str = "ip",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    valid_codes: DataFrame | None = None,
 ) -> DataFrame:
     """U3: top-``num_beams`` RQ codes per query with beam probabilities.
 
@@ -50,6 +51,17 @@ def rq_beam_search(
     beam_score, beam_rank)`` with rank 1..num_beams per query,
     deterministic tie-break on the flattened prefix index (the order of
     ``torch.topk`` over the beam×K flat dimension, ``MEVI/pq.py:684``).
+
+    ``valid_codes`` is the U4 tree constraint: ``(level, parent_flat,
+    code)`` rows enumerating the decode trie's edges (``parent_flat`` =
+    the radix-K flat index of the prefix, 0 for the empty prefix).
+    Matching the reference's trie mask (``MEVI/transformers/
+    generation_utils.py:803-819``), invalid candidates are dropped
+    AFTER the per-hypothesis softmax — probabilities are computed over
+    all K codes, not renormalized over the valid set (the mask adds
+    −inf to already-log_softmaxed scores). ``None`` = every code valid
+    at every level (the RQ "share_sons" tree,
+    ``MEVI/main_models.py:1700-1706``).
     """
     score_fn = _METRICS[metric]
     beam = queries.select(
@@ -72,6 +84,16 @@ def rq_beam_search(
         shifted = F.exp(F.col("_raw") - F.max("_raw").over(hyp))
         cand = cand.withColumn("_p", shifted / F.sum(shifted).over(hyp))
         cand = cand.withColumn("beam_score", F.col("beam_score") * F.col("_p"))
+        if valid_codes is not None:
+            valid = F.broadcast(
+                valid_codes.filter(F.col("level") == lvl).select(
+                    F.col("parent_flat").alias("_pflat"),
+                    F.col("code").alias("_code"),
+                )
+            )
+            cand = cand.withColumn(
+                "_pflat", code_flat("prefix", k_per_level)
+            ).join(valid, ["_pflat", "_code"], "left_semi")
         # top num_beams over beam×K; tie-break = flattened candidate index
         cand = cand.withColumn(
             "_flat", code_flat("prefix", k_per_level) * k_per_level + F.col("_code")

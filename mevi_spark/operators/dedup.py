@@ -167,6 +167,43 @@ def jaccard_verify(
     )
 
 
+def shingle_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """``(doc_id, shingles)`` staged through *attribute* projections.
+
+    Building the shingle set as one nested column expression (the
+    composed :func:`word_shingles`) lets Catalyst's CollapseProject
+    inline the normalize+split chain into every downstream lambda — the
+    split then re-executes PER ARRAY ELEMENT (and per MinHash seed),
+    which turned the sf0.1 bench run of dedup_minhash into 783 s.
+    Staging token/shingle arrays as real columns blocks the collapse
+    (non-cheap expression referenced >1×), so the regex+split runs once
+    per row and every lambda reads an attribute.
+    """
+    from mevi_spark.functions.text import normalize_text, tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalize_text(text_col)).alias("_toks"),
+    )
+    t = F.col("_toks")
+    sh = F.when(
+        F.size(t) < shingle_n, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (shingle_n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, shingle_n)),
+            )
+        )
+    )
+    return toks.select("doc_id", sh.alias("shingles"))
+
+
 def dedup_minhash(
     df: DataFrame,
     text_col: str = "text",
@@ -178,12 +215,28 @@ def dedup_minhash(
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash signatures → LSH banding →
     Jaccard-verified ``(id_a, id_b, jaccard)``. The standard web-scale
-    dedup (GPT-3/C4 style) expressed as three joins, no all-pairs."""
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(text_col, shingle_n).alias("shingles"),
-        minhash_signature(text_col, num_hashes, shingle_n).alias("sig"),
+    dedup (GPT-3/C4 style) expressed as three joins, no all-pairs.
+
+    Each stage projects from the previous stage's *columns* (see
+    :func:`shingle_frame`): shingles are built once per row, the 12
+    min-hash scans read the shingle attribute, the band keys slice the
+    signature attribute."""
+    shingled = shingle_frame(df, text_col, id_col, shingle_n)
+    sentinel = F.lit(1 << 60).cast("long")
+
+    def _hashed(seed: str):
+        return lambda s: hash60(s, seed)
+
+    sig = F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform("shingles", _hashed(str(i)))),
+                sentinel,
+            )
+            for i in range(num_hashes)
+        ]
     )
+    base = shingled.select("doc_id", "shingles", sig.alias("sig"))
     cands = lsh_candidate_pairs(
         base.select("doc_id", "sig"), "doc_id", "sig", bands, sig_len=num_hashes
     )
@@ -282,9 +335,8 @@ def ngram_jaccard_pairs(
     inverted-index join — at web scale you'd first drop ultra-frequent
     shingles (df-cut), which is the ``max_doc_freq`` knob here.
     """
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(text_col, shingle_n).alias("_sh"),
+    base = shingle_frame(df, text_col, id_col, shingle_n).select(
+        F.col("doc_id").alias("_id"), F.col("shingles").alias("_sh")
     )
     sizes = base.select("_id", F.size("_sh").alias("_n"))
     inv = base.select("_id", F.explode("_sh").alias("_s"))

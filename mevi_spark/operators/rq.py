@@ -375,3 +375,32 @@ def load_rq_model(spark, path: str) -> tuple[DataFrame, DataFrame]:
         spark.read.parquet(f"{path}/mapping"),
         spark.read.parquet(f"{path}/codebook"),
     )
+
+
+def code_prefix_members(
+    mapping: DataFrame,
+    prefix_len: int,
+    code_col: str = "code",
+    id_col: str = "id",
+) -> DataFrame:
+    """J9: k-means-tree cluster membership by code *prefix*
+    (``dataprocess/msmarco_passage/prepare_origin.py:12-28``: cluster id
+    = prefix of the hierarchical newid; members via prefix expansion).
+
+    Groups docs by the first ``prefix_len`` code digits — the tree node
+    at depth ``prefix_len`` — returning ``(prefix: array<int>,
+    prefix_key: string, n_docs, min_id)``. The equi-join-on-slice shape
+    means Catalyst shuffles once on the (small-cardinality) prefix key;
+    at scale, partition the mapping by the level-0 digit so every deeper
+    prefix group is partition-local.
+    """
+    pref = F.slice(F.col(code_col), 1, prefix_len)
+    return (
+        mapping.groupBy(pref.alias("prefix"))
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_id"))
+        .withColumn(
+            "prefix_key",
+            F.concat_ws("-", F.transform("prefix", lambda c: c.cast("string"))),
+        )
+        .select("prefix", "prefix_key", "n_docs", "min_id")
+    )

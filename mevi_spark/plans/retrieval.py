@@ -30,6 +30,7 @@ from mevi_spark.operators.metrics import evaluate_run
 from mevi_spark.operators.rerank import coarse_to_fine
 from mevi_spark.operators.rq import (
     assign_nearest,
+    code_prefix_members,
     ema_update_codebook,
     load_rq_model,
     rq_encode_seeded,
@@ -833,3 +834,156 @@ def rq_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "level", "code", (F.col("pos0") + 1).alias("pos"),
         F.round("m0", 6).alias("m"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J9: code-prefix join (k-means-tree cluster membership)
+
+# full two-level assignment (a1) on top of the shared encode fragment
+_SQL_A1 = """
+a1 AS (
+  SELECT vec_id, code_0, code AS code_1 FROM (
+    SELECT r.vec_id, r.code_0, c.code,
+           ROW_NUMBER() OVER (PARTITION BY r.vec_id ORDER BY
+             list_dot_product(c.centroid, c.centroid)
+               - 2 * list_dot_product(r.rv, c.centroid) ASC,
+             c.code ASC) AS rn
+    FROM resid r, cent1 c) WHERE rn = 1)
+"""
+
+
+@register(
+    "code_prefix_members",
+    oracle=f"""
+WITH {_SQL_ENC2},
+{_SQL_A1}
+SELECT 1 AS depth, code_0::VARCHAR AS prefix_key,
+       COUNT(*) AS n_docs, MIN(vec_id) AS min_id
+FROM a1 GROUP BY code_0
+UNION ALL
+SELECT 2 AS depth, code_0::VARCHAR || '-' || code_1::VARCHAR AS prefix_key,
+       COUNT(*) AS n_docs, MIN(vec_id) AS min_id
+FROM a1 GROUP BY code_0, code_1
+""",
+)
+def code_prefix_members_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: tree-node membership at every depth of the 2-level code —
+    the prefix-expansion join of ``prepare_origin.py:12-28`` (cluster =
+    newid prefix) as a slice-groupBy per depth."""
+    mapping, _ = _codebook2(spark, sf_dir)
+    m = mapping.withColumn(
+        "code", F.array(F.col("code_0"), F.col("code_1"))
+    )
+    out = None
+    for depth in (1, 2):
+        d = code_prefix_members(
+            m, depth, code_col="code", id_col="id"
+        ).select(
+            F.lit(depth).alias("depth"), "prefix_key", "n_docs", "min_id"
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# U4: tree-constrained beam (decode-trie mask)
+
+
+@register(
+    "beam_constrained",
+    oracle=f"""
+WITH {_SQL_ENC2},
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+l0raw AS (SELECT query_id, qv, c.code AS c0, c.centroid AS cent,
+                 list_dot_product(qv, c.centroid) AS raw
+          FROM q, cent0 c),
+l0e AS (SELECT *, exp(raw - MAX(raw) OVER (PARTITION BY query_id)) AS e FROM l0raw),
+l0p AS (SELECT query_id, qv, c0, cent, e / SUM(e) OVER (PARTITION BY query_id) AS p FROM l0e),
+b1 AS (SELECT query_id, c0, p AS bscore,
+              list_transform(list_zip(qv, cent), x -> x[1] - x[2]) AS rv,
+              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY p DESC, c0 ASC) AS r
+       FROM l0p QUALIFY r <= 4),
+l1raw AS (SELECT b.query_id, b.c0, b.bscore, c.code AS c1,
+                 list_dot_product(b.rv, c.centroid) AS raw
+          FROM b1 b, cent1 c),
+l1e AS (SELECT *, exp(raw - MAX(raw) OVER (PARTITION BY query_id, c0)) AS e FROM l1raw),
+l1p AS (SELECT query_id, c0, c1,
+               bscore * (e / SUM(e) OVER (PARTITION BY query_id, c0)) AS score
+        FROM l1e),
+beam AS (SELECT query_id, c0 * 10 + c1 AS code_flat, score,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, c0 * 10 + c1 ASC) AS beam_rank
+         FROM l1p
+         WHERE (c0 + c1) % 2 = 0
+         QUALIFY beam_rank <= 4)
+SELECT query_id, code_flat, ROUND(score, 6) AS beam_score,
+       CAST(beam_rank AS INT) AS beam_rank
+FROM beam
+""",
+)
+def beam_constrained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: the tree-constrained beam — the decode-trie mask of
+    ``MEVI/transformers/generation_utils.py:803-819`` as a per-level
+    broadcast semi-join against the trie's edge table. The fixture trie
+    allows every level-0 code but only level-1 codes with
+    ``(c0 + c1) % 2 == 0``; matching the reference, the mask applies
+    AFTER the softmax (no renormalization over the valid set)."""
+    _, codebook = _codebook2(spark, sf_dir)
+    edges = [(0, 0, c) for c in range(K_LABELS)] + [
+        (1, c0, c1)
+        for c0 in range(K_LABELS)
+        for c1 in range(K_LABELS)
+        if (c0 + c1) % 2 == 0
+    ]
+    valid = spark.createDataFrame(
+        edges, "level int, parent_flat long, code int"
+    )
+    out = rq_beam_search(
+        _queries(spark, sf_dir), codebook, levels=2, num_beams=4,
+        k_per_level=K_LABELS, valid_codes=valid,
+    )
+    return out.select(
+        "query_id", "code_flat",
+        F.round("beam_score", 6).alias("beam_score"), "beam_rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# F10: random-span augmentation (train-only aug, deterministic restatement)
+
+
+@register(
+    "augment_spans",
+    oracle="""
+WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+p AS (SELECT doc_id, text, n,
+             1 + (doc_id * 31) % greatest(n - 10, 1) AS start,
+             10 + (doc_id * 17) % 191 AS want
+      FROM d)
+SELECT doc_id, start, least(want, n - start + 1) AS span_len,
+       substr(text, start::INT, least(want, n - start + 1)::INT) AS span
+FROM p
+""",
+)
+def augment_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: random contiguous span per document
+    (``MEVI/main_utils.py:89-101``) with the RNG replaced by doc_id
+    arithmetic (train-time augmentation must be reproducible across
+    engines and retries): start ∈ [1, n−10], target length ∈ [10, 200],
+    clamped to the text end."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    start = F.lit(1) + (F.col("doc_id") * 31) % F.greatest(
+        F.col("n") - 10, F.lit(1)
+    )
+    want = F.lit(10) + (F.col("doc_id") * 17) % 191
+    span_len = F.least(want, F.col("n") - start + 1)
+    return d.select(
+        "doc_id",
+        start.alias("start"),
+        span_len.alias("span_len"),
+        F.substring(F.col("text"), start.cast("int"), span_len.cast("int")).alias(
+            "span"
+        ),
+    ).withColumn("start", F.col("start"))
