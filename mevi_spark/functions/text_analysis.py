@@ -57,6 +57,44 @@ def bpe_token_count(c: Column | str) -> Column:
     return F.size(F.regexp_extract_all(F.lower(_c(c)), F.lit(BPE_PATTERN), 0))
 
 
+PAD_ID, EOS_ID = 0, 1
+
+
+def tokenize_padded(
+    c: Column | str, max_len: int = 32, vocab_size: int = 30000, seed: str = "tok"
+) -> Column:
+    """F3: the HF tokenizer contract — fixed-length ``input_ids`` +
+    ``attention_mask`` with pad/truncate (``MEVI/main_models.py:445-466``,
+    ``prepare_passage_tokenized.py:99-151``: max_len 32/64/128) — with
+    the learned vocabulary replaced by a deterministic hash vocabulary
+    (ids 0=pad, 1=eos, token → ``2 + hash60(token) % (vocab−2)``), so the
+    engine-side semantics (truncation point, eos placement, mask shape)
+    are testable cross-engine without model weights.
+
+    Returns a struct ``(input_ids: array<int>, attention_mask:
+    array<int>, n_tokens: int)``; arrays are always exactly ``max_len``.
+    """
+    pieces = F.regexp_extract_all(F.lower(_c(c)), F.lit(BPE_PATTERN), 0)
+    ids = F.transform(
+        F.slice(pieces, 1, max_len - 1),
+        lambda t: (
+            F.lit(2) + hash60(t, seed) % F.lit(vocab_size - 2)
+        ).cast("int"),
+    )
+    with_eos = F.concat(ids, F.array(F.lit(EOS_ID).cast("int")))
+    n = F.size(with_eos)
+    pad = F.array_repeat(
+        F.lit(PAD_ID).cast("int"), (F.lit(max_len) - n).cast("int")
+    )
+    return F.struct(
+        F.concat(with_eos, pad).alias("input_ids"),
+        F.concat(
+            F.array_repeat(F.lit(1), n), F.array_repeat(F.lit(0), F.lit(max_len) - n)
+        ).cast("array<int>").alias("attention_mask"),
+        n.alias("n_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # quality scoring
 

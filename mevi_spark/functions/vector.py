@@ -104,6 +104,24 @@ def code_flat(code: Column | str, k: int) -> Column:
     )
 
 
+def code_tokens(code: Column | str, k: int) -> Column:
+    """F7 ``encode_single_newid``: per-level code → shared-vocabulary
+    token id, ``token_i = level_i·K + code_i + 2``
+    (``MEVI/main_models.py:83-108``; offsets 0/1 are the T5 pad/eos).
+    Pure column arithmetic over the code array."""
+    code = F.col(code) if isinstance(code, str) else code
+    return F.transform(
+        code, lambda c, i: (i * F.lit(k) + c + F.lit(2)).cast("int")
+    )
+
+
+def tokens_to_code(toks: Column | str, k: int) -> Column:
+    """F7 ``decode_token`` inverse: ``code_i = (token_i − 2) mod K``
+    (``MEVI/main_models.py:117-136``)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    return F.transform(toks, lambda t: ((t - F.lit(2)) % F.lit(k)).cast("int"))
+
+
 def code_unflat(flat: Column | str, k: int, m: int) -> Column:
     """Inverse of :func:`code_flat`: long → ``array<int>`` of length M.
 

@@ -45,13 +45,28 @@ def rq_level_centroids(
     assigned: DataFrame,
     code_col: str,
     vec_col: str,
+    impl: str = "sql",
 ) -> DataFrame:
     """A5 centroid-average: per-code elementwise mean → ``(code, centroid)``.
 
-    Exact/order-independent via decimal accumulation. The explode shuffles
-    n·dim rows — at extreme scale swap for an RDD treeAggregate; the
-    explode keeps the whole path in SQL, which the oracle needs.
+    ``sql``
+        Exact/order-independent via decimal accumulation of a posexplode.
+        The explode shuffles n·dim rows — the oracle-parity path (the
+        DuckDB oracle sums the same decimals), right for fixtures and
+        small corpora.
+
+    ``arrow``
+        The scale path: per-partition NumPy partial sums emitted from a
+        ``mapInPandas`` kernel (≤ n_codes rows per partition), so the
+        shuffle moves ``partitions × codes`` rows instead of ``n·dim`` —
+        at 8.8M docs × 768 dims that is a ~10⁵× reduction. Partial
+        sums are float64, so results can differ from ``sql`` in the last
+        ~2 ulps; use ``sql`` when cross-engine bit-parity matters.
     """
+    if impl == "arrow":
+        return _level_centroids_arrow(assigned, code_col, vec_col)
+    if impl != "sql":
+        raise ValueError(f"unknown impl: {impl!r}")
     pos_val = assigned.select(
         F.col(code_col).alias("code"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
@@ -67,6 +82,53 @@ def rq_level_centroids(
         F.transform(
             F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
         ).alias("centroid")
+    )
+
+
+def _level_centroids_arrow(
+    assigned: DataFrame, code_col: str, vec_col: str
+) -> DataFrame:
+    """Partial-aggregate kernel behind ``rq_level_centroids(impl='arrow')``
+    — the Spark analog of the reference's chunked sum/ndocs centroid
+    average (``MEVI/pq.py:488-524``, chunked over memmap blocks)."""
+    import numpy as np
+    import pandas as pd
+
+    def partial(batches):
+        acc: dict = {}
+        for pdf in batches:
+            for code, grp in pdf.groupby(code_col):
+                mat = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
+                s, n = mat.sum(axis=0), len(grp)
+                if code in acc:
+                    acc[code][0] += s
+                    acc[code][1] += n
+                else:
+                    acc[code] = [s, n]
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "code": list(acc),
+                    "psum": [v[0] for v in acc.values()],
+                    "pn": [v[1] for v in acc.values()],
+                }
+            )
+
+    partials = assigned.select(code_col, vec_col).mapInPandas(
+        partial, "code long, psum array<double>, pn long"
+    )
+    # final merge: ≤ partitions rows per code; elementwise reduce in JVM
+    merged = partials.groupBy("code").agg(
+        F.collect_list("psum").alias("_ps"), F.sum("pn").alias("_n")
+    )
+    total = F.aggregate(
+        F.slice("_ps", 2, F.greatest(F.size("_ps") - 1, F.lit(0))),
+        F.element_at("_ps", 1),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+    return merged.select(
+        "code",
+        F.transform(total, lambda v: v / F.col("_n")).alias("centroid"),
     )
 
 

@@ -499,3 +499,40 @@ def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         TA.doc_fingerprint("text").alias("fp"),
         TA.winnow_fingerprint("text", k=5).alias("winnow_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F3: padded/truncated tokenization (the HF tokenizer contract)
+
+
+@register(
+    "tokenize_padded",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+         list_transform(
+           list_slice(regexp_extract_all(lower(text), '{TA.BPE_PATTERN}'), 1, 15),
+           t -> (2 + {_h60("'tok'", "t")} % 29998)::INT) AS ids
+  FROM documents),
+e AS (SELECT doc_id, list_append(ids, 0 + 1) AS we FROM p)
+SELECT doc_id,
+       list_concat(we, list_transform(range(1, 17 - len(we)), x -> 0::INT)) AS input_ids,
+       list_concat(list_transform(we, x -> 1::INT),
+                   list_transform(range(1, 17 - len(we)), x -> 0::INT)) AS attention_mask,
+       len(we) AS n_tokens
+FROM e
+""",
+)
+def tokenize_padded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: fixed-length (input_ids, attention_mask) with pad/truncate at
+    max_len=16 over a deterministic hash vocabulary — the engine-side
+    semantics of the reference's HF tokenizer calls
+    (``MEVI/main_models.py:445-466``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = TA.tokenize_padded("text", max_len=16, vocab_size=30000)
+    return docs.select("doc_id", tok.alias("t")).select(
+        "doc_id",
+        F.col("t.input_ids").alias("input_ids"),
+        F.col("t.attention_mask").alias("attention_mask"),
+        F.col("t.n_tokens").cast("long").alias("n_tokens"),
+    )

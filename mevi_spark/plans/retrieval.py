@@ -987,3 +987,171 @@ def augment_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "span"
         ),
     ).withColumn("start", F.col("start"))
+
+
+# ---------------------------------------------------------------------------
+# F9 grid: the (α, β, γ) hyperparameter sweep in one pass
+
+
+@register(
+    "ensemble_grid",
+    oracle=f"""
+WITH {_SQL_COARSE1},
+d AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS dv, label FROM embeddings),
+ann AS (SELECT query_id, doc_id, s AS score, rank FROM (
+          SELECT q.query_id, d.doc_id, list_dot_product(q.qv, d.dv) AS s,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY list_dot_product(q.qv, d.dv) DESC, d.doc_id ASC) AS rank
+          FROM q, d) WHERE rank <= 10),
+cand AS (SELECT c.query_id, d.doc_id, d.dv FROM coarse c JOIN d ON d.label = c.code_flat),
+fine AS (SELECT query_id, doc_id, score, rank FROM (
+           SELECT s.query_id, s.doc_id, s.score,
+                  ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS rank
+           FROM (SELECT cand.query_id, cand.doc_id, MAX(list_dot_product(q.qv, cand.dv)) AS score
+                 FROM cand JOIN q ON q.query_id = cand.query_id
+                 GROUP BY cand.query_id, cand.doc_id) s) WHERE rank <= 10),
+merged AS (SELECT query_id, doc_id, score FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, doc_id
+                                          ORDER BY prio DESC, rank DESC) AS rn
+             FROM (SELECT query_id, doc_id, score, rank, 0 AS prio FROM ann
+                   UNION ALL
+                   SELECT query_id, doc_id, score, rank, 1 AS prio FROM fine)) WHERE rn = 1),
+feat AS (SELECT m.query_id, m.doc_id, m.score,
+                c.coarse_rank - 1 AS cluster_rank,
+                (SELECT COUNT(*) FROM coarse cc WHERE cc.query_id = m.query_id) AS num_clusters
+         FROM merged m
+         LEFT JOIN d ON d.doc_id = m.doc_id
+         LEFT JOIN coarse c ON c.query_id = m.query_id AND c.code_flat = d.label),
+configs AS (SELECT * FROM (VALUES (0.4, 0.03, 0.02), (0.4, 0.1, 0.02),
+                                  (0.6, 0.03, 0.02), (0.6, 0.1, 0.02))
+            t(alpha, beta, gamma)),
+fused AS (SELECT cfg.alpha, cfg.beta, cfg.gamma, f.query_id, f.doc_id,
+                 CASE WHEN f.cluster_rank IS NULL
+                      THEN (f.score + cfg.alpha / (cfg.beta * f.num_clusters + 1))
+                           * (1 - cfg.gamma * cfg.alpha)
+                      ELSE f.score + cfg.alpha / (cfg.beta * f.cluster_rank + 1) END AS fused_score
+          FROM feat f, configs cfg),
+fin AS (SELECT alpha, beta, gamma, query_id, doc_id, fused_score,
+               ROW_NUMBER() OVER (PARTITION BY alpha, beta, gamma, query_id
+                                  ORDER BY fused_score DESC, doc_id ASC) AS rank
+        FROM fused QUALIFY rank <= 10),
+nq AS (SELECT COUNT(*) AS n FROM q),
+hits AS (SELECT alpha, beta, gamma, query_id, MIN(rank) AS r
+         FROM fin WHERE doc_id = query_id
+         GROUP BY alpha, beta, gamma, query_id)
+SELECT c.alpha, c.beta, c.gamma,
+       ROUND(COALESCE(COUNT(h.query_id), 0) * 1.0 / nq.n, 6) AS recall_at_10,
+       ROUND(COALESCE(SUM(1.0 / h.r), 0) / nq.n, 6) AS mrr_at_10
+FROM configs c CROSS JOIN nq LEFT JOIN hits h
+  ON h.alpha = c.alpha AND h.beta = c.beta AND h.gamma = c.gamma
+GROUP BY c.alpha, c.beta, c.gamma, nq.n
+""",
+)
+def ensemble_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (α, β, γ) grid search (``MEVI/ensemble_marco.py:251-255``) as
+    ONE job: the per-(query, doc) feature relation is built once, a tiny
+    broadcast config table fans it out 4×, and per-config Recall@10 /
+    MRR@10 (gt = the query's own vector in the corpus) come out of a
+    single groupBy — vs. the reference's python loop that re-scores the
+    runs per configuration."""
+    from mevi_spark.operators.ensemble import fuse_grid
+
+    qs, docs = _queries(spark, sf_dir), _docs(spark, sf_dir)
+    ann = exact_topk_join(qs, docs, k=10, metric="ip")
+    coarse = _coarse1(spark, sf_dir)
+    code_docs = docs.select(
+        "doc_id", F.col("label").cast("long").alias("code_flat"), "doc_vec"
+    )
+    fine = coarse_to_fine(qs, coarse, code_docs, k=10)
+    mapping = docs.select("doc_id", F.col("label").cast("long").alias("code_flat"))
+    run = fuse_grid(
+        ann, coarse, mapping, k=10,
+        alphas=(0.4, 0.6), betas=(0.03, 0.1), gammas=(0.02,),
+        fine_run=fine,
+    )
+    configs = run.select("alpha", "beta", "gamma").distinct()
+    nq = qs.count()
+    hits = (
+        run.filter(F.col("doc_id") == F.col("query_id"))
+        .groupBy("alpha", "beta", "gamma", "query_id")
+        .agg(F.min("rank").alias("r"))
+    )
+    agg = hits.groupBy("alpha", "beta", "gamma").agg(
+        F.count("*").alias("_nhit"), F.sum(1.0 / F.col("r")).alias("_rr")
+    )
+    return (
+        configs.join(agg, ["alpha", "beta", "gamma"], "left")
+        .select(
+            "alpha", "beta", "gamma",
+            F.round(F.coalesce("_nhit", F.lit(0)) / nq, 6).alias("recall_at_10"),
+            F.round(F.coalesce("_rr", F.lit(0.0)) / nq, 6).alias("mrr_at_10"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2: doc → query set aggregation
+
+
+@register(
+    "doc_query_sets",
+    oracle="""
+WITH q AS (SELECT doc_id AS query_idx, string_split(text, ' ')[1] AS answer
+           FROM documents WHERE doc_id % 50 = 0),
+pairs AS (SELECT DISTINCT d.doc_id, q.query_idx
+          FROM q JOIN documents d ON list_contains(string_split(d.text, ' '), q.answer))
+SELECT doc_id, list(query_idx ORDER BY query_idx) AS query_idxs,
+       COUNT(*) AS n_queries
+FROM pairs GROUP BY doc_id
+""",
+)
+def doc_query_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: ``doc_to_query_list[docid].add(query)`` — the dedup set agg of
+    ``MEVI/main_utils.py:128-131`` as ``collect_set`` over the
+    inverse-answer pairs (A8)."""
+    pairs = inverse_answer_index(spark, sf_dir)
+    return pairs.groupBy("doc_id").agg(
+        F.sort_array(F.array_distinct(F.collect_list("query_idx"))).alias(
+            "query_idxs"
+        ),
+        F.countDistinct("query_idx").alias("n_queries"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F7: code ↔ shared-vocabulary token arithmetic
+
+
+@register(
+    "code_token_arith",
+    oracle=f"""
+WITH {_SQL_ENC2},
+{_SQL_A1}
+SELECT vec_id,
+       [code_0 + 2, 10 + code_1 + 2] AS toks,
+       [code_0, code_1] AS code_back,
+       (code_0 + 2) * 100 + (10 + code_1 + 2) AS tok_key
+FROM a1
+""",
+)
+def code_token_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: ``encode_single_newid`` / ``decode_token`` roundtrip
+    (``MEVI/main_models.py:83-136``) — per-level codes packed into the
+    shared seq2seq vocabulary (``token = level·K + code + 2``) and
+    recovered, as pure column arithmetic."""
+    from mevi_spark.functions.vector import code_tokens, tokens_to_code
+
+    mapping, _ = _codebook2(spark, sf_dir)
+    m = mapping.select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("code_0"), F.col("code_1")).alias("code"),
+    )
+    toks = code_tokens("code", K_LABELS)
+    return m.select(
+        "vec_id",
+        toks.alias("toks"),
+        tokens_to_code(toks, K_LABELS).alias("code_back"),
+        (
+            F.element_at(toks, 1).cast("long") * 100
+            + F.element_at(toks, 2).cast("long")
+        ).alias("tok_key"),
+    )

@@ -182,3 +182,26 @@ def test_save_load_roundtrip(spark, sf_dir, tmp_path):
     a = {(r.level, r.code): tuple(r.centroid) for r in codebook.collect()}
     b = {(r.level, r.code): tuple(r.centroid) for r in cb2.collect()}
     assert a == b
+
+
+def test_level_centroids_arrow_matches_sql(spark, sf_dir):
+    """The mapInPandas partial-agg scale path computes the same centroids
+    as the decimal-exact SQL path (within float64 accumulation order)."""
+    from mevi_spark.operators.rq import rq_level_centroids
+
+    df = _vecs(spark, sf_dir)
+    a = {
+        r["code"]: np.array(r["centroid"])
+        for r in rq_level_centroids(
+            df, code_col="label", vec_col="vector", impl="sql"
+        ).collect()
+    }
+    b = {
+        r["code"]: np.array(r["centroid"])
+        for r in rq_level_centroids(
+            df, code_col="label", vec_col="vector", impl="arrow"
+        ).collect()
+    }
+    assert set(a) == set(b)
+    for code in a:
+        np.testing.assert_allclose(a[code], b[code], rtol=1e-12, atol=1e-12)
