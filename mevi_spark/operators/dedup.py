@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from mevi_spark.functions.text import normalize_text, word_shingles
-from mevi_spark.functions.text_analysis import hash60, simhash_bits_long
+from mevi_spark.functions.text_analysis import simhash_bits_long
 
 
 # ---------------------------------------------------------------------------
@@ -59,28 +59,51 @@ def dedup_exact(
 # MinHash + LSH banding
 
 
+#: slot value for empty shingle sets — larger than any real hash, so
+#: empty docs never collide with content
+MINHASH_SENTINEL = 1 << 60
+
+
+def _km_pair(md5_hex: Column) -> Column:
+    """Kirsch-Mitzenmacher base pair from one md5: ``h1`` = first 14 hex
+    chars (56 bits), ``h2`` = next 14 hex chars forced odd. Slot ``i``'s
+    hash is ``h1 + i·h2`` — one md5 per shingle for ALL slots, the rest
+    is codegen long arithmetic (max value ≈ num_hashes·2^56, ANSI-safe
+    for num_hashes ≤ ~120)."""
+    h1 = F.conv(F.substring(md5_hex, 1, 14), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5_hex, 15, 14), 16, 10).cast("long").bitwiseOR(
+        F.lit(1)
+    )
+    return F.struct(h1.alias("h1"), h2.alias("h2"))
+
+
+def _km_slots(hs_col: Column | str, num_hashes: int) -> list[Column]:
+    """Per-slot min over the staged ``array<struct<h1,h2>>`` column."""
+    sentinel = F.lit(MINHASH_SENTINEL).cast("long")
+
+    def _slot(i: int):
+        return lambda h: h.h1 + F.lit(i).cast("long") * h.h2
+
+    return [
+        F.coalesce(F.array_min(F.transform(hs_col, _slot(i))), sentinel)
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signature(
     c: Column | str, num_hashes: int = 12, shingle_n: int = 3
 ) -> Column:
-    """MinHash signature ``array<long>`` of the word-shingle set: element
-    i = min over shingles of ``hash60(shingle, seed=i)``. Empty docs get
-    sentinel ``2^60`` per slot (never collides with a real hash)."""
+    """MinHash signature ``array<long>`` of the word-shingle set: one
+    md5 per shingle, slot i = min of ``h1 + i·h2`` (double hashing).
+    Empty docs get sentinel ``2^60`` per slot.
+
+    NB: as a single nested expression this recomputes the shingle set
+    per slot if Catalyst collapses projections — prefer
+    :func:`dedup_minhash`, which stages shingles and hash pairs as real
+    columns."""
     sh = word_shingles(c, shingle_n)
-    sentinel = F.lit(1 << 60).cast("long")
-
-    # seed must be captured via a factory: a 2-arg transform lambda
-    # would be called as (element, index) by pyspark's HOF wrapper
-    def _hashed(seed: str):
-        return lambda s: hash60(s, seed)
-
-    return F.array(
-        *[
-            F.coalesce(
-                F.array_min(F.transform(sh, _hashed(str(i)))), sentinel
-            )
-            for i in range(num_hashes)
-        ]
-    )
+    hs = F.transform(sh, lambda s: _km_pair(F.md5(s)))
+    return F.array(*_km_slots(hs, num_hashes))
 
 
 def lsh_candidate_pairs(
@@ -218,25 +241,22 @@ def dedup_minhash(
     dedup (GPT-3/C4 style) expressed as three joins, no all-pairs.
 
     Each stage projects from the previous stage's *columns* (see
-    :func:`shingle_frame`): shingles are built once per row, the 12
-    min-hash scans read the shingle attribute, the band keys slice the
-    signature attribute."""
+    :func:`shingle_frame`): shingles are built once per row, one md5
+    per shingle feeds all ``num_hashes`` slots via double hashing, the
+    band keys slice the signature attribute. The signature frame is
+    persisted (memory, spill-to-disk) because three downstream branches
+    read it (both sides of the band self-join + both sides of the
+    Jaccard verify) — the same materialize-signatures step a 100 TB run
+    would stage through parquet."""
     shingled = shingle_frame(df, text_col, id_col, shingle_n)
-    sentinel = F.lit(1 << 60).cast("long")
-
-    def _hashed(seed: str):
-        return lambda s: hash60(s, seed)
-
-    sig = F.array(
-        *[
-            F.coalesce(
-                F.array_min(F.transform("shingles", _hashed(str(i)))),
-                sentinel,
-            )
-            for i in range(num_hashes)
-        ]
+    hs = shingled.select(
+        "doc_id",
+        "shingles",
+        F.transform("shingles", lambda s: _km_pair(F.md5(s))).alias("_hs"),
     )
-    base = shingled.select("doc_id", "shingles", sig.alias("sig"))
+    base = hs.select(
+        "doc_id", "shingles", F.array(*_km_slots("_hs", num_hashes)).alias("sig")
+    ).persist()
     cands = lsh_candidate_pairs(
         base.select("doc_id", "sig"), "doc_id", "sig", bands, sig_len=num_hashes
     )

@@ -116,12 +116,16 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NH, _BANDS, _ROWS = 12, 4, 3  # 12 hashes, 4 bands × 3 rows
 
 _SQL_MINHASH = f"""
+hpair AS (
+  SELECT doc_id, list_transform(s, x -> md5(x)) AS m FROM sh),
 sig AS (
   SELECT doc_id,
          list_transform(range(0, {_NH}),
-           i -> coalesce(list_min(list_transform(s,
-                  x -> {_h60("i::VARCHAR", "x")})), 1152921504606846976)) AS sig
-  FROM sh),
+           i -> coalesce(list_min(list_transform(m,
+                  h -> ('0x' || substring(h, 1, 14))::BIGINT
+                       + i * (('0x' || substring(h, 15, 14))::BIGINT | 1))),
+                1152921504606846976)) AS sig
+  FROM hpair),
 banded AS (
   SELECT doc_id, b AS band,
          array_to_string(list_slice(sig, b * {_ROWS} + 1, b * {_ROWS} + {_ROWS}), ',') AS key
