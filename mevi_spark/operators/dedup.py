@@ -59,17 +59,20 @@ def dedup_exact(
 # MinHash + LSH banding
 
 
-#: slot value for empty shingle sets — larger than any real hash, so
-#: empty docs never collide with content
-MINHASH_SENTINEL = 1 << 60
+#: slot value for empty shingle sets — larger than any real slot hash
+#: (slot values reach ``num_hashes·2^56``, so ``2^62`` covers
+#: ``num_hashes ≤ 64``; beyond that the sum also nears long overflow),
+#: so empty docs never collide with content
+MINHASH_SENTINEL = 1 << 62
 
 
 def _km_pair(md5_hex: Column) -> Column:
     """Kirsch-Mitzenmacher base pair from one md5: ``h1`` = first 14 hex
     chars (56 bits), ``h2`` = next 14 hex chars forced odd. Slot ``i``'s
     hash is ``h1 + i·h2`` — one md5 per shingle for ALL slots, the rest
-    is codegen long arithmetic (max value ≈ num_hashes·2^56, ANSI-safe
-    for num_hashes ≤ ~120)."""
+    is codegen long arithmetic (max value ≈ num_hashes·2^56; keep
+    ``num_hashes ≤ 64`` so values stay below the ``2^62`` sentinel and
+    well inside long range)."""
     h1 = F.conv(F.substring(md5_hex, 1, 14), 16, 10).cast("long")
     h2 = F.conv(F.substring(md5_hex, 15, 14), 16, 10).cast("long").bitwiseOR(
         F.lit(1)
@@ -247,7 +250,10 @@ def dedup_minhash(
     persisted (memory, spill-to-disk) because three downstream branches
     read it (both sides of the band self-join + both sides of the
     Jaccard verify) — the same materialize-signatures step a 100 TB run
-    would stage through parquet."""
+    would stage through parquet. The verified pair set (small) is
+    eagerly materialized with ``localCheckpoint`` so the signature cache
+    can be released before returning — repeated calls in a long-lived
+    session don't leak cached blocks."""
     shingled = shingle_frame(df, text_col, id_col, shingle_n)
     hs = shingled.select(
         "doc_id",
@@ -260,9 +266,11 @@ def dedup_minhash(
     cands = lsh_candidate_pairs(
         base.select("doc_id", "sig"), "doc_id", "sig", bands, sig_len=num_hashes
     )
-    return jaccard_verify(
+    out = jaccard_verify(
         cands, base.select("doc_id", "shingles"), threshold
-    )
+    ).localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -346,20 +354,38 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via the inverted-shingle-index join:
     explode shingles, self-equi-join on the shingle, count shared
     occurrences per pair, then ``jaccard = shared / (|a|+|b|-shared)``.
 
     Finds *every* pair above threshold (no LSH misses); cost is the
-    inverted-index join — at web scale you'd first drop ultra-frequent
-    shingles (df-cut), which is the ``max_doc_freq`` knob here.
+    inverted-index self-join, which is quadratic in the posting-list
+    length of the most frequent shingle — one shingle present in ``d``
+    docs contributes ``d·(d−1)/2`` candidate pairs. ``max_doc_freq`` is
+    the web-scale df-cut: shingles appearing in more than that many docs
+    are dropped from the index *before* the self-join (one extra
+    groupBy + semi-join), bounding every posting list. With the cut,
+    ``jaccard`` is computed over the **filtered** shingle sets (both
+    numerator and the ``|a|``/``|b|`` sizes), so the score stays a true
+    Jaccard of the surviving shingles.
     """
     base = shingle_frame(df, text_col, id_col, shingle_n).select(
         F.col("doc_id").alias("_id"), F.col("shingles").alias("_sh")
     )
-    sizes = base.select("_id", F.size("_sh").alias("_n"))
     inv = base.select("_id", F.explode("_sh").alias("_s"))
+    if max_doc_freq is not None:
+        keep = (
+            inv.groupBy("_s")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("_s")
+        )
+        inv = inv.join(keep, "_s")
+        sizes = inv.groupBy("_id").agg(F.count("*").alias("_n"))
+    else:
+        sizes = base.select("_id", F.size("_sh").alias("_n"))
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(

@@ -64,19 +64,38 @@ def negative_samples_notclus(
     pos_id: str = "pos_id",
     doc_id: str = "doc_id",
     code_col: str = "code",
+    pool_mod: int = 10,
+    pool_keep: int = 4,
 ) -> DataFrame:
-    """J8 ``notclus`` negatives: first ``n`` docs whose code array shares
-    no element with the positive's code array
-    (``MEVI/main_models.py:1867-1908``).
+    """J8 ``notclus`` negatives: first ``n`` docs (from a bounded
+    candidate pool) whose code array shares no element with the
+    positive's code array (``MEVI/main_models.py:1867-1908``).
 
-    ``mapping``: ``(doc_id, code: array<int>)``. At 100 TB sample the doc
-    side first — this is a corpus-wide predicate scan per query.
+    ``mapping``: ``(doc_id, code: array<int>)``. The code-overlap
+    predicate is corpus-wide per query, so the doc side is
+    **pre-sampled before the crossJoin** — the reference does the same
+    (it samples candidate ids first, ``MEVI/main_models.py:1867-1908``).
+    The sample is the deterministic md5 trick (keep docs whose
+    ``md5(doc_id)`` prefix mod ``pool_mod`` < ``pool_keep``), so runs
+    are reproducible and the DuckDB oracle can replay it; the sampled
+    pool (``pool_keep/pool_mod`` of the corpus) is broadcast, making
+    the per-query candidate set ``|pool|`` instead of ``|corpus|``.
+    At scale pick ``pool_mod`` so the pool is both ``≫ n`` and small
+    enough to broadcast (e.g. ``pool_mod = ndocs // 10_000``) — the
+    per-query work is then constant, not corpus-sized.
+    ``pool_mod=None`` disables the sample (test-only escape hatch).
     """
     pos_code = pairs.join(
         mapping.select(F.col(doc_id).alias(pos_id), F.col(code_col).alias("_pos_code")),
         pos_id,
     )
-    cand = pos_code.crossJoin(mapping.select(doc_id, code_col))
+    pool = mapping.select(doc_id, code_col)
+    if pool_mod is not None:
+        keep_hash = F.conv(
+            F.substring(F.md5(F.col(doc_id).cast("string")), 1, 6), 16, 10
+        ).cast("bigint")
+        pool = pool.filter(keep_hash % pool_mod < pool_keep)
+    cand = pos_code.crossJoin(F.broadcast(pool))
     negs = cand.filter(
         ~F.arrays_overlap(F.col(code_col), F.col("_pos_code"))
     ).select(query_id, F.col(doc_id).alias("neg_id"))

@@ -48,10 +48,10 @@ _SQL_BYTES = """
     oracle=f"""
 WITH media AS ({_SQL_MEDIA})
 SELECT media_type,
-       COUNT(*) AS n,
-       SUM(n_bytes) AS total_bytes,
-       ROUND(AVG(n_bytes), 6) AS avg_bytes,
-       ROUND(AVG(width * height), 6) AS avg_pixels
+       COUNT(*)::BIGINT AS n,
+       SUM(n_bytes)::BIGINT AS total_bytes,
+       CAST(ROUND(AVG(n_bytes) * 1000000) AS BIGINT) AS avg_bytes_e6,
+       CAST(ROUND(AVG(width * height) * 1000000) AS BIGINT) AS avg_pixels_e6
 FROM media GROUP BY media_type
 """,
 )
@@ -59,15 +59,22 @@ def media_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only rollup — the column-pruning case: the plan must
     never read the payload column (binary stays on disk; verify with
     ``.explain`` → ReadSchema excludes ``payload``... here payload is
-    computed, but on a real media Parquet this projection prunes it)."""
+    computed, but on a real media Parquet this projection prunes it).
+
+    Every output is pinned to BIGINT on both engines (averages as
+    micro-units) — DuckDB's ``SUM``/``AVG`` otherwise emit
+    HUGEINT/DOUBLE dtypes the driver's pandas value-hash can't match
+    against Spark's LONG."""
     m = _media(spark, sf_dir)
     return m.groupBy("media_type").agg(
-        F.count("*").alias("n"),
-        F.sum(F.length("payload")).alias("total_bytes"),
-        F.round(F.avg(F.length("payload")), 6).alias("avg_bytes"),
-        F.round(F.avg(F.col("width") * F.col("height")), 6).alias(
-            "avg_pixels"
-        ),
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.length("payload")).cast("long").alias("total_bytes"),
+        F.round(F.avg(F.length("payload")) * 1e6)
+        .cast("long")
+        .alias("avg_bytes_e6"),
+        F.round(F.avg(F.col("width") * F.col("height")) * 1e6)
+        .cast("long")
+        .alias("avg_pixels_e6"),
     )
 
 
@@ -78,27 +85,38 @@ WITH media AS ({_SQL_MEDIA}),
 bytes AS ({_SQL_BYTES}),
 hist AS (
   SELECT doc_id,
-         COUNT(*) AS n_bytes,
-         ROUND(AVG(b), 6) AS mean_byte,
-         [SUM(CASE WHEN b // 32 = 0 THEN 1 ELSE 0 END),
-          SUM(CASE WHEN b // 32 = 1 THEN 1 ELSE 0 END),
-          SUM(CASE WHEN b // 32 = 2 THEN 1 ELSE 0 END),
-          SUM(CASE WHEN b // 32 = 3 THEN 1 ELSE 0 END),
-          SUM(CASE WHEN b // 32 = 4 THEN 1 ELSE 0 END),
-          SUM(CASE WHEN b // 32 = 5 THEN 1 ELSE 0 END),
-          SUM(CASE WHEN b // 32 = 6 THEN 1 ELSE 0 END),
-          SUM(CASE WHEN b // 32 >= 7 THEN 1 ELSE 0 END)] AS byte_hist
+         COUNT(*)::BIGINT AS n_bytes,
+         CAST(ROUND(AVG(b) * 1000000) AS BIGINT) AS mean_byte_e6,
+         [SUM(CASE WHEN b // 32 = 0 THEN 1 ELSE 0 END)::BIGINT,
+          SUM(CASE WHEN b // 32 = 1 THEN 1 ELSE 0 END)::BIGINT,
+          SUM(CASE WHEN b // 32 = 2 THEN 1 ELSE 0 END)::BIGINT,
+          SUM(CASE WHEN b // 32 = 3 THEN 1 ELSE 0 END)::BIGINT,
+          SUM(CASE WHEN b // 32 = 4 THEN 1 ELSE 0 END)::BIGINT,
+          SUM(CASE WHEN b // 32 = 5 THEN 1 ELSE 0 END)::BIGINT,
+          SUM(CASE WHEN b // 32 = 6 THEN 1 ELSE 0 END)::BIGINT,
+          SUM(CASE WHEN b // 32 >= 7 THEN 1 ELSE 0 END)::BIGINT] AS hist
   FROM bytes GROUP BY doc_id)
-SELECT m.doc_id, m.media_type, h.n_bytes, h.mean_byte, h.byte_hist
+SELECT m.doc_id, m.media_type, h.n_bytes, h.mean_byte_e6,
+       array_to_string(h.hist, ',') AS byte_hist
 FROM media m JOIN hist h ON m.doc_id = h.doc_id
 """,
 )
 def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-stage features (mean byte + 8-bin byte histogram) computed
     by NumPy over Arrow batches; DuckDB replays them with character
-    arithmetic."""
+    arithmetic. Output conformance (registry rules): the histogram is
+    CSV-serialized (driver's canonicalizer cannot sort raw arrays) and
+    the mean byte is a BIGINT in micro-units."""
     out = MM.decode_stats(_media(spark, sf_dir), hist_bins=8)
-    return out.withColumn("mean_byte", F.round("mean_byte", 6))
+    return out.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.round(F.col("mean_byte") * 1e6).cast("long").alias("mean_byte_e6"),
+        F.array_join(F.col("byte_hist").cast("array<string>"), ",").alias(
+            "byte_hist"
+        ),
+    )
 
 
 @register(
@@ -136,8 +154,8 @@ px AS (
               THEN ord(substr(text, (sr * width + sc + 1)::INT, 1))
               ELSE 0 END AS v
   FROM grid)
-SELECT doc_id, 8 AS out_w, 6 AS out_h, 48 AS out_len,
-       SUM(v) AS checksum
+SELECT doc_id, 8::BIGINT AS out_w, 6::BIGINT AS out_h, 48::BIGINT AS out_len,
+       SUM(v)::BIGINT AS checksum
 FROM px GROUP BY doc_id
 """,
 )
@@ -145,6 +163,14 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-neighbor resize of every image payload to 8×6 through the
     grayscale codec; the oracle replays the NumPy index arithmetic
     (src row = ``r*h//6``, src col = ``c*w//8``, zero-padded payload)
-    and checks the resampled byte checksum."""
+    and checks the resampled byte checksum. All outputs pinned BIGINT
+    (DuckDB literals are INT32, SUM is HUGEINT — both break the
+    driver's dtype-sensitive value hash)."""
     out = MM.resize_images(_media(spark, sf_dir), target_w=8, target_h=6)
-    return out.select("doc_id", "out_w", "out_h", "out_len", "checksum")
+    return out.select(
+        "doc_id",
+        F.col("out_w").cast("long").alias("out_w"),
+        F.col("out_h").cast("long").alias("out_h"),
+        F.col("out_len").cast("long").alias("out_len"),
+        F.col("checksum").cast("long").alias("checksum"),
+    )

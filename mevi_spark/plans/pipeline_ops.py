@@ -189,6 +189,39 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
+@register(
+    "dedup_ngram_dfcut",
+    oracle=f"""
+WITH {_SQL_CORPUS}, {_SQL_TOKS},
+inv AS (SELECT doc_id, unnest(s) AS shg FROM sh),
+rare AS (SELECT shg FROM (SELECT shg, COUNT(*) AS df FROM inv GROUP BY shg)
+         WHERE df <= 10),
+ki AS (SELECT i.doc_id, i.shg FROM inv i JOIN rare USING (shg)),
+ks AS (SELECT doc_id, list(shg) AS s FROM ki GROUP BY doc_id)
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) = 0
+              THEN 0.0
+              ELSE len(list_intersect(a.s, b.s))::DOUBLE
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         END AS jaccard
+  FROM ks a JOIN ks b ON a.doc_id < b.doc_id)
+WHERE jaccard >= 0.6
+""",
+)
+def dedup_ngram_dfcut_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path of :func:`~mevi_spark.operators.dedup.ngram_jaccard_pairs`:
+    identical inverted-index join but with the ``max_doc_freq=10``
+    df-cut, so a shingle shared by many docs (here the planted
+    duplicates' common shingles) is dropped *before* the self-join —
+    bounding the posting lists that would otherwise go quadratic.
+    Jaccard is over the surviving shingle sets on both engines."""
+    out = D.ngram_jaccard_pairs(
+        _corpus(spark, sf_dir), threshold=0.6, max_doc_freq=10
+    )
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 
@@ -520,10 +553,14 @@ WITH p AS (
   FROM documents),
 e AS (SELECT doc_id, list_append(ids, 0 + 1) AS we FROM p)
 SELECT doc_id,
-       list_concat(we, list_transform(range(1, 17 - len(we)), x -> 0::INT)) AS input_ids,
-       list_concat(list_transform(we, x -> 1::INT),
-                   list_transform(range(1, 17 - len(we)), x -> 0::INT)) AS attention_mask,
-       len(we) AS n_tokens
+       array_to_string(
+         list_concat(we, list_transform(range(1, 17 - len(we)), x -> 0::INT)),
+         ',') AS input_ids,
+       array_to_string(
+         list_concat(list_transform(we, x -> 1::INT),
+                     list_transform(range(1, 17 - len(we)), x -> 0::INT)),
+         ',') AS attention_mask,
+       len(we)::BIGINT AS n_tokens
 FROM e
 """,
 )
@@ -531,12 +568,18 @@ def tokenize_padded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: fixed-length (input_ids, attention_mask) with pad/truncate at
     max_len=16 over a deterministic hash vocabulary — the engine-side
     semantics of the reference's HF tokenizer calls
-    (``MEVI/main_models.py:445-466``)."""
+    (``MEVI/main_models.py:445-466``). The id/mask arrays are
+    CSV-serialized per the registry convention (position order matters,
+    so no sort) — the driver's canonicalizer cannot hash raw arrays."""
     docs = load_table(spark, sf_dir, "documents")
     tok = TA.tokenize_padded("text", max_len=16, vocab_size=30000)
     return docs.select("doc_id", tok.alias("t")).select(
         "doc_id",
-        F.col("t.input_ids").alias("input_ids"),
-        F.col("t.attention_mask").alias("attention_mask"),
+        F.array_join(
+            F.col("t.input_ids").cast("array<string>"), ","
+        ).alias("input_ids"),
+        F.array_join(
+            F.col("t.attention_mask").cast("array<string>"), ","
+        ).alias("attention_mask"),
         F.col("t.n_tokens").cast("long").alias("n_tokens"),
     )

@@ -542,13 +542,17 @@ SELECT query_id, neg_id FROM (
   SELECT qc.query_id, d.vec_id AS neg_id,
          ROW_NUMBER() OVER (PARTITION BY qc.query_id ORDER BY d.vec_id ASC) AS rn
   FROM qc JOIN codes d ON d.code_0 != qc.q0 AND d.code_0 != qc.q1
-                      AND d.code_1 != qc.q0 AND d.code_1 != qc.q1)
+                      AND d.code_1 != qc.q0 AND d.code_1 != qc.q1
+  WHERE CAST(CAST('0x' || substr(md5(CAST(d.vec_id AS VARCHAR)), 1, 6) AS INTEGER) AS BIGINT) % 10 < 4)
 WHERE rn <= 5
 """,
 )
 def negatives_notclus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 ``notclus``: docs whose two-level RQ code shares no digit with
-    the positive's code (``MEVI/main_models.py:1867-1908``), first-5."""
+    the positive's code (``MEVI/main_models.py:1867-1908``), first-5 out
+    of a deterministic md5-sampled candidate pool (40% here; at corpus
+    scale the pool is constant-size and broadcast — see
+    :func:`negative_samples_notclus`)."""
     from mevi_spark.operators.negatives import negative_samples_notclus
 
     mapping, _ = _codebook2(spark, sf_dir)
@@ -559,7 +563,9 @@ def negatives_notclus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _queries(spark, sf_dir).select(
         "query_id", F.col("query_id").alias("pos_id")
     )
-    return negative_samples_notclus(pairs, code_map, n=5)
+    return negative_samples_notclus(
+        pairs, code_map, n=5, pool_mod=10, pool_keep=4
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -578,17 +584,23 @@ FROM q JOIN documents d ON list_contains(string_split(d.text, ' '), q.answer)
 def inverse_answer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: doc → query-idx pairs for docs containing the query's answer
     token (``dataprocess/NQ_dpr/get_inverse_answers.py:10-27``; the CSR
-    memmap pair becomes plain (doc, query) rows per SURVEY §1.1)."""
+    memmap pair becomes plain (doc, query) rows per SURVEY §1.1).
+
+    Plan shape for 21M docs: explode each doc's *distinct* tokens once
+    into a ``(doc_id, token)`` inverted index and hash-equi-join it with
+    the (small, broadcast) answer table on ``token = answer`` — never
+    the ``array_contains`` theta-join, which Spark can only execute as a
+    BroadcastNestedLoopJoin evaluating O(|docs|·|queries|) predicates."""
     docs = load_table(spark, sf_dir, "documents")
     qs = docs.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("query_idx"),
         F.element_at(F.split("text", " "), 1).alias("answer"),
     )
-    return (
-        F.broadcast(qs)
-        .join(docs, F.array_contains(F.split(docs.text, " "), qs.answer))
-        .select("query_idx", "doc_id")
+    inv = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("answer"),
     )
+    return inv.join(F.broadcast(qs), "answer").select("query_idx", "doc_id")
 
 
 @register(
@@ -770,8 +782,12 @@ WITH sums AS (
         FROM embeddings)
   GROUP BY label, pos)
 SELECT code,
-       ROUND(0.5 * 1.0 + 0.5 * MAX(n), 6) AS cluster_size,
-       list(ROUND((0.5 * s) / (0.5 * 1.0 + 0.5 * n), 6) ORDER BY pos) AS centroid
+       CAST(ROUND((0.5 * 1.0 + 0.5 * MAX(n)) * 1000000) AS BIGINT)
+         AS cluster_size_e6,
+       array_to_string(
+         list(CAST(ROUND(((0.5 * s) / (0.5 * 1.0 + 0.5 * n)) * 1000000)
+                   AS BIGINT) ORDER BY pos),
+         ',') AS centroid
 FROM sums GROUP BY code
 """,
 )
@@ -780,7 +796,10 @@ def rq_ema_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, ``code = label`` assignment, γ=0.5 —
     ``N_k ← γ + (1−γ)n_k``, ``m_k ← (1−γ)·Σv``, centroid ``m_k/N_k``.
     The batch statistics are one Spark aggregation; the oracle replays
-    the same decimal-stabilized sums."""
+    the same decimal-stabilized sums. Output conformance: the centroid
+    vector is CSV-serialized as micro-unit BIGINTs (a raw
+    ``array<double>`` breaks the driver's canonicalizer; double→string
+    formatting differs across engines, scaled integers don't)."""
     emb = _emb(spark, sf_dir)
     assigned = emb.select(
         F.col("label").alias("code"), F.col("embedding").alias("vector")
@@ -793,8 +812,15 @@ def rq_ema_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ema_update_codebook(assigned, init, decay=0.5)
     return out.select(
         "code",
-        F.round("cluster_size", 6).alias("cluster_size"),
-        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+        F.round(F.col("cluster_size") * 1e6)
+        .cast("long")
+        .alias("cluster_size_e6"),
+        F.array_join(
+            F.transform(
+                "centroid", lambda x: F.round(x * 1e6).cast("long")
+            ).cast("array<string>"),
+            ",",
+        ).alias("centroid"),
     )
 
 
@@ -1099,20 +1125,25 @@ WITH q AS (SELECT doc_id AS query_idx, string_split(text, ' ')[1] AS answer
            FROM documents WHERE doc_id % 50 = 0),
 pairs AS (SELECT DISTINCT d.doc_id, q.query_idx
           FROM q JOIN documents d ON list_contains(string_split(d.text, ' '), q.answer))
-SELECT doc_id, list(query_idx ORDER BY query_idx) AS query_idxs,
-       COUNT(*) AS n_queries
+SELECT doc_id,
+       array_to_string(list(query_idx ORDER BY query_idx), ',') AS query_idxs,
+       COUNT(*)::BIGINT AS n_queries
 FROM pairs GROUP BY doc_id
 """,
 )
 def doc_query_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: ``doc_to_query_list[docid].add(query)`` — the dedup set agg of
     ``MEVI/main_utils.py:128-131`` as ``collect_set`` over the
-    inverse-answer pairs (A8)."""
+    inverse-answer pairs (A8). The per-doc query set is sorted then
+    CSV-serialized per the registry's array-output convention."""
     pairs = inverse_answer_index(spark, sf_dir)
     return pairs.groupBy("doc_id").agg(
-        F.sort_array(F.array_distinct(F.collect_list("query_idx"))).alias(
-            "query_idxs"
-        ),
+        F.array_join(
+            F.sort_array(
+                F.array_distinct(F.collect_list("query_idx"))
+            ).cast("array<string>"),
+            ",",
+        ).alias("query_idxs"),
         F.countDistinct("query_idx").alias("n_queries"),
     )
 
@@ -1127,9 +1158,9 @@ def doc_query_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_SQL_ENC2},
 {_SQL_A1}
 SELECT vec_id,
-       [code_0 + 2, 10 + code_1 + 2] AS toks,
-       [code_0, code_1] AS code_back,
-       (code_0 + 2) * 100 + (10 + code_1 + 2) AS tok_key
+       array_to_string([code_0 + 2, 10 + code_1 + 2], ',') AS toks,
+       array_to_string([code_0, code_1], ',') AS code_back,
+       ((code_0 + 2) * 100 + (10 + code_1 + 2))::BIGINT AS tok_key
 FROM a1
 """,
 )
@@ -1137,7 +1168,9 @@ def code_token_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7: ``encode_single_newid`` / ``decode_token`` roundtrip
     (``MEVI/main_models.py:83-136``) — per-level codes packed into the
     shared seq2seq vocabulary (``token = level·K + code + 2``) and
-    recovered, as pure column arithmetic."""
+    recovered, as pure column arithmetic. Token/code sequences are
+    CSV-serialized (position order preserved) per the registry's
+    array-output convention."""
     from mevi_spark.functions.vector import code_tokens, tokens_to_code
 
     mapping, _ = _codebook2(spark, sf_dir)
@@ -1148,8 +1181,10 @@ def code_token_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = code_tokens("code", K_LABELS)
     return m.select(
         "vec_id",
-        toks.alias("toks"),
-        tokens_to_code(toks, K_LABELS).alias("code_back"),
+        F.array_join(toks.cast("array<string>"), ",").alias("toks"),
+        F.array_join(
+            tokens_to_code(toks, K_LABELS).cast("array<string>"), ","
+        ).alias("code_back"),
         (
             F.element_at(toks, 1).cast("long") * 100
             + F.element_at(toks, 2).cast("long")

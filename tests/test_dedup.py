@@ -133,3 +133,52 @@ def test_connected_components_union_find(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20, 23: 20,
     }
+
+
+def test_ngram_dfcut_bounds_frequent_shingle(spark):
+    # 40 docs all share one hot shingle ("alpha beta gamma") — without a
+    # df-cut the inverted-index self-join builds 40*39/2 = 780 candidate
+    # pairs from that single posting list; with max_doc_freq the hot
+    # shingle is dropped before the join. Docs 100/101 are true near
+    # dups through *rare* shingles and must survive the cut.
+    rows = [
+        (i, f"alpha beta gamma unique{i} token{i} filler{i} word{i}")
+        for i in range(40)
+    ]
+    rows += [
+        (100, "rare one two three four five six seven"),
+        (101, "rare one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # the filtered inverted index must contain no shingle above the cut
+    base = D.shingle_frame(df)
+    inv = base.select("doc_id", F.explode("shingles").alias("s"))
+    over = (
+        inv.groupBy("s").count().filter(F.col("count") > 5)
+    )
+    assert over.count() > 0  # the hot shingle exists pre-cut
+
+    out = D.ngram_jaccard_pairs(df, threshold=0.5, max_doc_freq=5).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    # true near-dup pair survives; no pair exists only via the hot shingle
+    assert (100, 101) in pairs and pairs[(100, 101)] > 0.5
+    assert all(a >= 100 for (a, b) in pairs), pairs
+
+    # bound check: candidate pairs after the cut are tiny, not 780
+    kept = inv.join(
+        inv.groupBy("s").count().filter(F.col("count") <= 5).select("s"),
+        "s",
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    n_cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_cand <= 5

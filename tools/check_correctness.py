@@ -1,8 +1,20 @@
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — strict edition.
 
 Runs every registered query's Spark plan AND its DuckDB oracle SQL at a
-given scale factor, compares row count + column names + an
-order-insensitive value multiset, and prints one status line per query.
+given scale factor and compares them the way the driver does: both
+results go through **pandas** (Spark ``toPandas`` / DuckDB ``.df()``),
+columns sorted by name, rows sorted, values compared per column. Two
+failure classes the old tuple-based checker missed are now hard errors,
+because the driver's canonicalizer rejects them:
+
+* any column whose values are lists/arrays (``sort_values`` raises
+  ``TypeError: unhashable type: 'list'`` in the driver) — serialize
+  arrays with ``concat_ws``/``array_to_string`` instead;
+* integer-vs-float dtype-kind mismatches between engines (DuckDB
+  ``SUM``→HUGEINT arrives as float64 in pandas, literals as int32 —
+  the driver's value hash is dtype-sensitive) — pin both sides to
+  BIGINT/DOUBLE explicitly.
+
 Queries without an oracle get a rows-only check (runs, rows >= 0).
 
 Usage: python tools/check_correctness.py [sf_dir] [name_filter...]
@@ -10,14 +22,14 @@ Usage: python tools/check_correctness.py [sf_dir] [name_filter...]
 
 from __future__ import annotations
 
-import math
 import os
 import sys
-from datetime import datetime
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -25,29 +37,62 @@ TABLES = (
 ).split()
 
 
-def _norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return float(v)
-    if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
-    try:  # Decimal → float
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return float(v)
-    except ImportError:
-        pass
-    return v
+def _canon(df: pd.DataFrame) -> tuple[pd.DataFrame, str | None]:
+    """Sort columns by name then rows by all columns — the driver's
+    canonicalization. Returns (canonical_df, error) where error is a
+    message when the frame contains driver-unsortable values."""
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
+            return df, f"column {c!r} contains raw arrays/lists"
+    try:
+        out = df.sort_values(list(df.columns)).reset_index(drop=True)
+    except TypeError as e:
+        return df, f"unsortable values: {e}"
+    return out, None
 
 
-def rows_key(cols: list[str], rows: list[tuple]) -> list[tuple]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm(r[i]) for i in order) for r in rows]
-    return sorted(out, key=repr)
+def _kind(s: pd.Series) -> str:
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    # object: classify by first non-null value
+    for v in s:
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            continue
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, (int, np.integer)):
+            return "int"
+        if isinstance(v, (float, np.floating)):
+            return "float"
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes"
+        return type(v).__name__ if not isinstance(v, str) else "str"
+    return "empty"
+
+
+def _col_equal(a: pd.Series, b: pd.Series) -> bool:
+    if len(a) != len(b):
+        return False
+    ka, kb = _kind(a), _kind(b)
+    if ka != kb:
+        return False
+    if ka in ("int", "float"):
+        av = pd.to_numeric(a, errors="coerce").to_numpy(dtype="float64")
+        bv = pd.to_numeric(b, errors="coerce").to_numpy(dtype="float64")
+        # driver hash is exact — no tolerance
+        return bool(
+            np.array_equal(av, bv)
+            or np.array_equal(np.nan_to_num(av), np.nan_to_num(bv))
+        )
+    return bool((a.fillna("\0") == b.fillna("\0")).all())
 
 
 def main() -> int:
@@ -73,46 +118,64 @@ def main() -> int:
         if name_filter and not any(f in name for f in name_filter):
             continue
         try:
-            df = fn(spark, sf_dir)
-            cols = list(df.columns)
-            rows = [tuple(r) for r in df.collect()]
+            sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"ROWS {name}: {len(rows)} rows (no oracle)")
+            print(f"ROWS {name}: {len(sdf)} rows (no oracle)")
             n_rows_only += 1
             continue
         try:
-            res = con.sql(oracles[name])
-            ocols = list(res.columns)
-            orows = res.fetchall()
+            odf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
         problems = []
-        if len(rows) != len(orows):
-            problems.append(f"rowcount {len(rows)} != {len(orows)}")
-        if sorted(c.lower() for c in cols) != sorted(c.lower() for c in ocols):
-            problems.append(f"schema {sorted(cols)} != {sorted(ocols)}")
+        if len(sdf) != len(odf):
+            problems.append(f"rowcount {len(sdf)} != {len(odf)}")
+        scols = sorted(c.lower() for c in sdf.columns)
+        ocols = sorted(c.lower() for c in odf.columns)
+        if scols != ocols:
+            problems.append(f"schema {scols} != {ocols}")
         if not problems:
-            a, b = rows_key(cols, rows), rows_key(ocols, orows)
-            if a != b:
-                bad = next(
-                    (i for i, (x, y) in enumerate(zip(a, b)) if x != y), None
-                )
-                problems.append(
-                    f"values differ (first at sorted idx {bad}):\n"
-                    f"    spark : {a[bad] if bad is not None else '?'}\n"
-                    f"    duckdb: {b[bad] if bad is not None else '?'}"
-                )
+            sdf.columns = [c.lower() for c in sdf.columns]
+            odf.columns = [c.lower() for c in odf.columns]
+            a, aerr = _canon(sdf)
+            b, berr = _canon(odf)
+            if aerr:
+                problems.append(f"spark result not driver-hashable: {aerr}")
+            if berr:
+                problems.append(f"oracle result not driver-hashable: {berr}")
+            if not problems:
+                for c in a.columns:
+                    ka, kb = _kind(a[c]), _kind(b[c])
+                    if ka != kb:
+                        problems.append(
+                            f"dtype kind mismatch on {c!r}: "
+                            f"spark={ka} duckdb={kb}"
+                        )
+                    elif not _col_equal(a[c], b[c]):
+                        diff = next(
+                            (
+                                i
+                                for i in range(len(a))
+                                if not _col_equal(a[c].iloc[[i]], b[c].iloc[[i]])
+                            ),
+                            None,
+                        )
+                        problems.append(
+                            f"values differ on {c!r} (first at sorted row "
+                            f"{diff}): spark={a[c].iloc[diff] if diff is not None else '?'!r} "
+                            f"duckdb={b[c].iloc[diff] if diff is not None else '?'!r}"
+                        )
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(rows)} rows")
+            print(f"PASS {name}: {len(sdf)} rows")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
     return 1 if n_fail else 0
