@@ -1,0 +1,256 @@
+"""Driver-checkable roundtrip queries for the interop source/sink tier
+(SURVEY §2.1): the reference's TSV formats (S1 corpus / S2 queries / S5
+run files), the memmap binary matrix source+sink (S3/S6), and the
+deterministic embedder (U1).
+
+Each query *writes* the artifact with the repo's sink, *reads* it back
+with the repo's scan, and emits a per-row checksum the DuckDB oracle
+recomputes straight from the source parquet — so a driver-green row
+proves the full write→read path preserves the data, not just that the
+reader parses.
+
+Cross-engine rules (registry docstring): float checksums are summed as
+micro-unit BIGINTs (``round(x·10⁶)`` per element, integer sum —
+order-free and formatting-free); everything else is pinned BIGINT.
+
+Artifacts land in a fresh ``tempfile.mkdtemp`` per invocation — these
+queries run at sf0.01 (tens of KB); the sinks themselves are the
+100 TB-shaped parts (executor-side shard writes, no driver merge).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mevi_spark.embed import embed_text
+from mevi_spark.plans.registry import register
+from mevi_spark.sources.io import (
+    load_table,
+    read_corpus_tsv,
+    read_queries_dev_tsv,
+    read_run_tsv,
+    write_run_tsv,
+)
+from mevi_spark.sources.memmap import read_memmap_matrix, write_memmap_shards
+
+
+def _tmp(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=f"mevi_{prefix}_") + "/data"
+
+
+# ---------------------------------------------------------------------------
+# S1: corpus TSV write → read → checksum
+
+
+@register(
+    "tsv_corpus_roundtrip",
+    oracle="""
+SELECT doc_id,
+       strlen(string_split(text, ' ')[1])::BIGINT AS title_len,
+       strlen(text)::BIGINT AS content_len
+FROM documents
+""",
+)
+def tsv_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 (``MEVI/main_utils.py:188-213``): synthesize the reference's
+    ``(doc_id, title, content)`` corpus TSV from ``documents``, write it
+    with Spark's native sharded CSV sink, scan it back with
+    :func:`read_corpus_tsv`, and emit per-row length checksums the
+    oracle recomputes from the parquet source."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.element_at(F.split("text", " "), 1).alias("title"),
+        F.col("text").alias("content"),
+    )
+    path = _tmp("corpus_tsv")
+    corpus.write.mode("overwrite").csv(path, sep="\t")
+    back = read_corpus_tsv(spark, path)
+    return back.select(
+        "doc_id",
+        F.length("title").cast("long").alias("title_len"),
+        F.length("content").cast("long").alias("content_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2: dev-queries TSV (comma-joined positives converter)
+
+
+@register(
+    "tsv_queries_roundtrip",
+    oracle="""
+SELECT 'q' || doc_id AS query,
+       3::BIGINT AS n_ids,
+       (3 * doc_id + 3)::BIGINT AS ids_sum
+FROM documents WHERE doc_id % 50 = 0
+""",
+)
+def tsv_queries_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 (``MEVI/main_utils.py:264-287``): write dev rows
+    ``(query, comma-joined doc_ids)``, scan back through
+    :func:`read_queries_dev_tsv`'s ``array<long>`` converter
+    (the reference's ``comma_split``), checksum the parsed arrays."""
+    docs = load_table(spark, sf_dir, "documents")
+    dev = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.concat(F.lit("q"), F.col("doc_id")).alias("query"),
+        F.concat_ws(
+            ",",
+            F.col("doc_id"),
+            F.col("doc_id") + 1,
+            F.col("doc_id") + 2,
+        ).alias("doc_ids_csv"),
+    )
+    path = _tmp("queries_tsv")
+    dev.write.mode("overwrite").csv(path, sep="\t")
+    back = read_queries_dev_tsv(spark, path)
+    return back.select(
+        "query",
+        F.size("doc_ids").cast("long").alias("n_ids"),
+        F.aggregate(
+            "doc_ids", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("ids_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5: run-file sink → scan → checksum
+
+
+@register(
+    "tsv_run_roundtrip",
+    oracle="""
+WITH r AS (
+  SELECT 'q' || doc_id AS query,
+         list_transform(range(1, 6), i -> doc_id * 10 + i) AS preds,
+         list_transform(range(1, 6), i -> ROUND(1.0 / (doc_id + i), 6)) AS scores
+  FROM documents WHERE doc_id % 50 = 0)
+SELECT query,
+       len(preds)::BIGINT AS n_preds,
+       list_sum(preds)::BIGINT AS preds_sum,
+       list_sum(list_transform(scores,
+                x -> CAST(ROUND(x * 1000000) AS BIGINT)))::BIGINT AS scores_sum_e6
+FROM r
+""",
+)
+def tsv_run_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 (``MEVI/main_models.py:190-273``, ``MEVI/faiss_search.py:71-77``):
+    build a deterministic run table, sink it with :func:`write_run_tsv`
+    (one sharded Spark write — the per-rank tmp-file + rank-0 merge
+    dance of the reference collapses), scan it back with
+    :func:`read_run_tsv`, checksum the parsed pred/score arrays. Score
+    doubles survive the text roundtrip exactly (shortest-roundtrip
+    formatting), checked via micro-unit integer sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    run = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.concat(F.lit("q"), F.col("doc_id")).alias("query"),
+        F.lit(None).cast("array<array<int>>").alias("clusters"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(5)),
+            lambda i: F.col("doc_id") * 10 + i,
+        ).alias("preds"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(5)),
+            lambda i: F.round(F.lit(1.0) / (F.col("doc_id") + i), 6),
+        ).alias("scores"),
+    )
+    path = _tmp("run_tsv")
+    write_run_tsv(run, path)
+    back = read_run_tsv(spark, path)
+    return back.select(
+        "query",
+        F.size("preds").cast("long").alias("n_preds"),
+        F.aggregate(
+            "preds", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("preds_sum"),
+        F.aggregate(
+            "scores",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.round(x * 1e6).cast("long"),
+        ).alias("scores_sum_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3/S6: memmap matrix sink → scan → checksum
+
+
+@register(
+    "memmap_roundtrip",
+    oracle="""
+SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS row_id,
+       list_sum(list_transform(embedding::DOUBLE[],
+                x -> CAST(ROUND(x * 1000000) AS BIGINT)))::BIGINT AS vec_sum_e6
+FROM embeddings
+""",
+)
+def memmap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+S6 (``MEVI/generate.py:87-113``, ``MemmapList``
+    ``MEVI/main_models.py:332-350``): sink the embeddings table to
+    per-partition float32 ``.bin`` shards (executor-side writes, path
+    order = row order, no rank-0 concat), scan them back through the
+    ``binaryFile`` → ``mapInPandas`` reshape, and checksum every vector.
+    float32 survives the binary roundtrip bit-exact; ``row_id`` is the
+    MemmapList global row numbering (rank of ``vec_id``)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("row_id"), F.col("embedding").alias("vec")
+    )
+    out_dir = _tmp("memmap")
+    write_memmap_shards(emb, out_dir, dtype="float32")
+    dim = len(emb.first()["vec"])
+    back = read_memmap_matrix(spark, out_dir, dim=dim, dtype="float32")
+    return back.select(
+        "row_id",
+        F.aggregate(
+            "vec",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.round(x.cast("double") * 1e6).cast("long"),
+        ).alias("vec_sum_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1: deterministic embedder — determinism + unit-norm contract
+
+
+@register(
+    "embed_determinism",
+    oracle="""
+SELECT doc_id,
+       1::BIGINT AS deterministic,
+       CASE WHEN strlen(trim(text)) = 0 THEN 0.0 ELSE 1.0 END AS norm4
+FROM documents
+""",
+)
+def embed_determinism(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 (``MEVI/document_encoder.py:104-126`` stand-in,
+    ``mevi_spark/embed.py``): run the seeded random-projection embedder
+    twice independently over the corpus and prove (a) bit-identical
+    outputs (same text → same vector, the fixture contract SURVEY §7.1
+    relies on) and (b) the L2-normalization invariant ‖v‖ = 1, rounded
+    to 4 places to absorb float32 representation error (~1e-7)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    e1 = embed_text(docs, dim=16, seed=7).select(
+        "doc_id", F.col("embedding").alias("v1")
+    )
+    e2 = embed_text(docs, dim=16, seed=7).select(
+        "doc_id", F.col("embedding").alias("v2")
+    )
+    norm_sq = F.aggregate(
+        "v1",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return (
+        e1.join(e2, "doc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("v1") == F.col("v2"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("deterministic"),
+            F.round(F.sqrt(norm_sq), 4).alias("norm4"),
+        )
+    )

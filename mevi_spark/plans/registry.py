@@ -65,6 +65,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from mevi_spark.plans import (  # noqa: F401
+        interop_ops,
         multimodal_ops,
         pipeline_ops,
         relational,

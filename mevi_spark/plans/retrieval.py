@@ -33,9 +33,11 @@ from mevi_spark.operators.rq import (
     code_prefix_members,
     ema_update_codebook,
     load_rq_model,
+    reconstruct,
     rq_encode_seeded,
     rq_level_centroids,
     save_rq_model,
+    train_rq_kmeans,
 )
 from mevi_spark.operators.topk import exact_topk_join, topk_per_group
 from mevi_spark.plans.registry import register
@@ -1189,4 +1191,96 @@ def code_token_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(toks, 1).cast("long") * 100
             + F.element_at(toks, 2).cast("long")
         ).alias("tok_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F11: RQ reconstruction (per-level join, never the K^M table)
+
+
+@register(
+    "rq_reconstruct",
+    oracle=f"""
+WITH {_SQL_ENC2},
+{_SQL_A1},
+rec AS (
+  SELECT a.vec_id,
+         list_transform(list_zip(c0.centroid, c1.centroid),
+                        x -> x[1] + x[2]) AS rv
+  FROM a1 a JOIN cent0 c0 ON c0.code = a.code_0
+            JOIN cent1 c1 ON c1.code = a.code_1)
+SELECT vec_id, pos::INT AS pos,
+       CAST(ROUND(val * 1000000) AS BIGINT) AS val_e6
+FROM (SELECT vec_id, unnest(rv) AS val, generate_subscripts(rv, 1) AS pos
+      FROM rec)
+""",
+)
+def rq_reconstruct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: embedding ≈ Σ_level codebook[level][code]
+    (``MEVI/pq.py:768-799``) — per-level broadcast joins, never the
+    K^M reconstruction table the reference precomputes
+    (``MEVI/main_models.py:3272-3309``; SURVEY §7.5.3). Long-form
+    output ``(vec_id, pos, val_e6)`` so the oracle checks every
+    reconstructed component; micro-unit BIGINT per the registry's
+    float-output rule."""
+    mapping, codebook = _codebook2(spark, sf_dir)
+    rec = reconstruct(mapping, codebook, levels=2, id_col="id")
+    return rec.select(
+        F.col("id").alias("vec_id"),
+        F.posexplode("reconstructed").alias("pos", "val"),
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("int").alias("pos"),
+        F.round(F.col("val") * 1e6).cast("long").alias("val_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: MLlib KMeans RQ training — invariants (rows-only: centroids are
+# seed-stable only within one Spark build, so no cross-engine oracle)
+
+
+@register("rq_kmeans_invariant")
+def rq_kmeans_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (``MEVI/pq.py:550-598``): train the production MLlib-KMeans RQ
+    (2 levels × k=8 on residuals) and emit the training invariants the
+    reference's asserts encode (``MEVI/pq.py:161-168``): every level has
+    exactly k centroids, and adding level 2 strictly reduces mean
+    squared reconstruction error (the RQ contract). Rows-only check by
+    design — MLlib centroid values are not reproducible in DuckDB."""
+    emb = _emb(spark, sf_dir)
+    mapping, codebook = train_rq_kmeans(
+        emb, levels=2, k=8, seed=13, id_col="vec_id",
+        vec_col="embedding", max_iter=8,
+    )
+    src = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("orig"),
+    )
+
+    def mse(levels: int) -> float:
+        rec = reconstruct(mapping, codebook, levels=levels, id_col="id")
+        err = F.aggregate(
+            F.zip_with("orig", "reconstructed", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        row = (
+            rec.join(src, "id")
+            .agg(F.avg(err).alias("mse"))
+            .first()
+        )
+        return float(row["mse"])
+
+    n_per_level = {
+        int(r["level"]): int(r["n"])
+        for r in codebook.groupBy("level").agg(F.count("*").alias("n")).collect()
+    }
+    mse1, mse2 = mse(1), mse(2)
+    rows = [
+        (1, n_per_level.get(0, 0), round(mse1, 6), 1),
+        (2, n_per_level.get(1, 0), round(mse2, 6), 1 if mse2 < mse1 else 0),
+    ]
+    return spark.createDataFrame(
+        rows, "level int, n_centroids long, mse double, improved int"
     )
