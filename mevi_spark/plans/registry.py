@@ -68,6 +68,7 @@ def _ensure_loaded() -> None:
         interop_ops,
         multimodal_ops,
         pipeline_ops,
+        pruning_ops,
         relational,
         retrieval,
     )
