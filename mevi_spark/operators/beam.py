@@ -121,3 +121,76 @@ def rq_beam_search(
         "beam_score",
         "beam_rank",
     )
+
+
+def enumerate_all_codes(
+    queries: DataFrame,
+    codebook: DataFrame,
+    levels: int,
+    k_per_level: int,
+    topk: int,
+    metric: str = "ip",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """U5: brute-force level-wise enumeration of ALL K^M code sequences
+    per query — the beam with pruning turned off.
+
+    Reference: ``_generate_all`` (``MEVI/transformers/generation_utils.py:
+    1013-1100``): every level expands every surviving hypothesis by every
+    code, the per-level log-softmax scores accumulate by addition, and no
+    hypothesis is dropped until the consumer's blocked running top-k
+    (``eval_all_documents``, ``MEVI/main_models.py:3818-3876``). Here the
+    accumulation is the product of per-hypothesis softmax probabilities —
+    the same quantity in linear space.
+
+    Scale note: the intermediate is |queries| × K^level rows — this is
+    the reference's *diagnostic* mode (it batches the blowup at
+    ``local_batch_size=128``), not the retrieval path; the beam is.
+    Spark-side the expansion is a crossJoin against the broadcast K-row
+    level codebook, so the K^M rows are distributed, never collected,
+    and the final per-query top-k is a window over them. Use only for
+    small K^M (bounded cluster spaces), as the reference does.
+
+    Returns ``(query_id, code, code_flat, score, rank)``, rank 1..topk,
+    deterministic tie-break on the flat code index.
+    """
+    score_fn = _METRICS[metric]
+    state = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.array().cast("array<int>").alias("prefix"),
+        F.lit(1.0).alias("score"),
+        F.col(query_vec).cast("array<double>").alias("resid"),
+    )
+    for lvl in range(levels):
+        cb = F.broadcast(
+            codebook.filter(F.col("level") == lvl).select(
+                F.col("code").alias("_code"), F.col("centroid").alias("_cent")
+            )
+        )
+        cand = state.crossJoin(cb).withColumn("_raw", score_fn("resid", "_cent"))
+        hyp = Window.partitionBy("query_id", "prefix")
+        shifted = F.exp(F.col("_raw") - F.max("_raw").over(hyp))
+        cand = cand.withColumn("score", F.col("score") * shifted / F.sum(shifted).over(hyp))
+        new_prefix = F.concat("prefix", F.array(F.col("_code")))
+        if lvl < levels - 1:
+            resid = F.zip_with("resid", "_cent", lambda a, b: a - b)
+        else:
+            resid = F.col("resid")
+        state = cand.select(
+            "query_id",
+            new_prefix.alias("prefix"),
+            "score",
+            resid.alias("resid"),
+        )
+    ranked = topk_per_group(
+        state.withColumn("_flat", code_flat("prefix", k_per_level)),
+        ["query_id"], "score", topk, ["_flat"], rank_col="rank",
+    )
+    return ranked.select(
+        "query_id",
+        F.col("prefix").alias("code"),
+        F.col("_flat").alias("code_flat"),
+        "score",
+        "rank",
+    )

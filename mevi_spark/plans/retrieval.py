@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mevi_spark.operators.ann import lsh_topk_join
-from mevi_spark.operators.beam import rq_beam_search
+from mevi_spark.operators.beam import enumerate_all_codes, rq_beam_search
 from mevi_spark.operators.dedup import deterministic_planes
 from mevi_spark.operators.ensemble import fuse_runs
 from mevi_spark.operators.metrics import evaluate_run
@@ -392,6 +392,52 @@ def rq_beam_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "code_flat",
         F.round("beam_score", 6).alias("beam_score"), "beam_rank",
+    )
+
+
+@register(
+    "eval_all_codes",
+    oracle=f"""
+WITH {_SQL_ENC2},
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+l0raw AS (SELECT query_id, qv, c.code AS c0, c.centroid AS cent,
+                 list_dot_product(qv, c.centroid) AS raw
+          FROM q, cent0 c),
+l0e AS (SELECT *, exp(raw - MAX(raw) OVER (PARTITION BY query_id)) AS e FROM l0raw),
+b1 AS (SELECT query_id, c0, e / SUM(e) OVER (PARTITION BY query_id) AS p0,
+              list_transform(list_zip(qv, cent), x -> x[1] - x[2]) AS rv
+       FROM l0e),
+l1raw AS (SELECT b.query_id, b.c0, b.p0, c.code AS c1,
+                 list_dot_product(b.rv, c.centroid) AS raw
+          FROM b1 b, cent1 c),
+l1e AS (SELECT *, exp(raw - MAX(raw) OVER (PARTITION BY query_id, c0)) AS e FROM l1raw),
+allc AS (SELECT query_id, c0 * 10 + c1 AS code_flat,
+                p0 * (e / SUM(e) OVER (PARTITION BY query_id, c0)) AS score
+         FROM l1e),
+fin AS (SELECT query_id, code_flat, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, code_flat ASC) AS rank
+        FROM allc QUALIFY rank <= 10)
+SELECT query_id, code_flat, ROUND(score, 6) AS score, CAST(rank AS INT) AS rank
+FROM fin
+""",
+)
+def eval_all_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: exhaustive level-wise enumeration of all K^M codes per query
+    (``_generate_all``, ``MEVI/transformers/generation_utils.py:1013-1100``
+    + the blocked top-k consumer at ``MEVI/main_models.py:3818-3876``) —
+    every two-level code scored, per-query top-10. The diagnostic
+    ``eval_all_documents`` mode; the beam (``rq_beam_search``) is the
+    production path that prunes the same space."""
+    _, codebook = _codebook2(spark, sf_dir)
+    out = enumerate_all_codes(
+        _queries(spark, sf_dir), codebook, levels=2, k_per_level=K_LABELS,
+        topk=10,
+    )
+    return out.select(
+        "query_id", "code_flat",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
     )
 
 

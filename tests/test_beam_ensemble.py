@@ -6,7 +6,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import functions as F
 
-from mevi_spark.operators.beam import rq_beam_search
+from mevi_spark.operators.beam import enumerate_all_codes, rq_beam_search
 from mevi_spark.operators.ensemble import fuse_runs, merge_runs
 from mevi_spark.operators.rq import rq_encode_seeded
 
@@ -76,6 +76,46 @@ def test_beam_matches_numpy_oracle(spark, sf_dir):
         assert [tuple(r.code) for r in rows] == [p for p, _ in expect]
         for r, (_, s) in zip(rows, expect):
             assert abs(r.beam_score - s) < 1e-9
+
+
+def test_full_width_beam_equals_exhaustive(spark, sf_dir):
+    """A beam as wide as the whole level-0 fan-out prunes nothing, so it
+    must return exactly the exhaustive enumeration's top-k (U5 vs U3
+    consistency — ``_generate_all`` is the beam with the mask off)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vector"),
+        "label",
+    )
+    _, codebook = rq_encode_seeded(
+        df, seed_code="label", id_col="id", vec_col="vector", levels=2
+    )
+    k = codebook.filter(F.col("level") == 0).count()
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    topk = 4
+    beam = rq_beam_search(
+        queries, codebook, levels=2, num_beams=k * k, k_per_level=k
+    )
+    beam_top = {
+        (r.query_id, r.beam_rank): (r.code_flat, r.beam_score)
+        for r in beam.filter(F.col("beam_rank") <= topk).collect()
+    }
+    exhaustive = enumerate_all_codes(
+        queries, codebook, levels=2, k_per_level=k, topk=topk
+    )
+    exh_top = {
+        (r.query_id, r.rank): (r.code_flat, r.score)
+        for r in exhaustive.collect()
+    }
+    assert set(beam_top) == set(exh_top)
+    for key, (flat, score) in exh_top.items():
+        bflat, bscore = beam_top[key]
+        assert bflat == flat
+        assert abs(bscore - score) < 1e-9
 
 
 def _py_fuse(apreds, fpreds, cranks, n_clusters, alpha, beta, gamma):
