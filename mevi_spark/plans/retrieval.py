@@ -20,13 +20,18 @@ The retrieval data model maps onto the testdata as:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from mevi_spark.functions.vector import dot
 from mevi_spark.operators.ann import lsh_topk_join
 from mevi_spark.operators.beam import enumerate_all_codes, rq_beam_search
 from mevi_spark.operators.dedup import deterministic_planes
 from mevi_spark.operators.ensemble import fuse_runs
 from mevi_spark.operators.metrics import evaluate_run
+from mevi_spark.operators.projection import (
+    cluster_positional_projection,
+    projection_weights,
+)
 from mevi_spark.operators.rerank import coarse_to_fine
 from mevi_spark.operators.rq import (
     assign_nearest,
@@ -1383,4 +1388,109 @@ def rq_kmeans_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "level int, n_centroids long, mse double, improved int"
+    )
+
+
+# ---------------------------------------------------------------------------
+# U7: cluster-positional projection (PassageEmbeddingProjection,
+# scorerank branch)
+
+_PROJ_EMB_DIM = 8  # embedding slice feeding the projection at test scale
+_PROJ_IN, _PROJ_OUT = _PROJ_EMB_DIM + 2, 4
+_PROJ_W, _PROJ_B = projection_weights(_PROJ_IN, _PROJ_OUT)
+
+
+def _proj_sql_rows() -> str:
+    """UNION ALL branch per output dimension: the literal-weight dense
+    layer replayed with sequential-fold list_dot_product."""
+    parts = []
+    for j in range(_PROJ_OUT):
+        ws = ", ".join(repr(float(v)) for v in _PROJ_W[:, j])
+        parts.append(
+            f"SELECT query_id, doc_id, CAST({j + 1} AS INT) AS pos, "
+            f"ROUND(list_dot_product(fv, [{ws}]) + {float(_PROJ_B[j])!r}, 6) "
+            "AS val FROM feat"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "cluster_projection",
+    oracle=f"""
+WITH {_SQL_COARSE1},
+d AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS dv, label FROM embeddings),
+cand AS (SELECT c.query_id, d.doc_id, d.dv FROM coarse c JOIN d ON d.label = c.code_flat),
+scored AS (SELECT cand.query_id, cand.doc_id, MAX(list_dot_product(q.qv, cand.dv)) AS score
+           FROM cand JOIN q ON q.query_id = cand.query_id
+           GROUP BY cand.query_id, cand.doc_id),
+fin AS (SELECT query_id, doc_id FROM (
+          SELECT query_id, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+          FROM scored) WHERE rank <= 10),
+feat AS (SELECT f.query_id, f.doc_id,
+                list_concat(d.dv[1:{_PROJ_EMB_DIM}],
+                            [COALESCE(1.0 / cr.coarse_rank, 0.0),
+                             COALESCE(ln(cf.p), 0.0)]) AS fv
+         FROM fin f
+         JOIN d ON d.doc_id = f.doc_id
+         LEFT JOIN coarse cr ON cr.query_id = f.query_id AND cr.code_flat = d.label
+         LEFT JOIN cp cf ON cf.query_id = f.query_id AND cf.code = d.label)
+{_proj_sql_rows()}
+""",
+)
+def cluster_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U7 (``PassageEmbeddingProjection``, ``MEVI/main_models.py:
+    1054-1160``, scorerank branch): re-embed the fine run's candidate
+    docs with the cluster-rank reciprocal feature (``get_ranks``,
+    ``:1023-1043``) and the full-softmax cluster log-prob feature
+    (``get_logprobs``, ``:1079-1094``), then apply the deterministic
+    seeded dense layer. Long-form output ``(query_id, doc_id, pos,
+    val)`` so array serialization can't mask element drift."""
+    docs = _docs(spark, sf_dir)
+    cands = (
+        _fine_run(spark, sf_dir)
+        .select("query_id", "doc_id")
+        .join(
+            docs.select(
+                "doc_id",
+                F.slice(
+                    F.col("doc_vec").cast("array<double>"), 1, _PROJ_EMB_DIM
+                ).alias("doc_vec"),
+                F.col("label").cast("long").alias("code_flat"),
+            ),
+            "doc_id",
+        )
+    )
+    coarse = _coarse1(spark, sf_dir)
+    _, codebook = _codebook2(spark, sf_dir)
+    cb0 = codebook.filter(F.col("level") == 0).select(
+        F.col("code").cast("long").alias("code_flat"),
+        F.col("centroid").alias("_cent"),
+    )
+    qwin = Window.partitionBy("query_id")
+    raw = dot("query_vec", "_cent")
+    lp = (
+        _queries(spark, sf_dir)
+        .crossJoin(F.broadcast(cb0))
+        .withColumn("_raw", raw)
+        .withColumn("_e", F.exp(F.col("_raw") - F.max("_raw").over(qwin)))
+        .select(
+            "query_id",
+            "code_flat",
+            F.log(F.col("_e") / F.sum("_e").over(qwin)).alias("logprob"),
+        )
+    )
+    out = cluster_positional_projection(
+        cands, coarse, lp, _PROJ_W, _PROJ_B, ntopk=4,
+        emb_col="doc_vec", code_col="code_flat",
+    )
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.posexplode("projected").alias("pos0", "val"),
+    ).select(
+        "query_id",
+        "doc_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.round("val", 6).alias("val"),
     )
