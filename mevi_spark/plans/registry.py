@@ -71,6 +71,7 @@ def _ensure_loaded() -> None:
         pruning_ops,
         relational,
         retrieval,
+        streaming_ops,
     )
 
     _LOADED = True

@@ -1,0 +1,186 @@
+"""Driver-checkable Structured Streaming queries (M7, SURVEY §2.10).
+
+Each query stages its input as time-ordered parquet slices in a temp
+directory, runs a bounded stream over them (``availableNow`` — drain
+then stop), and returns the materialized result, which a plain batch
+SQL oracle can replay: a stateless streaming transform converges to
+the batch result; the watermark/session cases converge to the batch
+result restricted to *closed* windows/sessions.
+
+Staging is harness plumbing, not the operator: at production scale the
+directory is a landing zone written by the upstream pipeline, and the
+same ``readStream`` picks it up file by file.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mevi_spark.operators.rq import rq_level_centroids
+from mevi_spark.plans.registry import register
+from mevi_spark.plans.retrieval import _SQL_CENT_LIST
+from mevi_spark.sources.io import load_table
+from mevi_spark.streaming import (
+    incremental_quantize,
+    sessionize_stream,
+    windowed_event_counts,
+)
+from mevi_spark.streaming.incremental import stream_parquet_source
+
+
+def _tmp(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=f"mevi_stream_{prefix}_")
+
+
+def _stage_time_slices(
+    df: DataFrame, ts_col: str, n_slices: int, in_dir: str
+) -> str:
+    """Write ``df`` as ``n_slices`` single-file parquet slices split on
+    event-time quantiles, in time order (slice file names and mtimes
+    both ascend), so the file source replays a plausible arrival order.
+    Returns the glob path for ``readStream``."""
+    us = F.unix_micros(F.col(ts_col))
+    frac = [i / n_slices for i in range(1, n_slices)]
+    cuts = df.select(us.alias("_us")).approxQuantile("_us", frac, 0.001)
+    bounds = [float("-inf"), *cuts, float("inf")]
+    for i in range(n_slices):
+        lo, hi = bounds[i], bounds[i + 1]
+        part = df.filter((us > F.lit(lo)) & (us <= F.lit(hi)))
+        part.coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/s{i:02d}")
+    return f"{in_dir}/s*"
+
+
+@register(
+    "streaming_quantize_index",
+    oracle=f"""
+WITH cent AS ({_SQL_CENT_LIST}),
+scored AS (
+  SELECT e.vec_id, c.code,
+         list_dot_product(c.centroid, c.centroid)
+           - 2 * list_dot_product(e.embedding::DOUBLE[], c.centroid) AS d
+  FROM embeddings e, cent c),
+r AS (SELECT vec_id, code,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, code ASC) AS rn
+      FROM scored)
+SELECT vec_id, CAST(code AS INT) AS code FROM r WHERE rn = 1
+""",
+)
+def streaming_quantize_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 / U2-incremental: stream the corpus embeddings file-by-file
+    through ``incremental_quantize`` into a code-partitioned parquet
+    index, then read the index back. Stateless per row, so the drained
+    stream must equal the batch assignment — which is exactly what the
+    oracle replays."""
+    base = _tmp("quant")
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.repartition(4).write.mode("overwrite").parquet(f"{base}/in")
+    cents = rq_level_centroids(emb, code_col="label", vec_col="embedding")
+    stream = stream_parquet_source(
+        spark, f"{base}/in", emb.schema, max_files_per_trigger=2
+    )
+    q = incremental_quantize(
+        stream, cents, f"{base}/out", f"{base}/ckpt",
+        id_col="vec_id", vec_col="embedding",
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(f"{base}/out")
+    return out.select("vec_id", F.col("code").cast("int").alias("code"))
+
+
+@register(
+    "streaming_event_window_counts",
+    oracle="""
+WITH win AS (
+  SELECT time_bucket(INTERVAL 1 DAY, ts) AS win_start, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value_e6
+  FROM events GROUP BY 1, 2),
+wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events)
+SELECT win_start, event_type, n_events, sum_value_e6
+FROM win, wm WHERE win_start + INTERVAL 1 DAY <= wm.w
+""",
+)
+def streaming_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: event-time tumbling-window counts with a 1-hour watermark,
+    append mode — a window is emitted once (when the watermark passes
+    its end) and never revised. The drained stream therefore equals the
+    batch aggregation restricted to closed windows (the oracle's
+    ``window_end <= max(ts) − delay`` filter)."""
+    base = _tmp("win")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    glob = _stage_time_slices(ev, "ts", 3, f"{base}/in")
+    stream = stream_parquet_source(
+        spark, glob, ev.schema, max_files_per_trigger=1
+    )
+    agg = windowed_event_counts(
+        stream, window_duration="1 day", watermark_delay="1 hour"
+    )
+    sink = f"win_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
+    "streaming_sessionize",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM seq),
+agg AS (
+  SELECT user_id, session_idx, COUNT(*) AS n_events,
+         MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM sess GROUP BY user_id, session_idx)
+SELECT user_id, session_start, session_end, n_events
+FROM agg
+WHERE session_idx < (SELECT MAX(a2.session_idx) FROM agg a2
+                     WHERE a2.user_id = agg.user_id)
+""",
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: custom stateful sessionization (``applyInPandasWithState``)
+    over time-ordered event slices. Open sessions live in the state
+    store across micro-batches; a session is emitted when a later event
+    closes it, so the drained stream equals the batch sessionization
+    minus each user's final (still-open) session — the oracle's
+    ``session_idx < max(session_idx)`` filter."""
+    base = _tmp("sess")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    glob = _stage_time_slices(ev, "ts", 3, f"{base}/in")
+    stream = stream_parquet_source(
+        spark, glob, ev.schema, max_files_per_trigger=1
+    )
+    sessions = sessionize_stream(stream)
+    sink = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -1,0 +1,29 @@
+"""Structured Streaming surface (SURVEY.md §2.10 / §7.3 M7).
+
+The reference is entirely offline batch — its only streaming-shaped
+patterns are the blocked running top-k (W3) and the per-rank append/
+merge log sinks (S5). This package is the optional capstone SURVEY
+§2.10 sketches: the same library operators run incrementally over an
+arriving corpus/event stream.
+
+* :func:`incremental_quantize` — incremental encode+quantize of new
+  corpus rows (U1/U2 are stateless per row, so ``foreachBatch``
+  suffices — SURVEY §2.10's own recipe);
+* :func:`windowed_event_counts` — event-time tumbling-window
+  aggregation with a late-data watermark;
+* :func:`sessionize_stream` — custom stateful operator
+  (``applyInPandasWithState``): cross-batch session state per user,
+  closed sessions emitted as their closing event arrives.
+"""
+
+from mevi_spark.streaming.incremental import (
+    incremental_quantize,
+    sessionize_stream,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "incremental_quantize",
+    "sessionize_stream",
+    "windowed_event_counts",
+]

@@ -1,0 +1,189 @@
+"""Streaming operators: incremental quantize, windowed counts, stateful
+sessionization.
+
+Design constraints at 100 TB/day ingest:
+
+* the quantize path is **stateless per row** — each micro-batch is an
+  independent embed→assign job against the broadcast codebook, so
+  parallelism is the file-source's batch size, and the partitioned
+  parquet sink keeps the coarse-to-fine pruning layout intact as data
+  arrives;
+* the windowed aggregation holds state only for open windows (watermark
+  evicts closed ones) — state size is |windows × keys|, not |events|;
+* sessionization state is one open session per user (three numbers) —
+  ``applyInPandasWithState`` shards it by the group key, so state scales
+  horizontally with executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+from mevi_spark.operators.rq import assign_nearest
+
+
+def stream_parquet_source(
+    spark, path: str, schema: StructType, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a parquet directory with an explicit
+    schema (never inference — a full extra listing pass at scale) and
+    bounded per-trigger file count so arrival order is the file order."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def incremental_quantize(
+    stream_df: DataFrame,
+    centroids: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """U2 applied incrementally (SURVEY §2.10: "incremental corpus
+    ingestion → incremental encode+quantize; ``foreachBatch``
+    suffices").
+
+    Each micro-batch runs the *batch* nearest-centroid assignment
+    (broadcast codebook argmin) and appends ``(id, code)`` to a parquet
+    index partitioned by ``code`` — the same partitioned layout the
+    coarse-to-fine scan prunes on, now maintained as data arrives.
+    Returns the started query (``availableNow`` trigger: drains what
+    exists, then stops — the bounded-run mode; a production deploy
+    drops the trigger).
+    """
+
+    def sink(batch: DataFrame, _batch_id: int) -> None:
+        out = assign_nearest(batch, centroids, id_col=id_col, vec_col=vec_col)
+        (
+            out.select(id_col, "code")
+            .write.mode("append")
+            .partitionBy("code")
+            .parquet(output_dir)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    window_duration: str = "1 day",
+    watermark_delay: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time tumbling-window counts/sums per event type with a
+    late-data watermark. Append output mode emits a window only once
+    its end passes the watermark — late events inside the delay are
+    still counted; older ones are dropped with their window closed.
+
+    The value sum goes through DECIMAL (registry determinism rule:
+    partial aggregation order is not stable; decimal addition is exact
+    and order-independent) and is exposed in micro-units.
+    """
+    return (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.window(ts_col, window_duration).alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_sum"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            (F.col("_sum") * 1_000_000).cast("long").alias("sum_value_e6"),
+        )
+    )
+
+
+_SESSION_STATE = "start_us long, last_us long, n_events long"
+_SESSION_OUT = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long"
+)
+_GAP_US_DEFAULT = 1_800_000_000  # 30 min — the batch sessionize threshold
+
+
+def _session_func(gap_us: int):
+    def close_sessions(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows: list[tuple[int, int]] = []  # (ts_us, event_id)
+        for pdf in pdfs:
+            # normalize to µs regardless of the batch's datetime64 unit
+            ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+            rows.extend(zip(ts_us.tolist(), pdf["event_id"].tolist()))
+        rows.sort()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = None
+            n = 0
+        closed: list[tuple[Any, ...]] = []
+        for ts_us, _eid in rows:
+            if last_us is not None and ts_us - last_us > gap_us:
+                closed.append((user_id, start_us, last_us, n))
+                start_us, n = ts_us, 0
+            elif last_us is None:
+                start_us = ts_us
+            last_us = ts_us
+            n += 1
+        state.update((start_us, last_us, n))
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            yield out
+
+    return close_sessions
+
+
+def sessionize_stream(
+    stream_df: DataFrame,
+    gap_us: int = _GAP_US_DEFAULT,
+) -> DataFrame:
+    """Custom stateful operator: per-user sessionization with
+    cross-batch state (``applyInPandasWithState``).
+
+    The batch twin is ``sessionize_events``'s lag+running-sum plan; here
+    the open session per user — three numbers — persists in the state
+    store, and a session is emitted the moment a later event closes it
+    (gap > threshold). A user's **last** session stays open and is never
+    emitted (there is nothing to close it), which is exactly the
+    batch-minus-final-session relation the tests and oracle assert.
+
+    Requires events to arrive per-user in non-decreasing event time
+    across micro-batches (within a batch they are sorted here); the
+    production guard is the upstream watermark + the file source's
+    ordered listing.
+    """
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        _session_func(gap_us),
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

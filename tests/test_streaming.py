@@ -1,0 +1,127 @@
+"""M7 streaming: bounded-stream equivalence with the batch operators,
+cross-batch session state, watermark window-close semantics."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from mevi_spark.operators.rq import assign_nearest, rq_level_centroids
+from mevi_spark.streaming import (
+    incremental_quantize,
+    sessionize_stream,
+    windowed_event_counts,
+)
+from mevi_spark.streaming.incremental import stream_parquet_source
+
+from datetime import datetime
+
+
+def _ts(h, m=0):
+    return datetime(2024, 3, 1, h, m, 0)
+
+
+def test_incremental_quantize_matches_batch(spark, sf_dir):
+    base = tempfile.mkdtemp(prefix="mevi_t_quant_")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.repartition(3).write.mode("overwrite").parquet(f"{base}/in")
+    cents = rq_level_centroids(emb, code_col="label", vec_col="embedding")
+    stream = stream_parquet_source(
+        spark, f"{base}/in", emb.schema, max_files_per_trigger=1
+    )
+    q = incremental_quantize(stream, cents, f"{base}/out", f"{base}/ckpt")
+    q.awaitTermination()
+    got = {
+        (r.vec_id, int(r.code))
+        for r in spark.read.parquet(f"{base}/out").collect()
+    }
+    want = {
+        (r.vec_id, int(r.code))
+        for r in assign_nearest(
+            emb, cents, id_col="vec_id", vec_col="embedding"
+        ).collect()
+    }
+    assert got == want and len(got) == emb.count()
+
+
+def _write_slices(spark, base, slices, schema):
+    for i, rows in enumerate(slices):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in/s{i:02d}")
+    return f"{base}/in/s*"
+
+
+def test_sessionize_stream_cross_batch_state(spark):
+    """A session spanning the micro-batch boundary must come out whole
+    (state carries), and only closed sessions are emitted."""
+    base = tempfile.mkdtemp(prefix="mevi_t_sess_")
+    schema = "event_id long, ts timestamp, user_id long"
+    # user 1: events 10:00, 10:10 (batch 1), 10:20 (batch 2) → one
+    # session, closed by the 12:00 event; 12:00 itself stays open.
+    # user 2: single open session → nothing emitted.
+    s1 = [(1, _ts(10, 0), 1), (2, _ts(10, 10), 1), (100, _ts(10, 0), 2)]
+    s2 = [(3, _ts(10, 20), 1), (4, _ts(12, 0), 1), (101, _ts(10, 5), 2)]
+    glob = _write_slices(spark, base, [s1, s2], schema)
+    stream = stream_parquet_source(
+        spark,
+        glob,
+        spark.createDataFrame([], schema).schema,
+        max_files_per_trigger=1,
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sess")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_sess").collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r.user_id == 1 and r.n_events == 3
+    assert str(r.session_start).startswith("2024-03-01 10:00")
+    assert str(r.session_end).startswith("2024-03-01 10:20")
+
+
+def test_windowed_counts_emit_closed_windows_only(spark):
+    """Append mode emits exactly the windows the final watermark has
+    passed; the window containing max(ts) stays open."""
+    base = tempfile.mkdtemp(prefix="mevi_t_win_")
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    s1 = [(1, _ts(0, 10), "a", 1.5), (2, _ts(0, 40), "b", 2.0)]
+    s2 = [(3, _ts(1, 10), "a", 3.0), (4, _ts(5, 0), "a", 1.0)]
+    glob = _write_slices(spark, base, [s1, s2], schema)
+    stream = stream_parquet_source(
+        spark,
+        glob,
+        spark.createDataFrame([], schema).schema,
+        max_files_per_trigger=1,
+    )
+    agg = windowed_event_counts(
+        stream, window_duration="1 hour", watermark_delay="30 minutes"
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_win")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r.win_start), r.event_type, r.n_events, r.sum_value_e6)
+        for r in spark.table("t_win").collect()
+    }
+    # final watermark = 05:00 − 30 min = 04:30 → hours 0 and 1 closed,
+    # hour 5 (the max-ts window) still open and withheld
+    assert got == {
+        ("2024-03-01 00:00:00", "a", 1, 1_500_000),
+        ("2024-03-01 00:00:00", "b", 1, 2_000_000),
+        ("2024-03-01 01:00:00", "a", 1, 3_000_000),
+    }
