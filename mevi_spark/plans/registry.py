@@ -58,6 +58,91 @@ def get_oracles() -> dict[str, str]:
 
 _LOADED = False
 
+# The driver's hard CORRECTNESS signal covers the FIRST 50 registered
+# queries (registration order == dict order).  Import order alone let
+# well-evidenced queries crowd out never-driver-tested ones (round 3
+# silently dropped 16 of 66), so the exposure order is now explicit:
+#
+#   tier 1 — queries that have NEVER had a driver row in any round;
+#   tier 2 — driver-green in round 2 but rotated out of round 3;
+#   tier 3 — new this round (first driver exposure);
+#   tier 4 — green only in round 3 (single round of evidence);
+#   tier 5 — green in rounds 2 AND 3; the most retrieval-critical kept
+#            inside the window, the rest carry two green rows already
+#            and rotate out this round.
+#
+# Names not listed here (future additions) sort after the listed ones
+# in plain registration order.
+_PRIORITY_ORDER: list[str] = [
+    # tier 1 — never driver-tested
+    "doc_query_sets",
+    "rq_kmeans_invariant",
+    "rq_ema_step",
+    "code_token_arith",
+    "rq_reconstruct",
+    "cluster_projection",
+    "streaming_quantize_index",
+    "streaming_event_window_counts",
+    "streaming_sessionize",
+    # tier 2 — r2-green, rotated out of r3
+    "ann_lsh_topk",
+    "augment_spans",
+    "beam_constrained",
+    "code_prefix_members",
+    "doc2query_expand",
+    "ensemble_grid",
+    "rq_model_roundtrip",
+    # tier 3 — new in round 4
+    "complement_qg10",
+    # tier 4 — green only in r3
+    "dedup_ngram_dfcut",
+    "embed_determinism",
+    "eval_all_codes",
+    "image_resize",
+    "media_decode_stats",
+    "media_meta_stats",
+    "memmap_roundtrip",
+    "partition_pruning_stats",
+    "tokenize_padded",
+    "tsv_corpus_roundtrip",
+    "tsv_queries_roundtrip",
+    "tsv_run_roundtrip",
+    # tier 5 — double-green, retrieval-critical subset kept in-window
+    "coarse_to_fine_retrieval",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ensemble_fuse",
+    "inverse_answer_index",
+    "knn_topk_cosine",
+    "knn_topk_ip",
+    "negatives_cluster",
+    "negatives_notclus",
+    "nq_hit_test",
+    "retrieval_eval_metrics",
+    "rq_assign_nearest",
+    "rq_beam_search",
+    "rq_centroids_label",
+    "rq_encode_two_level",
+    "sessionize_events",
+    "text_quality_stats",
+]
+
+
+def _reorder() -> None:
+    """Rebuild the registries so _PRIORITY_ORDER names come first."""
+    rank = {n: i for i, n in enumerate(_PRIORITY_ORDER)}
+    tail = len(_PRIORITY_ORDER)
+    reg_pos = {n: i for i, n in enumerate(QUERIES)}
+    ordered = sorted(QUERIES, key=lambda n: (rank.get(n, tail), reg_pos[n]))
+    for store in (QUERIES, ORACLES):
+        snapshot = dict(store)
+        store.clear()
+        store.update({n: snapshot[n] for n in ordered if n in snapshot})
+
 
 def _ensure_loaded() -> None:
     """Import every module that registers queries (idempotent)."""
@@ -74,4 +159,5 @@ def _ensure_loaded() -> None:
         streaming_ops,
     )
 
+    _reorder()
     _LOADED = True
