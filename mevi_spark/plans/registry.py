@@ -48,11 +48,13 @@ def register(name: str, oracle: str | None = None):
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_loaded()
+    _reorder_if_stale()
     return dict(QUERIES)
 
 
 def get_oracles() -> dict[str, str]:
     _ensure_loaded()
+    _reorder_if_stale()
     return dict(ORACLES)
 
 
@@ -92,7 +94,7 @@ _PRIORITY_ORDER: list[str] = [
     "doc2query_expand",
     "ensemble_grid",
     "rq_model_roundtrip",
-    # tier 3 — new in round 4
+    # tier 3 — first driver exposure in round 5
     "complement_qg10",
     # tier 4 — green only in r3
     "dedup_ngram_dfcut",
@@ -133,7 +135,18 @@ _PRIORITY_ORDER: list[str] = [
 
 
 def _reorder() -> None:
-    """Rebuild the registries so _PRIORITY_ORDER names come first."""
+    """Rebuild the registries so _PRIORITY_ORDER names come first.
+
+    A _PRIORITY_ORDER name with no registered query is a hard error:
+    a dead entry silently shifts every later query's position against
+    the driver's 50-row window (round 4 lost a window slot exactly
+    this way), so the mismatch must fail loudly at import time.
+    """
+    unknown = [n for n in _PRIORITY_ORDER if n not in QUERIES]
+    if unknown:
+        raise RuntimeError(
+            f"_PRIORITY_ORDER names not registered by any module: {unknown}"
+        )
     rank = {n: i for i, n in enumerate(_PRIORITY_ORDER)}
     tail = len(_PRIORITY_ORDER)
     reg_pos = {n: i for i, n in enumerate(QUERIES)}
@@ -142,6 +155,18 @@ def _reorder() -> None:
         snapshot = dict(store)
         store.clear()
         store.update({n: snapshot[n] for n in ordered if n in snapshot})
+    global _ORDERED_COUNT
+    _ORDERED_COUNT = len(QUERIES)
+
+
+_ORDERED_COUNT = -1
+
+
+def _reorder_if_stale() -> None:
+    """Re-apply the priority order if queries registered after the
+    initial load (late imports must not bypass the window policy)."""
+    if len(QUERIES) != _ORDERED_COUNT:
+        _reorder()
 
 
 def _ensure_loaded() -> None:

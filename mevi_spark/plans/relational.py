@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from mevi_spark.functions.time import epoch_us
 from mevi_spark.plans.registry import register
 from mevi_spark.sources.io import load_table
 
@@ -388,7 +389,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference analog, SURVEY §2.10)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us(ev, "ts")
     gap = us - F.lag(us).over(w)
     seq = ev.withColumn(
         "new_session",

@@ -804,6 +804,72 @@ def doc2query_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "complement_qg10",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                  unnest([0, 1, 2]) AS qidx
+           FROM documents),
+expected AS (SELECT doc_id, qidx, toks FROM t WHERE len(toks) >= 4),
+existing AS (SELECT doc_id, qidx FROM expected WHERE (doc_id + qidx) % 4 != 0),
+missing AS (SELECT e.doc_id, e.qidx, e.toks FROM expected e
+            WHERE NOT EXISTS (SELECT 1 FROM existing x
+                              WHERE x.doc_id = e.doc_id AND x.qidx = e.qidx)),
+o AS (SELECT doc_id, qidx, toks,
+             (doc_id * 7 + qidx * 13) % (len(toks) - 3) AS off
+      FROM missing)
+SELECT doc_id, qidx,
+       toks[off + 1] || ' ' || toks[off + 2] || ' ' || toks[off + 3] || ' ' || toks[off + 4] AS query
+FROM o
+""",
+)
+def complement_qg10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complement query generation — regenerate pseudo-queries ONLY for
+    the (doc, slot) pairs missing from the existing qg coverage
+    (``dataprocess/msmarco_passage/complement_qg10.py:48-57`` loads the
+    ``bads_qg10`` doc→missing-line map and generates just those lines;
+    ``dataprocess/NQ_dpr/complement_qg10.py`` is the same shape).
+
+    Spark-first: the bads map is an **anti-join** of the expected
+    (doc_id, qidx) grid against the existing coverage table — a shuffle
+    hash join on the composite key, no driver-side pickle of doc ids —
+    followed by the same deterministic generator ``doc2query_expand``
+    uses, applied only to the surviving complement rows. Existing
+    coverage is simulated deterministically (slots where
+    ``(doc_id + qidx) % 4 != 0``) so the oracle can replay it; in
+    production it is the previously-written qg run table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    expected = docs.select(
+        "doc_id", toks.alias("toks"),
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("qidx"),
+    ).filter(F.size("toks") >= 4)
+    existing = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("qidx"),
+        )
+        .filter(F.size(F.split("text", " ")) >= 4)
+        .filter((F.col("doc_id") + F.col("qidx")) % 4 != 0)
+    )
+    missing = expected.join(existing, ["doc_id", "qidx"], "left_anti")
+    off = (
+        (F.col("doc_id") * 7 + F.col("qidx") * 13) % (F.size("toks") - 3)
+    ).cast("int")
+    return missing.select(
+        "doc_id",
+        "qidx",
+        F.concat_ws(
+            " ",
+            F.element_at("toks", off + 1),
+            F.element_at("toks", off + 2),
+            F.element_at("toks", off + 3),
+            F.element_at("toks", off + 4),
+        ).alias("query"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # J4 approx: LSH ANN top-k (the faiss HNSW path, SURVEY §7.3 M5)
 

@@ -19,6 +19,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from mevi_spark.functions.time import epoch_us
 from mevi_spark.operators.rq import rq_level_centroids
 from mevi_spark.plans.registry import register
 from mevi_spark.plans.retrieval import _SQL_CENT_LIST
@@ -42,7 +43,7 @@ def _stage_time_slices(
     event-time quantiles, in time order (slice file names and mtimes
     both ascend), so the file source replays a plausible arrival order.
     Returns the glob path for ``readStream``."""
-    us = F.unix_micros(F.col(ts_col))
+    us = epoch_us(df, ts_col)
     frac = [i / n_slices for i in range(1, n_slices)]
     cuts = df.select(us.alias("_us")).approxQuantile("_us", frac, 0.001)
     bounds = [float("-inf"), *cuts, float("inf")]

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
+from mevi_spark.functions.time import epoch_us
 from mevi_spark.operators.rq import assign_nearest
 
 
@@ -93,11 +94,29 @@ def windowed_event_counts(
     The value sum goes through DECIMAL (registry determinism rule:
     partial aggregation order is not stable; decimal addition is exact
     and order-independent) and is exposed in micro-units.
+
+    ``withWatermark``/``window`` only accept TIMESTAMP (LTZ), but the
+    parquet source may deliver TIMESTAMP_NTZ (un-annotated ``us``
+    columns under Spark 4's NTZ inference). The event-time column is
+    therefore rebuilt as LTZ from flavor-safe epoch micros — a no-op
+    for LTZ input, a wall-clock-as-UTC reinterpretation for NTZ — and
+    the window bound is converted back to the input flavor, so bucket
+    boundaries and output values never depend on the session timezone.
     """
+    is_ntz = dict(stream_df.dtypes).get(ts_col) == "timestamp_ntz"
+    evt = stream_df.withColumn(
+        "_evt_ts", F.timestamp_micros(epoch_us(stream_df, ts_col))
+    )
+    win_start = F.col("win.start")
+    if is_ntz:
+        win_start = F.expr(
+            "timestampadd(MICROSECOND, unix_micros(win.start),"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        )
     return (
-        stream_df.withWatermark(ts_col, watermark_delay)
+        evt.withWatermark("_evt_ts", watermark_delay)
         .groupBy(
-            F.window(ts_col, window_duration).alias("win"),
+            F.window("_evt_ts", window_duration).alias("win"),
             "event_type",
         )
         .agg(
@@ -105,7 +124,7 @@ def windowed_event_counts(
             F.sum(F.col("value").cast("decimal(18,6)")).alias("_sum"),
         )
         .select(
-            F.col("win.start").alias("win_start"),
+            win_start.alias("win_start"),
             "event_type",
             "n_events",
             (F.col("_sum") * 1_000_000).cast("long").alias("sum_value_e6"),
@@ -114,9 +133,9 @@ def windowed_event_counts(
 
 
 _SESSION_STATE = "start_us long, last_us long, n_events long"
+# session bounds inherit the input ts flavor (see sessionize_stream)
 _SESSION_OUT = (
-    "user_id long, session_start timestamp, session_end timestamp, "
-    "n_events long"
+    "user_id long, session_start {ts}, session_end {ts}, n_events long"
 )
 _GAP_US_DEFAULT = 1_800_000_000  # 30 min — the batch sessionize threshold
 
@@ -179,10 +198,21 @@ def sessionize_stream(
     across micro-batches (within a batch they are sorted here); the
     production guard is the upstream watermark + the file source's
     ordered listing.
+
+    The emitted session bounds carry the input ``ts`` flavor — the
+    worker hands back naive ``datetime64[us]`` wall times, which map
+    exactly onto TIMESTAMP_NTZ and onto TIMESTAMP only under the UTC
+    session default, so matching the source flavor keeps the output
+    session-timezone-independent.
     """
+    ts_flavor = (
+        "timestamp_ntz"
+        if dict(stream_df.dtypes).get("ts") == "timestamp_ntz"
+        else "timestamp"
+    )
     return stream_df.groupBy("user_id").applyInPandasWithState(
         _session_func(gap_us),
-        outputStructType=_SESSION_OUT,
+        outputStructType=_SESSION_OUT.format(ts=ts_flavor),
         stateStructType=_SESSION_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
