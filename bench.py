@@ -45,8 +45,11 @@ def main() -> None:
     spark = get_spark("mevi-bench")
     qs = registry.get_queries()
 
-    # warm the JVM/Arrow paths once so timings measure the plan, not init
+    # warm the JVM + Python-worker/Arrow paths once so timings measure
+    # the plan, not init (codegen JIT, parquet footer cache, worker fork)
     qs["q1_pricing_summary"](spark, sf_dir).collect()
+    warm = spark.range(64).repartition(32)
+    warm.mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -56,6 +59,10 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    from mevi_spark.plans.retrieval import clear_session_caches
+
+    clear_session_caches(spark)
 
     total = round(sum(timings.values()), 3)
     print(

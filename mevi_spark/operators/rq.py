@@ -50,18 +50,20 @@ def rq_level_centroids(
     """A5 centroid-average: per-code elementwise mean → ``(code, centroid)``.
 
     ``sql``
-        Exact/order-independent via decimal accumulation of a posexplode.
-        The explode shuffles n·dim rows — the oracle-parity path (the
-        DuckDB oracle sums the same decimals), right for fixtures and
-        small corpora.
+        Exact/order-independent via decimal accumulation of a
+        posexplode. Scale note: the explode is pipelined inside the map
+        stage and the (code, pos) aggregation partial-aggregates before
+        the exchange, so the shuffle carries K·dim rows per partition —
+        the n·dim row explosion never crosses the wire. (A 1-agg-per-
+        element variant was benchmarked and is ~3× slower per row with
+        no shuffle advantage.) Bit-identical to the DuckDB oracle's
+        decimal sums.
 
     ``arrow``
-        The scale path: per-partition NumPy partial sums emitted from a
-        ``mapInPandas`` kernel (≤ n_codes rows per partition), so the
-        shuffle moves ``partitions × codes`` rows instead of ``n·dim`` —
-        at 8.8M docs × 768 dims that is a ~10⁵× reduction. Partial
-        sums are float64, so results can differ from ``sql`` in the last
-        ~2 ulps; use ``sql`` when cross-engine bit-parity matters.
+        Per-partition NumPy partial sums from a ``mapInPandas`` kernel.
+        Partial sums are float64, so results can differ from ``sql`` in
+        the last ~2 ulps; use ``sql`` when cross-engine bit-parity
+        matters.
     """
     if impl == "arrow":
         return _level_centroids_arrow(assigned, code_col, vec_col)
@@ -132,31 +134,105 @@ def _level_centroids_arrow(
     )
 
 
+def centroid_entries(centroids: DataFrame) -> list[tuple[int, list[float], float]]:
+    """Collect a K-row codebook to ``[(code, centroid, ‖c‖²)]`` sorted by
+    code — the literal artifact behind the ``expr`` assignment path.
+
+    ‖c‖² is folded left-to-right in Python float64, which is the same
+    IEEE op sequence as the engine-side ``dot(c, c)`` fold (and DuckDB's
+    ``list_dot_product``), so precomputing it driver-side changes no bit
+    of any distance.
+    """
+    entries = []
+    for r in centroids.select("code", "centroid").collect():
+        cent = [float(v) for v in r["centroid"]]
+        cc = 0.0
+        for v in cent:
+            cc += v * v
+        entries.append((int(r["code"]), cent, cc))
+    entries.sort()
+    return entries
+
+
 def assign_nearest(
     vectors: DataFrame,
     centroids: DataFrame,
     id_col: str,
     vec_col: str,
     out_code: str = "code",
+    impl: str = "expr",
+    keep: tuple[str, ...] = (),
+    entries: list[tuple[int, list[float], float]] | None = None,
 ) -> DataFrame:
     """U2 one level: argmin_{code} ‖v − c‖², deterministic tie-break on
-    code. Returns ``(id_col, vec_col, out_code)``.
+    code. Returns ``(id_col, vec_col, *keep, out_code)``.
 
     Distance uses the expanded form so every float op is a sequential
     array fold (cross-engine bit-stable); ‖v‖² is constant per row and
     dropped from the argmin.
+
+    ``expr`` (default)
+        The codebook is collected (K rows — the reference broadcasts the
+        same artifact, ``MEVI/pq.py:217-247``) and inlined as a literal
+        struct array; the argmin is ``array_min`` over per-centroid
+        ``(distance, code)`` structs, whose lexicographic ordering IS the
+        (distance asc, code asc) tie-break. The whole assignment is one
+        map-only projection inside whole-stage codegen — **zero
+        shuffle**, fused into the scan stage at any corpus size. Right
+        whenever K·dim literals are expression-sized (K ≤ ~256 at 64-d;
+        the reference's config is K ≤ 32).
+
+    ``join``
+        Broadcast-crossJoin + window argmin — no driver collect, the
+        fallback when the codebook is too large to inline (shuffles the
+        K-fanned row set for the window).
     """
-    c = F.broadcast(centroids.select(F.col("code").alias("_c"), "centroid"))
-    scored = vectors.select(id_col, vec_col).crossJoin(c).select(
-        id_col,
-        vec_col,
-        F.col("_c"),
-        (dot("centroid", "centroid") - 2.0 * dot(vec_col, "centroid")).alias("_d"),
+    if impl == "join":
+        c = F.broadcast(centroids.select(F.col("code").alias("_c"), "centroid"))
+        scored = vectors.select(id_col, vec_col, *keep).crossJoin(c).select(
+            id_col,
+            vec_col,
+            *keep,
+            F.col("_c"),
+            (dot("centroid", "centroid") - 2.0 * dot(vec_col, "centroid")).alias("_d"),
+        )
+        best = topk_per_group(
+            scored.withColumn("_nd", -F.col("_d")), [id_col], "_nd", 1, ["_c"]
+        )
+        return best.select(id_col, vec_col, *keep, F.col("_c").alias(out_code))
+    if impl != "expr":
+        raise ValueError(f"unknown impl: {impl!r}")
+
+    if entries is None:
+        entries = centroid_entries(centroids)
+    lit_cents = F.array(
+        *[
+            F.struct(
+                F.lit(code).cast("long").alias("c"),
+                F.array(*[F.lit(v) for v in cent]).alias("cent"),
+                F.lit(cc).alias("cc"),
+            )
+            for code, cent, cc in entries
+        ]
     )
-    best = topk_per_group(
-        scored.withColumn("_nd", -F.col("_d")), [id_col], "_nd", 1, ["_c"]
+    v = F.col(vec_col).cast("array<double>")
+    scored = F.transform(
+        lit_cents,
+        lambda e: F.struct(
+            (
+                e["cc"]
+                - 2.0
+                * F.aggregate(
+                    F.zip_with(v, e["cent"], lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("d"),
+            e["c"].alias("c"),
+        ),
     )
-    return best.select(id_col, vec_col, F.col("_c").alias(out_code))
+    best = F.array_min(scored)["c"]
+    return vectors.select(id_col, vec_col, *keep).withColumn(out_code, best)
 
 
 def subtract_centroid(
@@ -165,19 +241,45 @@ def subtract_centroid(
     vec_col: str,
     code_col: str,
     out_col: str,
+    impl: str = "expr",
+    entries: list[tuple[int, list[float], float]] | None = None,
 ) -> DataFrame:
-    """Residual step of U2: ``r = v − c[code]`` (elementwise, float64)."""
-    c = F.broadcast(
-        centroids.select(F.col("code").alias(code_col), "centroid")
+    """Residual step of U2: ``r = v − c[code]`` (elementwise, float64).
+
+    ``expr`` inlines the K-row codebook as a literal map and subtracts
+    via ``element_at`` — map-only, no join stage; ``join`` is the
+    broadcast-join fallback for codebooks too large to inline.
+    """
+    if impl == "join":
+        c = F.broadcast(
+            centroids.select(F.col("code").alias(code_col), "centroid")
+        )
+        return assigned.join(c, code_col).withColumn(
+            out_col,
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("centroid"),
+                lambda a, b: a - b,
+            ),
+        ).drop("centroid")
+    if impl != "expr":
+        raise ValueError(f"unknown impl: {impl!r}")
+    if entries is None:
+        entries = centroid_entries(centroids)
+    cent_map = F.map_from_arrays(
+        F.array(*[F.lit(code).cast("long") for code, _, _ in entries]),
+        F.array(
+            *[F.array(*[F.lit(v) for v in cent]) for _, cent, _ in entries]
+        ),
     )
-    return assigned.join(c, code_col).withColumn(
+    return assigned.withColumn(
         out_col,
         F.zip_with(
             F.col(vec_col).cast("array<double>"),
-            F.col("centroid"),
+            F.element_at(cent_map, F.col(code_col).cast("long")),
             lambda a, b: a - b,
         ),
-    ).drop("centroid")
+    )
 
 
 def rq_encode_seeded(
@@ -211,19 +313,30 @@ def rq_encode_seeded(
         F.col(seed_code).alias("_seed"),
     )
     codebooks = []
-    codes = cur.select("id")
+    code_cols: list[str] = []
     seed_col = "_seed"
     for lvl in range(levels):
         cents = rq_level_centroids(cur, seed_col, "resid")
         if persist_levels:
             cents = cents.persist()
         codebooks.append(cents.select(F.lit(lvl).alias("level"), "code", "centroid"))
-        assigned = assign_nearest(cur, cents, "id", "resid", out_code=f"code_{lvl}")
+        # one K-row collect per level (materializes the persisted
+        # centroid frame); assignment and residual are then literal
+        # expressions — the whole per-level encode chain stays map-only,
+        # no crossJoin/window/join stages (round-5 plan fix)
+        entries = centroid_entries(cents)
+        assigned = assign_nearest(
+            cur, cents, "id", "resid", out_code=f"code_{lvl}",
+            keep=tuple(code_cols), entries=entries,
+        )
         cur = subtract_centroid(
-            assigned, cents, "resid", f"code_{lvl}", "resid2"
-        ).select("id", F.col("resid2").alias("resid"), f"code_{lvl}")
-        codes = codes.join(cur.select("id", f"code_{lvl}"), "id")
+            assigned, cents, "resid", f"code_{lvl}", "resid2", entries=entries
+        ).select(
+            "id", F.col("resid2").alias("resid"), *code_cols, f"code_{lvl}"
+        )
+        code_cols.append(f"code_{lvl}")
         seed_col = f"code_{lvl}"
+    codes = cur.select("id", *code_cols)
     codebook = codebooks[0]
     for cb in codebooks[1:]:
         codebook = codebook.unionByName(cb)

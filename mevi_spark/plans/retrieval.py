@@ -351,14 +351,23 @@ beam AS (SELECT query_id, c0 * 10 + c1 AS code_flat, score,
 # sf; at 100 TB this is exactly the "materialize the codebook/mapping
 # artifact once, reuse across stages" step the reference does through
 # its pickle/memmap artifacts (``MEVI/pq.py:217-247``).
-_CHAIN_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+#
+# Service-safety: keyed WEAKLY by the SparkSession object, so a
+# long-lived service that churns through sessions can't accumulate
+# entries (the per-session dict is dropped when the session is
+# collected) and id()-reuse can never alias a dead session's artifacts
+# onto a new one. ``clear_session_caches`` is the explicit teardown
+# (unpersists the blocks without waiting for GC); bench calls it.
+from weakref import WeakKeyDictionary
+
+_CHAIN_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def _codebook2(spark: SparkSession, sf_dir: str):
     """(mapping, codebook) of the two-level label-seeded RQ — persisted
     and materialized once per (session, sf_dir)."""
-    key = (id(spark), sf_dir)
-    hit = _CHAIN_CACHE.get(key)
+    per_session = _CHAIN_CACHE.setdefault(spark, {})
+    hit = per_session.get(sf_dir)
     if hit is not None:
         return hit
     mapping, codebook = rq_encode_seeded(
@@ -371,8 +380,28 @@ def _codebook2(spark: SparkSession, sf_dir: str):
     # (persisted) centroid frame, so later codebook reads are K-row
     # cache hits — no second count needed
     mapping.count()
-    _CHAIN_CACHE[key] = (mapping, codebook)
+    per_session[sf_dir] = (mapping, codebook)
     return mapping, codebook
+
+
+def clear_session_caches(spark: SparkSession) -> None:
+    """Unpersist and drop every chain/run artifact cached for ``spark``.
+
+    For services that keep one SparkSession alive across many logical
+    jobs: frees the persisted blocks deterministically instead of at
+    session GC. Safe to call on a session with no cached state.
+    """
+    for frames in _CHAIN_CACHE.pop(spark, {}).values():
+        for df in frames:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped — blocks are gone anyway
+    for df in _RUN_CACHE.pop(spark, {}).values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
 
 
 @register(
@@ -468,17 +497,19 @@ coarse AS (SELECT query_id, code AS code_flat,
 # re-searching. Same here: the exact-IP top-10 run and the
 # coarse-to-fine top-10 run are persisted once per (session, sf_dir)
 # and shared by the five queries that consume them. Run size is
-# |queries|·k rows — artifact-sized, not corpus-sized.
-_RUN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# |queries|·k rows — artifact-sized, not corpus-sized. Weakly keyed by
+# session (see _CHAIN_CACHE note); clear_session_caches drops entries.
+_RUN_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def _cached_run(spark, sf_dir: str, kind: str, build) -> DataFrame:
-    key = (id(spark), sf_dir, kind)
-    hit = _RUN_CACHE.get(key)
+    per_session = _RUN_CACHE.setdefault(spark, {})
+    key = (sf_dir, kind)
+    hit = per_session.get(key)
     if hit is None:
         hit = build().persist()
         hit.count()
-        _RUN_CACHE[key] = hit
+        per_session[key] = hit
     return hit
 
 
@@ -1411,14 +1442,24 @@ def rq_reconstruct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # seed-stable only within one Spark build, so no cross-engine oracle)
 
 
-@register("rq_kmeans_invariant")
+@register(
+    "rq_kmeans_invariant",
+    oracle="""
+SELECT * FROM (VALUES (CAST(1 AS INT), CAST(8 AS BIGINT), CAST(1 AS INT)),
+                      (CAST(2 AS INT), CAST(8 AS BIGINT), CAST(1 AS INT)))
+  AS t(level, n_centroids, improved)
+""",
+)
 def rq_kmeans_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 (``MEVI/pq.py:550-598``): train the production MLlib-KMeans RQ
     (2 levels × k=8 on residuals) and emit the training invariants the
     reference's asserts encode (``MEVI/pq.py:161-168``): every level has
     exactly k centroids, and adding level 2 strictly reduces mean
-    squared reconstruction error (the RQ contract). Rows-only check by
-    design — MLlib centroid values are not reproducible in DuckDB."""
+    squared reconstruction error (the RQ contract). The raw MSE is
+    build-dependent (MLlib centroids are seed-stable only within one
+    Spark build) so it is NOT exposed; the invariant triple
+    (level, n_centroids, improved) is deterministic and pinned as
+    literals in the oracle — a hash-checked row, not rows-only."""
     emb = _emb(spark, sf_dir)
     mapping, codebook = train_rq_kmeans(
         emb, levels=2, k=8, seed=13, id_col="vec_id",
@@ -1449,11 +1490,11 @@ def rq_kmeans_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     mse1, mse2 = mse(1), mse(2)
     rows = [
-        (1, n_per_level.get(0, 0), round(mse1, 6), 1),
-        (2, n_per_level.get(1, 0), round(mse2, 6), 1 if mse2 < mse1 else 0),
+        (1, n_per_level.get(0, 0), 1),
+        (2, n_per_level.get(1, 0), 1 if mse2 < mse1 else 0),
     ]
     return spark.createDataFrame(
-        rows, "level int, n_centroids long, mse double, improved int"
+        rows, "level int, n_centroids long, improved int"
     )
 
 

@@ -54,7 +54,12 @@ def get_spark(
         # read them as long nanos and convert in load_table (VERDICT r1 #3)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # 16k-row Arrow batches: the NumPy kernels (blocked top-k,
+        # multimodal, embed) amortize the Python↔JVM crossing ~16× vs
+        # the old 1,024; every kernel is per-row deterministic so batch
+        # size never changes values, and 16k rows of 64-d doubles is
+        # ~8 MB — far under executor memory at any partition size
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
         .config("spark.driver.memory", os.environ.get("MEVI_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

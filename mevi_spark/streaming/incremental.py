@@ -26,7 +26,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 from mevi_spark.functions.time import epoch_us
-from mevi_spark.operators.rq import assign_nearest
+from mevi_spark.operators.rq import assign_nearest, centroid_entries
 
 
 def stream_parquet_source(
@@ -63,8 +63,12 @@ def incremental_quantize(
     drops the trigger).
     """
 
+    entries = centroid_entries(centroids)  # collected once, reused per batch
+
     def sink(batch: DataFrame, _batch_id: int) -> None:
-        out = assign_nearest(batch, centroids, id_col=id_col, vec_col=vec_col)
+        out = assign_nearest(
+            batch, centroids, id_col=id_col, vec_col=vec_col, entries=entries
+        )
         (
             out.select(id_col, "code")
             .write.mode("append")
