@@ -284,6 +284,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     n_bits: int = 60,
     chunks: int | None = None,
+    max_chunk_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: docs whose 60-bit simhashes differ in
     ≤ ``max_hamming`` bits.
@@ -293,6 +294,18 @@ def simhash_pairs(
     any pair within the Hamming budget must agree on ≥1 chunk, so an
     equi-join per chunk finds all of them — complete, never all-pairs.
     Verification is ``bit_count(xor)`` on the joined rows.
+
+    ``max_chunk_freq`` is the skew guard (the df-cut of
+    :func:`ngram_jaccard_pairs` applied to chunk keys): a (chunk, key)
+    group of m docs contributes m² candidate rows to the self-join, so
+    one dominant chunk value — a boilerplate-heavy corpus where a
+    15-bit slice collapses — turns the band quadratic. Groups larger
+    than the cut are dropped *before* the join, bounding candidates by
+    ``chunks · n · max_chunk_freq``. Recall impact is explicit and
+    small: a qualifying pair is lost only if EVERY chunk the two hashes
+    agree on is over-frequent; with default settings a surviving
+    less-common chunk still recovers the pair. ``None`` disables the
+    guard (exact pigeonhole completeness).
     """
     if chunks is None:
         chunks = max_hamming + 1
@@ -320,6 +333,14 @@ def simhash_pairs(
             )
         ).alias("ck"),
     ).select("_id", "_sh", "ck.chunk", "ck.key")
+    if max_chunk_freq is not None:
+        ok_keys = (
+            chunked.groupBy("chunk", "key")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_chunk_freq)
+            .select("chunk", "key")
+        )
+        chunked = chunked.join(ok_keys, ["chunk", "key"], "left_semi")
     a, b = chunked.alias("a"), chunked.alias("b")
     cand = (
         a.join(

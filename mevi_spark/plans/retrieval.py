@@ -32,7 +32,10 @@ from mevi_spark.operators.projection import (
     cluster_positional_projection,
     projection_weights,
 )
-from mevi_spark.operators.rerank import coarse_to_fine
+from mevi_spark.operators.rerank import (
+    coarse_to_fine,
+    write_partitioned_embeddings,
+)
 from mevi_spark.operators.rq import (
     assign_nearest,
     code_prefix_members,
@@ -526,15 +529,41 @@ def _ann_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fine_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The seq2seq fine run: coarse-to-fine top-10 (the ``*_fine.tsv``
-    artifact of ``MEVI/main_models.py:4222-4235``, as a table)."""
+    artifact of ``MEVI/main_models.py:4222-4235``, as a table).
+
+    The doc side is NOT the raw corpus scan: it is staged once per
+    session through :func:`write_partitioned_embeddings` (partitioned by
+    the coarse code — the reference's cluster-keyed index layout) and
+    read back, so the J3 expansion join carries a
+    ``dynamicpruningexpression`` on the scan: at execution only the
+    predicted-cluster partition directories are read — the reference's
+    ``ndocs@cluster`` saving (``MEVI/main_models.py:4182``) as a
+    physical plan property, asserted at build time (SURVEY §4 row 1,
+    VERDICT r3 #6)."""
 
     def build() -> DataFrame:
+        import tempfile
+
+        from mevi_spark.plans.pruning_ops import has_dpp
+
+        path = tempfile.mkdtemp(prefix="mevi_fine_idx_") + "/emb"
         docs = _docs(spark, sf_dir).select(
             "doc_id", F.col("label").cast("long").alias("code_flat"), "doc_vec"
         )
-        return coarse_to_fine(
-            _queries(spark, sf_dir), _coarse1(spark, sf_dir), docs, k=10
+        write_partitioned_embeddings(docs, path, "code_flat")
+        part = spark.read.parquet(path).select(
+            "doc_id", F.col("code_flat").cast("long").alias("code_flat"),
+            "doc_vec",
         )
+        fine = coarse_to_fine(
+            _queries(spark, sf_dir), _coarse1(spark, sf_dir), part, k=10
+        )
+        if not has_dpp(fine):
+            raise RuntimeError(
+                "coarse-to-fine expansion join did not plan dynamic "
+                "partition pruning over the staged cluster-keyed layout"
+            )
+        return fine
 
     return _cached_run(spark, sf_dir, "fine10", build)
 
