@@ -144,13 +144,32 @@ _SESSION_OUT = (
 _GAP_US_DEFAULT = 1_800_000_000  # 30 min — the batch sessionize threshold
 
 
-def _session_func(gap_us: int):
+def _session_func(gap_us: int, evict: bool = False):
     def close_sessions(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if evict and state.hasTimedOut:
+            # event-time eviction: the watermark passed this user's
+            # last_event + gap, so the open session provably cannot
+            # continue — flush it and free the state slot
+            start_us, last_us, n = state.get
+            if n:
+                out = pd.DataFrame(
+                    [(user_id, start_us, last_us, n)],
+                    columns=[
+                        "user_id", "session_start", "session_end", "n_events",
+                    ],
+                )
+                out["session_start"] = pd.to_datetime(
+                    out["session_start"], unit="us"
+                )
+                out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+                yield out
+            state.remove()
+            return
         rows: list[tuple[int, int]] = []  # (ts_us, event_id)
         for pdf in pdfs:
             # normalize to µs regardless of the batch's datetime64 unit
@@ -172,6 +191,8 @@ def _session_func(gap_us: int):
             last_us = ts_us
             n += 1
         state.update((start_us, last_us, n))
+        if evict:
+            state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
         if closed:
             out = pd.DataFrame(
                 closed,
@@ -187,6 +208,7 @@ def _session_func(gap_us: int):
 def sessionize_stream(
     stream_df: DataFrame,
     gap_us: int = _GAP_US_DEFAULT,
+    evict: bool = False,
 ) -> DataFrame:
     """Custom stateful operator: per-user sessionization with
     cross-batch state (``applyInPandasWithState``).
@@ -208,6 +230,21 @@ def sessionize_stream(
     exactly onto TIMESTAMP_NTZ and onto TIMESTAMP only under the UTC
     session default, so matching the source flavor keeps the output
     session-timezone-independent.
+
+    ``evict=True`` arms ``EventTimeTimeout`` state eviction — the
+    production guard against unbounded state when users simply stop
+    (without it, the state store holds one open session per user ever
+    seen). Each update schedules a timeout at ``last_event + gap``; when
+    the watermark passes that instant the open session provably cannot
+    be extended (any later event would start a new session), so it is
+    flushed and the state slot removed — the same close rule the batch
+    twin applies, now driven by the watermark. Requires the input stream
+    to carry a watermark on an LTZ ``ts`` (``withWatermark``); Spark
+    rejects the plan otherwise. Note ``ProcessingTimeTimeout`` is
+    deliberately NOT used: wall-clock eviction is nondeterministic
+    under replay, and its timed-out-group path crashes the Arrow worker
+    in PySpark 4.1.2 (empty-input protocol EOF, verified here), while
+    the event-time path is clean.
     """
     ts_flavor = (
         "timestamp_ntz"
@@ -215,9 +252,13 @@ def sessionize_stream(
         else "timestamp"
     )
     return stream_df.groupBy("user_id").applyInPandasWithState(
-        _session_func(gap_us),
+        _session_func(gap_us, evict),
         outputStructType=_SESSION_OUT.format(ts=ts_flavor),
         stateStructType=_SESSION_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if evict
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -125,3 +125,47 @@ def test_windowed_counts_emit_closed_windows_only(spark):
         ("2024-03-01 00:00:00", "b", 1, 2_000_000),
         ("2024-03-01 01:00:00", "a", 1, 3_000_000),
     }
+
+
+def test_sessionize_stream_watermark_evicts_state(spark):
+    """EventTimeTimeout eviction (VERDICT r3 stretch #9): when the
+    watermark passes a quiet user's last_event + gap, their open session
+    is flushed and the state slot removed — the batch gap-close rule
+    driven by the watermark. A user whose session could still continue
+    at end-of-stream keeps their state unemitted."""
+    base = tempfile.mkdtemp(prefix="mevi_t_evict_")
+    schema = "event_id long, ts timestamp, user_id long"
+    # user 1 goes quiet after 09:05; user 2's later events advance the
+    # watermark past 09:05 + 30 min, evicting user 1's open session.
+    # user 2's first session closes by gap; their last stays open.
+    s1 = [(1, _ts(9, 0), 1), (2, _ts(9, 5), 1), (100, _ts(9, 0), 2)]
+    s2 = [(101, _ts(10, 30), 2)]
+    s3 = [(102, _ts(11, 0), 2)]
+    glob = _write_slices(spark, base, [s1, s2, s3], schema)
+    stream = stream_parquet_source(
+        spark,
+        glob,
+        spark.createDataFrame([], schema).schema,
+        max_files_per_trigger=1,
+    ).withWatermark("ts", "1 second")
+    q = (
+        sessionize_stream(stream, evict=True)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_evict")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.n_events, str(r.session_start), str(r.session_end))
+        for r in spark.table("t_evict").collect()
+    )
+    assert got == [
+        # user 1: open session evicted once the watermark proved it dead
+        (1, 2, "2024-03-01 09:00:00", "2024-03-01 09:05:00"),
+        # user 2: first session closed by the 10:30 gap event; the
+        # 10:30/11:00 session stays open (watermark never passes it)
+        (2, 1, "2024-03-01 09:00:00", "2024-03-01 09:00:00"),
+    ]
