@@ -61,9 +61,13 @@ def get_oracles() -> dict[str, str]:
 _LOADED = False
 
 # The driver's hard CORRECTNESS signal covers the FIRST 50 registered
-# queries (registration order == dict order).  Import order alone let
-# well-evidenced queries crowd out never-driver-tested ones (round 3
-# silently dropped 16 of 66), so the exposure order is now explicit:
+# queries (registration order == dict order).  NOTE: the 50-query window
+# is an OBSERVED driver behavior, not a documented contract — if a round
+# ever produces a different row count, revisit this list.  The full
+# registry is checked locally every round via tools/check_correctness.py
+# regardless of the window.  Import order alone let well-evidenced
+# queries crowd out never-driver-tested ones (round 3 silently dropped
+# 16 of 66), so the exposure order is now explicit:
 #
 #   tier 1 — queries that have NEVER had a driver row in any round;
 #   tier 2 — driver-green in round 2 but rotated out of round 3;
