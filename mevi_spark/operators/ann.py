@@ -152,3 +152,80 @@ def lsh_topk_join(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_topk_join(
+    queries: DataFrame,
+    docs: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int = 3,
+    metric: str = "ip",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    doc_id: str = "doc_id",
+    doc_vec: str = "doc_vec",
+    list_col: str = "code",
+    score_col: str = "score",
+) -> DataFrame:
+    """J4 approx, IVF flavor: probe the top-``nprobe`` coarse clusters
+    per query, exact-score only their member docs.
+
+    The faiss ``IndexIVF`` search shape the reference's coarse-to-fine
+    path generalizes (probe = the M=1 beam, ``MEVI/main_models.py:
+    3911-3991``), exposed here as a plain similarity-search operator
+    over a pre-clustered corpus:
+
+    * ``docs`` carries its inverted-list assignment in ``list_col`` —
+      the IVF list structure IS the cluster-keyed corpus layout, so the
+      candidate gather is an equi-join that partition-prunes when the
+      corpus is written partitioned by ``list_col`` (same DPP story as
+      the fine run);
+    * the probe ranks the K-row ``centroids`` (code, centroid) per
+      query as a **literal expression** (sorted struct array, map-only,
+      zero shuffle — the same inlining as ``assign_nearest``);
+    * per-query work is ``nprobe/K`` of the corpus instead of all of it
+      — the scale knob faiss calls ``nprobe``.
+
+    Deterministic: probe ties break on (−score, code); result ties on
+    (−score, doc_id).
+    """
+    from mevi_spark.operators.rq import centroid_entries
+    from mevi_spark.operators.topk import topk_per_group
+
+    entries = centroid_entries(centroids)
+    lit_cents = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(v) for v in cent]).alias("cent"),
+                F.lit(code).cast("long").alias("c"),
+            )
+            for code, cent, _cc in entries
+        ]
+    )
+    qv = F.col(query_vec).cast("array<double>")
+    scored_cents = F.transform(
+        lit_cents,
+        lambda e: F.struct(
+            (
+                -F.aggregate(
+                    F.zip_with(qv, e["cent"], lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("ns"),
+            e["c"].alias("c"),
+        ),
+    )
+    probes = F.transform(
+        F.slice(F.sort_array(scored_cents), 1, nprobe), lambda e: e["c"]
+    )
+    probed = queries.select(
+        query_id, query_vec, F.explode(probes).alias(list_col)
+    )
+    cands = probed.join(
+        docs.select(doc_id, doc_vec, list_col), list_col
+    )
+    score = {"ip": dot, "cosine": cosine}[metric](query_vec, doc_vec)
+    scored = cands.select(query_id, doc_id, score.alias(score_col))
+    return topk_per_group(scored, [query_id], score_col, k, [doc_id])

@@ -88,6 +88,7 @@ _PRIORITY_ORDER: list[str] = [
     "streaming_sessionize",
     "rq_ema_step",
     "complement_qg10",
+    "ann_ivf_topk",  # new this round — zero driver rows
     "rq_kmeans_invariant",  # rows-only in r4, oracle-pinned this round
     # tier 2 — one driver row
     "cluster_projection",
@@ -129,7 +130,6 @@ _PRIORITY_ORDER: list[str] = [
     "tsv_run_roundtrip",
     # tier 3 — bench headliners (3 green rows, kept for regression)
     "coarse_to_fine_retrieval",
-    "dedup_exact",
     "dedup_minhash_pairs",
     "ensemble_fuse",
     "knn_topk_ip",

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from mevi_spark.functions.vector import dot
-from mevi_spark.operators.ann import lsh_topk_join
+from mevi_spark.operators.ann import ivf_topk_join, lsh_topk_join
 from mevi_spark.operators.beam import enumerate_all_codes, rq_beam_search
 from mevi_spark.operators.dedup import deterministic_planes
 from mevi_spark.operators.ensemble import fuse_runs
@@ -998,6 +998,47 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         metric="ip",
         n_planes=_ANN_NPLANES,
         bands=_ANN_BANDS,
+    )
+    return out.withColumn("score", F.round("score", 6))
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH cent AS ({_SQL_CENT_LIST}),
+q AS ({_SQL_Q}), d AS ({_SQL_D}),
+pr AS (SELECT query_id, qv, code,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY list_dot_product(qv, centroid) DESC,
+                                          code ASC) AS prn
+       FROM q, cent),
+probe AS (SELECT query_id, qv, code FROM pr WHERE prn <= 3),
+s AS (SELECT p.query_id, d.doc_id, list_dot_product(p.qv, d.dv) AS s
+      FROM probe p JOIN d ON d.label = p.code),
+r AS (SELECT query_id, doc_id, s,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id ASC) AS rank
+      FROM s)
+SELECT query_id, doc_id, ROUND(s, 6) AS score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 approx, IVF flavor: the third similarity-search strategy
+    (exact ``knn_topk_*`` / LSH ``ann_lsh_topk`` / cluster-probed IVF
+    here) — probe the top-3 label-centroid lists per query, exact-IP
+    score only their members (the faiss ``IndexIVF`` shape; reference's
+    coarse path generalizes it, ``MEVI/main_models.py:3911-3991``).
+    Coarse quantizer = level 0 of the cached RQ chain; the inverted
+    list is the ``label`` cluster keying the corpus already carries."""
+    _, codebook = _codebook2(spark, sf_dir)
+    cents = codebook.filter(F.col("level") == 0).select("code", "centroid")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "doc_vec", F.col("label").cast("long").alias("code")
+    )
+    out = ivf_topk_join(
+        _queries(spark, sf_dir).select("query_id", "query_vec"),
+        docs, cents, k=10, nprobe=3, metric="ip",
     )
     return out.withColumn("score", F.round("score", 6))
 

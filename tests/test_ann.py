@@ -69,3 +69,41 @@ def test_lsh_cosine_metric(spark, sf_dir):
         assert scores == sorted(scores, reverse=True)
         # every query should at least find itself (cosine 1.0 with itself)
         assert any(abs(r.score - 1.0) < 1e-9 for r in rows)
+
+
+def test_ivf_recall_monotone_and_complete(spark, sf_dir):
+    """The IVF contract: recall@10 vs brute force grows monotonically
+    with nprobe, and probing every list (nprobe = K) IS the exact
+    search — identical pair set, since scoring inside the probed lists
+    uses the true vectors (measured curve on this data:
+    0.47 / 0.81 / 1.0 at nprobe 3 / 7 / 10)."""
+    from mevi_spark.operators.ann import ivf_topk_join
+    from mevi_spark.operators.rq import rq_level_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs, ds = _sides(spark, sf_dir)
+    docs = ds.join(
+        emb.select(F.col("vec_id").alias("doc_id"),
+                   F.col("label").cast("long").alias("code")),
+        "doc_id",
+    )
+    cents = rq_level_centroids(emb, code_col="label", vec_col="embedding")
+    exact = {
+        (r.query_id, r.doc_id)
+        for r in exact_topk_join(qs, ds, k=10, metric="ip").collect()
+    }
+    assert exact
+
+    def recall(nprobe):
+        ivf = {
+            (r.query_id, r.doc_id)
+            for r in ivf_topk_join(
+                qs, docs, cents, k=10, nprobe=nprobe
+            ).collect()
+        }
+        return len(ivf & exact) / len(exact)
+
+    r3, r7, r10 = recall(3), recall(7), recall(10)
+    assert r3 <= r7 <= r10, (r3, r7, r10)
+    assert r3 >= 0.3, f"nprobe=3 recall collapsed: {r3}"
+    assert r10 == 1.0, f"full probe must equal exact: {r10}"
