@@ -167,6 +167,7 @@ def ivf_topk_join(
     doc_vec: str = "doc_vec",
     list_col: str = "code",
     score_col: str = "score",
+    impl: str = "expr",
 ) -> DataFrame:
     """J4 approx, IVF flavor: probe the top-``nprobe`` coarse clusters
     per query, exact-score only their member docs.
@@ -181,9 +182,13 @@ def ivf_topk_join(
       candidate gather is an equi-join that partition-prunes when the
       corpus is written partitioned by ``list_col`` (same DPP story as
       the fine run);
-    * the probe ranks the K-row ``centroids`` (code, centroid) per
-      query as a **literal expression** (sorted struct array, map-only,
-      zero shuffle — the same inlining as ``assign_nearest``);
+    * ``impl='expr'`` ranks the K-row ``centroids`` per query as a
+      **literal expression** (sorted struct array, map-only, zero
+      shuffle — the same inlining as ``assign_nearest``, same K·dim ≲
+      64k expression-size bound); ``impl='join'`` is the large-K
+      fallback: broadcast crossJoin against the centroid frame + window
+      top-``nprobe`` — no driver collect, shuffles the K-fanned query
+      side only (queries × K rows, never corpus-sized);
     * per-query work is ``nprobe/K`` of the corpus instead of all of it
       — the scale knob faiss calls ``nprobe``.
 
@@ -193,36 +198,53 @@ def ivf_topk_join(
     from mevi_spark.operators.rq import centroid_entries
     from mevi_spark.operators.topk import topk_per_group
 
-    entries = centroid_entries(centroids)
-    lit_cents = F.array(
-        *[
-            F.struct(
-                F.array(*[F.lit(v) for v in cent]).alias("cent"),
-                F.lit(code).cast("long").alias("c"),
-            )
-            for code, cent, _cc in entries
-        ]
-    )
-    qv = F.col(query_vec).cast("array<double>")
-    scored_cents = F.transform(
-        lit_cents,
-        lambda e: F.struct(
-            (
-                -F.aggregate(
-                    F.zip_with(qv, e["cent"], lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
+    if impl == "join":
+        c = F.broadcast(
+            centroids.select(F.col("code").alias(list_col), "centroid")
+        )
+        ranked = topk_per_group(
+            queries.select(query_id, query_vec)
+            .crossJoin(c)
+            .select(
+                query_id, query_vec, list_col,
+                dot(query_vec, "centroid").alias("_ps"),
+            ),
+            [query_id], "_ps", nprobe, [list_col],
+        )
+        probed = ranked.select(query_id, query_vec, list_col)
+    elif impl == "expr":
+        entries = centroid_entries(centroids)
+        lit_cents = F.array(
+            *[
+                F.struct(
+                    F.array(*[F.lit(v) for v in cent]).alias("cent"),
+                    F.lit(code).cast("long").alias("c"),
                 )
-            ).alias("ns"),
-            e["c"].alias("c"),
-        ),
-    )
-    probes = F.transform(
-        F.slice(F.sort_array(scored_cents), 1, nprobe), lambda e: e["c"]
-    )
-    probed = queries.select(
-        query_id, query_vec, F.explode(probes).alias(list_col)
-    )
+                for code, cent, _cc in entries
+            ]
+        )
+        qv = F.col(query_vec).cast("array<double>")
+        scored_cents = F.transform(
+            lit_cents,
+            lambda e: F.struct(
+                (
+                    -F.aggregate(
+                        F.zip_with(qv, e["cent"], lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("ns"),
+                e["c"].alias("c"),
+            ),
+        )
+        probes = F.transform(
+            F.slice(F.sort_array(scored_cents), 1, nprobe), lambda e: e["c"]
+        )
+        probed = queries.select(
+            query_id, query_vec, F.explode(probes).alias(list_col)
+        )
+    else:
+        raise ValueError(f"unknown impl: {impl!r}")
     cands = probed.join(
         docs.select(doc_id, doc_vec, list_col), list_col
     )

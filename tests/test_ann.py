@@ -107,3 +107,28 @@ def test_ivf_recall_monotone_and_complete(spark, sf_dir):
     assert r3 <= r7 <= r10, (r3, r7, r10)
     assert r3 >= 0.3, f"nprobe=3 recall collapsed: {r3}"
     assert r10 == 1.0, f"full probe must equal exact: {r10}"
+
+
+def test_ivf_join_impl_matches_expr(spark, sf_dir):
+    """The large-K probe fallback (broadcast crossJoin + window) returns
+    the identical pair set as the literal-expression probe."""
+    from mevi_spark.operators.ann import ivf_topk_join
+    from mevi_spark.operators.rq import rq_level_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs, ds = _sides(spark, sf_dir)
+    docs = ds.join(
+        emb.select(F.col("vec_id").alias("doc_id"),
+                   F.col("label").cast("long").alias("code")),
+        "doc_id",
+    )
+    cents = rq_level_centroids(emb, code_col="label", vec_col="embedding")
+    out = {}
+    for impl in ("expr", "join"):
+        out[impl] = sorted(
+            (r.query_id, r.doc_id, round(r.score, 9), r.rank)
+            for r in ivf_topk_join(
+                qs, docs, cents, k=10, nprobe=3, impl=impl
+            ).collect()
+        )
+    assert out["expr"] == out["join"]
