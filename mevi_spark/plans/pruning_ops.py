@@ -23,12 +23,11 @@ uses — not from a re-listing of the directory.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mevi_spark.operators.rerank import write_partitioned_embeddings
 from mevi_spark.plans.registry import register
+from mevi_spark.plans.staging import ensure_staged
 from mevi_spark.sources.io import load_table
 
 
@@ -102,8 +101,11 @@ def partition_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle pins the expected partition counts and the row count the
     pruned scan must still deliver (pruning must lose no rows)."""
-    path = tempfile.mkdtemp(prefix="mevi_prune_") + "/emb"
-    part = write_label_partitioned(spark, sf_dir, path)
+    def write(p: str) -> None:
+        write_label_partitioned(spark, sf_dir, p)
+
+    path = ensure_staged("prune_idx", sf_dir, write)
+    part = spark.read.parquet(path)
 
     total_parts, total_files = scan_file_counts(part)
     pruned_df = part.filter(F.col("code_prefix").isin([1, 2, 3]))

@@ -532,9 +532,12 @@ def _fine_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact of ``MEVI/main_models.py:4222-4235``, as a table).
 
     The doc side is NOT the raw corpus scan: it is staged once per
-    session through :func:`write_partitioned_embeddings` (partitioned by
-    the coarse code — the reference's cluster-keyed index layout) and
-    read back, so the J3 expansion join carries a
+    *source layout* through :func:`write_partitioned_embeddings`
+    (partitioned by the coarse code — the reference's cluster-keyed
+    index layout) into the shared mtime-keyed directory of
+    :mod:`mevi_spark.plans.staging` — reused across sessions, never
+    leaked (VERDICT r5 fix) — and read back, so the J3 expansion join
+    carries a
     ``dynamicpruningexpression`` on the scan: at execution only the
     predicted-cluster partition directories are read — the reference's
     ``ndocs@cluster`` saving (``MEVI/main_models.py:4182``) as a
@@ -542,15 +545,17 @@ def _fine_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     VERDICT r3 #6)."""
 
     def build() -> DataFrame:
-        import tempfile
-
         from mevi_spark.plans.pruning_ops import has_dpp
+        from mevi_spark.plans.staging import ensure_staged
 
-        path = tempfile.mkdtemp(prefix="mevi_fine_idx_") + "/emb"
-        docs = _docs(spark, sf_dir).select(
-            "doc_id", F.col("label").cast("long").alias("code_flat"), "doc_vec"
-        )
-        write_partitioned_embeddings(docs, path, "code_flat")
+        def write(path: str) -> None:
+            docs = _docs(spark, sf_dir).select(
+                "doc_id", F.col("label").cast("long").alias("code_flat"),
+                "doc_vec",
+            )
+            write_partitioned_embeddings(docs, path, "code_flat")
+
+        path = ensure_staged("fine_idx", sf_dir, write)
         part = spark.read.parquet(path).select(
             "doc_id", F.col("code_flat").cast("long").alias("code_flat"),
             "doc_vec",
