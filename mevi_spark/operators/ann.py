@@ -89,6 +89,7 @@ def lsh_topk_join(
     n_planes: int = 16,
     bands: int = 8,
     phi: float | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate per-query top-k ``(query_id, doc_id, score, rank)``.
 
@@ -108,7 +109,10 @@ def lsh_topk_join(
     if n_planes % bands:
         raise ValueError("n_planes must be divisible by bands")
 
-    dim = len(docs.select(doc_vec).first()[0])
+    # pass dim when known (it is, for any managed corpus) — the probe
+    # is one tiny extra job per call otherwise (VERDICT r5 #6)
+    if dim is None:
+        dim = len(docs.select(doc_vec).first()[0])
     if metric == "ip":
         if phi is None:
             phi = docs.agg(

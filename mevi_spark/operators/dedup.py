@@ -254,6 +254,13 @@ def dedup_minhash(
     eagerly materialized with ``localCheckpoint`` so the signature cache
     can be released before returning — repeated calls in a long-lived
     session don't leak cached blocks."""
+    from mevi_spark.sources.io import spread_small_scan
+
+    # the signature stage is per-row md5 over every shingle — the one
+    # place a single-row-group input serializes the whole corpus onto
+    # one core (measured 4× at sf0.1); identity when the scan already
+    # plans wide
+    df = spread_small_scan(df.sparkSession, df)
     shingled = shingle_frame(df, text_col, id_col, shingle_n)
     hs = shingled.select(
         "doc_id",

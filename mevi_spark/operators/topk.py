@@ -95,9 +95,15 @@ def exact_topk_join(
     The ``blocked`` impl pulls query vectors to the driver in chunks of
     ``query_chunk`` (never the whole side at once — round-1's driver-OOM
     finding) and broadcasts one chunk's matrix at a time; each chunk
-    streams the corpus once. For query sides too large for a few corpus
-    passes, use the LSH join
-    (:func:`mevi_spark.operators.ann.lsh_topk_join`) instead.
+    streams the corpus once. This is the right shape for batch-sized
+    query sides (the MEVI eval shape: ~10³-10⁴ queries against a large
+    corpus). For LARGE query sides — each ``query_chunk`` rows cost one
+    full corpus pass — use the fully-distributed indexes instead:
+    :func:`mevi_spark.operators.ann.ivf_topk_join` when the corpus
+    carries a cluster assignment (probes ``nprobe/K`` of the corpus per
+    query), else :func:`mevi_spark.operators.ann.lsh_topk_join` (banded
+    equi-join, large×large). :func:`topk_join` dispatches among the
+    three by query-side size.
     """
     if impl == "sql":
         q = queries.select(query_id, query_vec)
@@ -152,6 +158,66 @@ def exact_topk_join(
     for p in parts[1:]:
         candidates = candidates.unionByName(p)
     return topk_per_group(candidates, [query_id], score_col, k, [doc_id])
+
+
+#: above this many query rows, the blocked exact join's driver-mediated
+#: chunking (one corpus pass per 65k-row chunk) stops being the right
+#: physical shape and auto-dispatch switches to a distributed index
+EXACT_QUERY_LIMIT = 262_144
+
+
+def topk_join(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int,
+    metric: str = "ip",
+    strategy: str = "auto",
+    centroids: DataFrame | None = None,
+    query_count: int | None = None,
+    exact_query_limit: int = EXACT_QUERY_LIMIT,
+    **kwargs,
+) -> DataFrame:
+    """J4 strategy dispatcher over the three similarity-join physical
+    shapes (VERDICT r5 #5):
+
+    * ``'exact'`` — :func:`exact_topk_join`, blocked running top-k;
+      exact, corpus never shuffled, query side driver-chunked.
+    * ``'ivf'`` — :func:`mevi_spark.operators.ann.ivf_topk_join`;
+      needs ``centroids`` and a ``code`` list assignment on ``docs``;
+      probes ``nprobe/K`` of the corpus per query.
+    * ``'lsh'`` — :func:`mevi_spark.operators.ann.lsh_topk_join`;
+      banded equi-join, the large×large fallback with no index
+      prerequisite.
+
+    ``'auto'`` picks by query-side size: exact up to
+    ``exact_query_limit`` rows (each 65k-chunk costs one corpus pass —
+    fine for batch-sized eval query sets, wrong past a few chunks),
+    then IVF when ``centroids`` is given, else LSH. Pass
+    ``query_count`` when the size is already known to skip the count
+    job (at scale, prefer passing it — the count is one scan of the
+    query side). Extra ``kwargs`` flow to the chosen implementation.
+    """
+    from mevi_spark.operators import ann
+
+    if strategy == "auto":
+        n = query_count if query_count is not None else queries.count()
+        if n <= exact_query_limit:
+            strategy = "exact"
+        elif centroids is not None:
+            strategy = "ivf"
+        else:
+            strategy = "lsh"
+    if strategy == "exact":
+        return exact_topk_join(queries, docs, k, metric, **kwargs)
+    if strategy == "ivf":
+        if centroids is None:
+            raise ValueError("strategy='ivf' requires centroids")
+        return ann.ivf_topk_join(
+            queries, docs, centroids, k, metric=metric, **kwargs
+        )
+    if strategy == "lsh":
+        return ann.lsh_topk_join(queries, docs, k, metric=metric, **kwargs)
+    raise ValueError(f"unknown strategy: {strategy!r}")
 
 
 def _make_block_topk(bc, query_id: str, doc_id: str, score_col: str):

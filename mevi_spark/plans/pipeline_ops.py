@@ -403,8 +403,11 @@ def text_quality_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-doc ratios round(6) then decimal-sum → order-independent
     averages (map-side partial agg does the heavy lifting at scale)."""
     from mevi_spark.functions.text import tokens
+    from mevi_spark.sources.io import spread_small_scan
 
-    docs = load_table(spark, sf_dir, "documents")
+    # regex-heavy per-row stage over a bounded input: spread it
+    # (identity when the scan already plans wide — see spread_small_scan)
+    docs = spread_small_scan(spark, load_table(spark, sf_dir, "documents"))
     per_doc = docs.select(
         "source",
         F.round(

@@ -134,6 +134,104 @@ def streaming_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(sink)
 
 
+def _flavor_safe_ntz(col: str) -> F.Column:
+    """LTZ → NTZ without a session-timezone dependency (epoch micros
+    re-anchored on the NTZ epoch — same trick as windowed counts)."""
+    return F.expr(
+        f"timestampadd(MICROSECOND, unix_micros({col}),"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    ).alias(col)
+
+
+@register(
+    "streaming_sessionize_evict",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM seq),
+agg AS (
+  SELECT user_id, session_idx, COUNT(*) AS n_events,
+         MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM sess GROUP BY user_id, session_idx)
+SELECT user_id, session_start, session_end, n_events FROM agg
+""",
+)
+def streaming_sessionize_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 + state eviction (VERDICT r5 #4): the sessionize stream run
+    WITH a watermark and ``EventTimeTimeout`` — the production guard
+    against unbounded state. Beyond the closed-by-a-later-event
+    sessions the plain stream emits, the watermark FLUSHES every open
+    session it proves dead (``last_event + gap`` behind the watermark)
+    and frees its state slot.
+
+    Replay determinism: slices are time-ordered (no late data), and a
+    far-future sentinel slice (+48 h) pushes the final watermark past
+    every real session's ``last_event + gap``; the trailing no-data
+    micro-batch (``noDataMicroBatches``, on by default, set explicitly
+    here) then fires every remaining timeout. The drained stream is
+    therefore the FULL batch sessionization — closed sessions emitted
+    by events, every still-open one flushed by the watermark — which is
+    exactly what the oracle replays. This is the convergence guarantee
+    eviction buys: without it the plain stream can never emit a user's
+    final session (``streaming_sessionize``'s minus-final-session
+    oracle); with it, bounded state AND the complete result.
+
+    Eviction needs ``withWatermark``, which rejects TIMESTAMP_NTZ; the
+    event time is re-anchored LTZ for the stream and the emitted bounds
+    are converted back, so the result matches the source flavor
+    regardless of session timezone.
+    """
+    base = _tmp("sessev")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    glob = _stage_time_slices(ev, "ts", 3, f"{base}/in")
+    # sentinel: one far-future event for a filtered-out user — its batch
+    # carries the final real-data watermark through timeout processing
+    sent = ev.agg(F.max("ts").alias("_mx")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.expr("_mx + INTERVAL 48 HOURS").alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+    )
+    sent.coalesce(1).write.mode("overwrite").parquet(f"{base}/in/s99")
+    is_ntz = dict(ev.dtypes).get("ts") == "timestamp_ntz"
+    stream = stream_parquet_source(
+        spark, glob, ev.schema, max_files_per_trigger=1
+    )
+    evt = stream.withColumn(
+        "ts", F.timestamp_micros(epoch_us(stream, "ts"))
+    ).withWatermark("ts", "1 second")
+    sessions = sessionize_stream(evt, evict=True)
+    sink = f"sessev_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(sink).filter(F.col("user_id") >= 0)
+    if is_ntz:
+        out = out.select(
+            "user_id",
+            _flavor_safe_ntz("session_start"),
+            _flavor_safe_ntz("session_end"),
+            "n_events",
+        )
+    return out
+
+
 @register(
     "streaming_sessionize",
     oracle="""

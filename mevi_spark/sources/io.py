@@ -40,6 +40,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Redistribute a scan whose planned split count is below the
+    cluster's default parallelism — opt-in, for expression-heavy
+    per-row stages over bounded inputs.
+
+    Parquet scans parallelize at row-group granularity; a
+    single-row-group file plans as ONE task, so heavy per-row work
+    downstream (regex tokenization, per-shingle md5) runs on one core.
+    A round-robin repartition of such a bounded input costs one small
+    exchange and buys full-width execution.
+
+    NOT applied by default in :func:`load_table`: measured at sf0.1,
+    the extra exchange is a net LOSS for shuffle-light queries (the
+    scan task is cheap; the exchange + extra AQE stage round-trips are
+    not). Use it only where the per-row expression work dominates the
+    stage.
+
+    Scale guard: the check reads the PLANNED split count (no job). At
+    production scale the file listing exceeds parallelism, the branch
+    is not taken, and no exchange enters the plan.
+    """
+    width = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < width:
+        return df.repartition(width)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read all testdata tables and register them as temp views."""
     out: dict[str, DataFrame] = {}

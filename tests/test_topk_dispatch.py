@@ -1,0 +1,121 @@
+"""Strategy dispatch for the similarity top-k join (VERDICT r5 #5) and
+the ANN dim-probe removal (VERDICT r5 #6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mevi_spark.operators import ann, topk
+
+
+def _sides(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ds = emb.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("doc_vec")
+    )
+    return qs, ds
+
+
+@pytest.fixture()
+def record_calls(monkeypatch):
+    calls = []
+
+    def fake(name, ret="DF"):
+        def impl(*a, **k):
+            calls.append(name)
+            return ret
+
+        return impl
+
+    monkeypatch.setattr(topk, "exact_topk_join", fake("exact"))
+    monkeypatch.setattr(ann, "ivf_topk_join", fake("ivf"))
+    monkeypatch.setattr(ann, "lsh_topk_join", fake("lsh"))
+    return calls
+
+
+def test_auto_picks_exact_below_limit(spark, sf_dir, record_calls):
+    qs, ds = _sides(spark, sf_dir)
+    topk.topk_join(qs, ds, k=5, query_count=100)
+    assert record_calls == ["exact"]
+
+
+def test_auto_picks_ivf_with_centroids_above_limit(
+    spark, sf_dir, record_calls
+):
+    qs, ds = _sides(spark, sf_dir)
+    cents = spark.createDataFrame(
+        [(0, [0.0])], "code long, centroid array<double>"
+    )
+    topk.topk_join(
+        qs, ds, k=5, centroids=cents, query_count=10**9
+    )
+    assert record_calls == ["ivf"]
+
+
+def test_auto_picks_lsh_without_centroids_above_limit(
+    spark, sf_dir, record_calls
+):
+    qs, ds = _sides(spark, sf_dir)
+    topk.topk_join(qs, ds, k=5, query_count=10**9)
+    assert record_calls == ["lsh"]
+
+
+def test_auto_counts_query_side_when_size_unknown(
+    spark, sf_dir, record_calls
+):
+    qs, ds = _sides(spark, sf_dir)
+    topk.topk_join(qs, ds, k=5, exact_query_limit=3)
+    assert record_calls == ["lsh"]  # query subset > 3 rows
+
+
+def test_explicit_strategy_and_errors(spark, sf_dir, record_calls):
+    qs, ds = _sides(spark, sf_dir)
+    topk.topk_join(qs, ds, k=5, strategy="exact", query_count=10**9)
+    assert record_calls == ["exact"]
+    with pytest.raises(ValueError, match="requires centroids"):
+        topk.topk_join(qs, ds, k=5, strategy="ivf")
+    with pytest.raises(ValueError, match="unknown strategy"):
+        topk.topk_join(qs, ds, k=5, strategy="hnsw")
+
+
+def test_dispatch_result_matches_direct_call(spark, sf_dir):
+    """End-to-end (no monkeypatch): auto at small size == exact join."""
+    qs, ds = _sides(spark, sf_dir)
+    via_dispatch = topk.topk_join(qs, ds, k=5, metric="ip").collect()
+    direct = topk.exact_topk_join(qs, ds, k=5, metric="ip").collect()
+    assert sorted(map(tuple, via_dispatch)) == sorted(map(tuple, direct))
+
+
+def test_lsh_dim_param_skips_probe_job(spark, sf_dir):
+    """With ``dim`` passed, building the LSH join plan runs ZERO jobs
+    (the phi aggregate only runs for metric='ip' without phi; pass both
+    and nothing executes until collect)."""
+    qs, ds = _sides(spark, sf_dir)
+    dim = len(ds.select("doc_vec").first()[0])
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    df = ann.lsh_topk_join(qs, ds, k=5, metric="ip", dim=dim, phi=1.0)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "plan construction ran Spark jobs"
+    # and the parameterized plan still computes the same result
+    got = {(r.query_id, r.doc_id) for r in df.collect()}
+    ref = {
+        (r.query_id, r.doc_id)
+        for r in ann.lsh_topk_join(qs, ds, k=5, metric="ip").collect()
+    }
+    assert got  # non-empty
+    # phi=1.0 may differ from the data max-norm, so compare against a
+    # same-phi run rather than the data-derived one
+    same = {
+        (r.query_id, r.doc_id)
+        for r in ann.lsh_topk_join(
+            qs, ds, k=5, metric="ip", dim=dim, phi=1.0
+        ).collect()
+    }
+    assert got == same
+    assert ref  # data-derived variant still works
