@@ -69,34 +69,61 @@ _LOADED = False
 # queries crowd out never-driver-tested ones (round 3 silently dropped
 # 16 of 66), so the exposure order is now explicit:
 #
-# Round-5 policy (computed from CORRECTNESS_r01-r04 row counts): the
-# window holds the queries with the FEWEST accumulated driver rows —
+# Round-6 policy (recomputed from CORRECTNESS_r01-r05 row
+# counts — VERDICT r5 #2: the r5 list was a static r1-r4 snapshot and
+# went stale by one round): the window holds the queries with the
+# FEWEST accumulated driver rows, oldest-evidence first —
 #
-#   tier 1 — fixes the driver has never confirmed (red or zero rows);
-#   tier 2 — every query with ≤2 driver rows (one or two green rounds);
-#   tier 3 — bench-headline queries kept in-window for regression
-#            coverage even though they carry 3 green rows.
+#   tier 1 — new this round, zero driver rows (the two
+#            watermark-flushing sessionize implementations);
+#   tier 2 — one or two green rows (r5's first-time greens + the
+#            multimodal/tokenize set last seen in r4);
+#   tier 3 — three rows but NO r5 row (the 12 the judge listed:
+#            dedup tier, negatives, nq/inverse-index, knn cosine,
+#            rq assign/centroids, video) then three-row r5-greens;
+#   tier 4 — the 13 bench headliners, kept in-window for regression
+#            coverage regardless of row count.
 #
-# The 17 triple-green queries left outside rotate back as their row
-# deficit grows; the local full-gate check covers them every round.
-# Names not listed here (future additions) sort after the listed ones
-# in plain registration order.
+# The 20 queries left outside are all r5-green with 3+ rows; they
+# rotate back as their deficit grows, and the local full-gate check
+# covers them every round. Names not listed here (future additions)
+# sort after the listed ones in plain registration order.
 _PRIORITY_ORDER: list[str] = [
-    # tier 1 — broken-in-r4, fixed this round; fixes need a driver row
-    "sessionize_events",
+    # tier 1 — zero driver rows
+    "streaming_sessionize_evict",
+    "streaming_sessionize_window",
+    # tier 2 — one row (first green in r5)
+    "ann_ivf_topk",
+    "complement_qg10",
+    "rq_kmeans_invariant",
     "streaming_event_window_counts",
     "streaming_sessionize",
-    "rq_ema_step",
-    "complement_qg10",
-    "ann_ivf_topk",  # new this round — zero driver rows
-    "rq_kmeans_invariant",  # rows-only in r4, oracle-pinned this round
-    # tier 2 — one driver row
+    # tier 2 — two rows, last seen r4
+    "image_resize",
+    "media_decode_stats",
+    "media_meta_stats",
+    "tokenize_padded",
+    # tier 2 — two rows, last seen r5
     "cluster_projection",
     "code_token_arith",
     "doc_query_sets",
+    "rq_ema_step",
     "rq_reconstruct",
     "streaming_quantize_index",
-    # tier 2 — two driver rows
+    # tier 3 — three rows, NO r5 row (oldest evidence in the registry)
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "inverse_answer_index",
+    "knn_topk_cosine",
+    "negatives_cluster",
+    "negatives_notclus",
+    "nq_hit_test",
+    "rq_assign_nearest",
+    "rq_centroids_label",
+    "video_frame_sample",
+    # tier 3 — three rows, r5-green
     "ann_lsh_topk",
     "augment_spans",
     "beam_constrained",
@@ -105,37 +132,20 @@ _PRIORITY_ORDER: list[str] = [
     "corpus_sample_remap",
     "customer_order_rollup",
     "customer_order_running_stats",
-    "customers_without_orders",
-    "dedup_ngram_dfcut",
-    "doc2query_expand",
-    "doc_fingerprints",
-    "embed_determinism",
-    "ensemble_grid",
-    "eval_all_codes",
-    "events_json_extract",
-    "events_type_stats",
-    "memmap_roundtrip",
-    "nation_revenue",
-    "order_priority_histogram",
-    "partition_pruning_stats",
+    # tier 4 — bench headliners (regression coverage)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "rq_model_roundtrip",
-    "suppliers_in_region_semi",
-    "text_lang_id",
-    "text_token_counts",
-    "topk_orders_per_customer",
-    "tsv_corpus_roundtrip",
-    "tsv_queries_roundtrip",
-    "tsv_run_roundtrip",
-    # tier 3 — bench headliners (3 green rows, kept for regression)
-    "coarse_to_fine_retrieval",
-    "dedup_minhash_pairs",
-    "ensemble_fuse",
+    "nation_revenue",
+    "sessionize_events",
     "knn_topk_ip",
     "retrieval_eval_metrics",
-    "rq_beam_search",
     "rq_encode_two_level",
+    "rq_beam_search",
+    "coarse_to_fine_retrieval",
+    "ensemble_fuse",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "text_quality_stats",
 ]
 
 

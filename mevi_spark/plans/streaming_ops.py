@@ -143,9 +143,9 @@ def _flavor_safe_ntz(col: str) -> F.Column:
     ).alias(col)
 
 
-@register(
-    "streaming_sessionize_evict",
-    oracle="""
+# the FULL batch sessionization — the convergence target both
+# watermark-flushing streaming implementations must reproduce exactly
+_SQL_SESS_FULL = """
 WITH seq AS (
   SELECT user_id, ts, event_id,
          CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
@@ -164,8 +164,10 @@ agg AS (
          MIN(ts) AS session_start, MAX(ts) AS session_end
   FROM sess GROUP BY user_id, session_idx)
 SELECT user_id, session_start, session_end, n_events FROM agg
-""",
-)
+"""
+
+
+@register("streaming_sessionize_evict", oracle=_SQL_SESS_FULL)
 def streaming_sessionize_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7 + state eviction (VERDICT r5 #4): the sessionize stream run
     WITH a watermark and ``EventTimeTimeout`` — the production guard
@@ -191,12 +193,43 @@ def streaming_sessionize_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
     are converted back, so the result matches the source flavor
     regardless of session timezone.
     """
-    base = _tmp("sessev")
+    return _replay_sessionize_flushed(
+        spark, sf_dir, lambda evt: sessionize_stream(evt, evict=True), "sessev"
+    )
+
+
+@register("streaming_sessionize_window", oracle=_SQL_SESS_FULL)
+def streaming_sessionize_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7, declarative flavor (VERDICT r5 stretch #8): the SAME
+    sessionization contract as ``streaming_sessionize_evict`` — same
+    replay harness, same full-batch oracle — but implemented with the
+    engine's built-in ``session_window`` aggregation instead of the
+    custom ``applyInPandasWithState`` operator. Two independent
+    implementations, one oracle: the strongest cross-check the
+    streaming surface has. State eviction is inherent here (append
+    mode emits a session once the watermark passes its window end and
+    the store drops it), so the sentinel slice flushes every real
+    session exactly as in the custom-operator variant."""
+    from mevi_spark.streaming import sessionize_stream_window
+
+    return _replay_sessionize_flushed(
+        spark, sf_dir, sessionize_stream_window, "sesswin"
+    )
+
+
+def _replay_sessionize_flushed(
+    spark: SparkSession, sf_dir: str, make_sessions, prefix: str
+) -> DataFrame:
+    """Shared replay harness for the two watermark-flushing sessionize
+    implementations: stage time-ordered slices plus a far-future
+    sentinel slice (one event for a filtered-out user — its batch
+    carries the final real-data watermark through state flushing), run
+    the stream with a watermark, return the drained result in the
+    source ts flavor."""
+    base = _tmp(prefix)
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
     glob = _stage_time_slices(ev, "ts", 3, f"{base}/in")
-    # sentinel: one far-future event for a filtered-out user — its batch
-    # carries the final real-data watermark through timeout processing
     sent = ev.agg(F.max("ts").alias("_mx")).select(
         F.lit(-1).cast("long").alias("event_id"),
         F.expr("_mx + INTERVAL 48 HOURS").alias("ts"),
@@ -210,8 +243,8 @@ def streaming_sessionize_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
     evt = stream.withColumn(
         "ts", F.timestamp_micros(epoch_us(stream, "ts"))
     ).withWatermark("ts", "1 second")
-    sessions = sessionize_stream(evt, evict=True)
-    sink = f"sessev_{uuid.uuid4().hex[:8]}"
+    sessions = make_sessions(evt)
+    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
     q = (
         sessions.writeStream.outputMode("append")
         .format("memory")

@@ -13,17 +13,21 @@ arriving corpus/event stream.
   aggregation with a late-data watermark;
 * :func:`sessionize_stream` — custom stateful operator
   (``applyInPandasWithState``): cross-batch session state per user,
-  closed sessions emitted as their closing event arrives.
+  closed sessions emitted as their closing event arrives;
+* :func:`sessionize_stream_window` — the same semantics through the
+  engine's built-in ``session_window`` (declarative state management).
 """
 
 from mevi_spark.streaming.incremental import (
     incremental_quantize,
     sessionize_stream,
+    sessionize_stream_window,
     windowed_event_counts,
 )
 
 __all__ = [
     "incremental_quantize",
     "sessionize_stream",
+    "sessionize_stream_window",
     "windowed_event_counts",
 ]

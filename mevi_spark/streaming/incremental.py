@@ -205,6 +205,41 @@ def _session_func(gap_us: int, evict: bool = False):
     return close_sessions
 
 
+def sessionize_stream_window(
+    stream_df: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Sessionization via Spark's built-in ``session_window`` — the
+    declarative twin of :func:`sessionize_stream`'s custom stateful
+    operator. Same close rule (gap of inactivity ends the session;
+    boundary events differ only on an EXACTLY-gap interval, which the
+    µs-random testdata never produces), state managed entirely by the
+    engine's streaming session-window operator instead of
+    ``applyInPandasWithState``.
+
+    Emits ``(user_id, session_start, session_end, n_events)`` with
+    ``session_end`` = last event time (the window end minus the gap —
+    ``session_window``'s end is ``last + gap``), matching the custom
+    operator's output. Append mode: a session is emitted once the
+    watermark passes its window end, so eviction/flushing is inherent —
+    this is the engine-managed version of the ``evict=True`` guarantee.
+    Input must carry a watermark on an LTZ ``ts``.
+    """
+    win = F.session_window(F.col(ts_col), gap)
+    return (
+        stream_df.groupBy(win.alias("_w"), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("_w.start").alias("session_start"),
+            (F.col("_w.end") - F.expr(f"INTERVAL {gap}")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def sessionize_stream(
     stream_df: DataFrame,
     gap_us: int = _GAP_US_DEFAULT,

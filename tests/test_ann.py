@@ -132,3 +132,58 @@ def test_ivf_join_impl_matches_expr(spark, sf_dir):
             ).collect()
         )
     assert out["expr"] == out["join"]
+
+
+def test_ivf_recall_curve_separated_fixture(spark):
+    """VERDICT r5 stretch #7 — the nprobe knob on the geometry IVF
+    assumes (separated clusters, faiss's ``nprobe`` tuning curve,
+    ``MEVI/faiss_search.py:13-21``): seeded gaussian clusters, queries
+    perturbed from member vectors. recall@10 vs exact must be monotone
+    in nprobe ∈ {1, 2, 4, 8} and ≥ 0.9 by nprobe = 4."""
+    import numpy as np
+
+    from mevi_spark.operators.ann import ivf_topk_join
+    from mevi_spark.operators.rq import rq_level_centroids
+
+    rng = np.random.default_rng(7)
+    K, per, dim = 8, 120, 16
+    centers = rng.normal(0.0, 10.0, (K, dim))
+    vecs = centers.repeat(per, axis=0) + rng.normal(0.0, 1.0, (K * per, dim))
+    labels = np.arange(K).repeat(per)
+    docs = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in vecs[i]], int(labels[i]))
+            for i in range(K * per)
+        ],
+        "doc_id long, doc_vec array<double>, code long",
+    )
+    q_idx = rng.choice(K * per, 40, replace=False)
+    queries = spark.createDataFrame(
+        [
+            (
+                int(i),
+                [float(x) for x in vecs[i] + rng.normal(0.0, 0.3, dim)],
+            )
+            for i in q_idx
+        ],
+        "query_id long, query_vec array<double>",
+    )
+    cents = rq_level_centroids(docs, code_col="code", vec_col="doc_vec")
+    exact = {
+        (r.query_id, r.doc_id)
+        for r in exact_topk_join(queries, docs, k=10, metric="ip").collect()
+    }
+    assert exact
+
+    recalls = []
+    for nprobe in (1, 2, 4, 8):
+        ivf = {
+            (r.query_id, r.doc_id)
+            for r in ivf_topk_join(
+                queries, docs, cents, k=10, nprobe=nprobe
+            ).collect()
+        }
+        recalls.append(len(ivf & exact) / len(exact))
+    assert recalls == sorted(recalls), f"not monotone: {recalls}"
+    assert recalls[2] >= 0.9, f"recall@10 at nprobe=4 too low: {recalls}"
+    assert recalls[3] == 1.0, f"nprobe=K must be exact: {recalls}"
