@@ -58,7 +58,14 @@ def main() -> None:
     from mevi_spark.plans import registry
     from mevi_spark.session import get_spark
 
-    spark = get_spark("mevi-bench")
+    # Shuffle width sized to the data, not the core count: every
+    # headline shuffle at sf0.1 is a few MB, so 32 map-side buckets are
+    # pure task overhead (AQE coalesces REDUCERS, but the map side
+    # still writes one bucket per configured partition — measured ~2 s
+    # across the suite). On a cluster you size this to 2-3x total
+    # cores; the same reasoning, opposite direction.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+    spark = get_spark("mevi-bench", shuffle_partitions=shuffle)
     qs = registry.get_queries()
 
     # Warm-up: timings should measure the PLAN, not one-time init.

@@ -396,10 +396,12 @@ def _codebook2(spark: SparkSession, sf_dir: str):
     )
     mapping = mapping.persist()
     codebook = codebook.persist()
-    # materialize the full chain once: mapping forces every level's
-    # (persisted) centroid frame, so later codebook reads are K-row
-    # cache hits — no second count needed
-    mapping.count()
+    # NOT count()-materialized here: the per-level centroid frames are
+    # already persisted + collected during construction (the literal
+    # codebook entries), so the expensive part of the chain is staged;
+    # the corpus-sized mapping materializes on its first consumer's
+    # action instead of paying one extra full pass up front (r6 bench:
+    # the eager count was a redundant scan of the whole chain)
     per_session[sf_dir] = (mapping, codebook)
     return mapping, codebook
 
