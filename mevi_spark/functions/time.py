@@ -27,7 +27,11 @@ def epoch_us(df: DataFrame, col: str) -> Column:
     over the same parquet input.
     """
     if dict(df.dtypes).get(col) == "timestamp_ntz":
+        # backtick-quote the identifier (escaping embedded backticks) so
+        # names with dots/spaces/hyphens parse as one column reference
+        ident = "`" + col.replace("`", "``") + "`"
         return F.expr(
-            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {ident})"
         )
     return F.unix_micros(F.col(col))

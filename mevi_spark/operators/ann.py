@@ -34,6 +34,8 @@ single driver-side scalar. AQE's skew-join handles residual hot buckets.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from mevi_spark.functions.vector import cosine, dot, iptol2_doc, iptol2_query
@@ -202,26 +204,45 @@ def ivf_topk_join(
     from mevi_spark.operators.rq import centroid_entries
     from mevi_spark.operators.topk import topk_per_group
 
+    if metric not in ("ip", "cosine"):
+        raise ValueError(f"metric must be 'ip' or 'cosine', got {metric!r}")
     if impl == "join":
         c = F.broadcast(
             centroids.select(F.col("code").alias(list_col), "centroid")
+        )
+        # probe with the SAME metric as scoring: an ip probe over
+        # unnormalized centroids can rank clusters differently from the
+        # cosine scoring metric and silently degrade recall
+        probe_score = (
+            dot(query_vec, "centroid") if metric == "ip"
+            else cosine(query_vec, "centroid")
         )
         ranked = topk_per_group(
             queries.select(query_id, query_vec)
             .crossJoin(c)
             .select(
                 query_id, query_vec, list_col,
-                dot(query_vec, "centroid").alias("_ps"),
+                probe_score.alias("_ps"),
             ),
             [query_id], "_ps", nprobe, [list_col],
         )
         probed = ranked.select(query_id, query_vec, list_col)
     elif impl == "expr":
         entries = centroid_entries(centroids)
+        # for cosine, inline UNIT centroids: dot(q, cent/||cent||) ranks
+        # identically to cosine(q, cent) (the query norm is constant per
+        # query), so the probe agrees with the scoring metric
+        def _probe_vec(cent):
+            if metric == "ip":
+                return cent
+            nrm = math.sqrt(sum(v * v for v in cent)) or 1.0
+            return [v / nrm for v in cent]
         lit_cents = F.array(
             *[
                 F.struct(
-                    F.array(*[F.lit(v) for v in cent]).alias("cent"),
+                    F.array(
+                        *[F.lit(v) for v in _probe_vec(cent)]
+                    ).alias("cent"),
                     F.lit(code).cast("long").alias("c"),
                 )
                 for code, cent, _cc in entries

@@ -289,6 +289,7 @@ def rq_encode_seeded(
     vec_col: str = "vector",
     levels: int = 2,
     persist_levels: bool = False,
+    persisted_out: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic RQ: level-0 codebook is the centroid-average of a
     seed partition (``seed_code`` column, e.g. a class label — exactly
@@ -319,6 +320,12 @@ def rq_encode_seeded(
         cents = rq_level_centroids(cur, seed_col, "resid")
         if persist_levels:
             cents = cents.persist()
+            if persisted_out is not None:
+                # hand the persisted K-row frames back so the caller's
+                # teardown can unpersist them deterministically instead
+                # of waiting for session GC (clear_session_caches
+                # contract, plans/retrieval.py)
+                persisted_out.append(cents)
         codebooks.append(cents.select(F.lit(lvl).alias("level"), "code", "centroid"))
         # one K-row collect per level (materializes the persisted
         # centroid frame); assignment and residual are then literal

@@ -389,10 +389,12 @@ def _codebook2(spark: SparkSession, sf_dir: str):
     per_session = _CHAIN_CACHE.setdefault(spark, {})
     hit = per_session.get(sf_dir)
     if hit is not None:
-        return hit
+        return hit[0], hit[1]
+    level_frames: list = []
     mapping, codebook = rq_encode_seeded(
         _emb(spark, sf_dir), seed_code="label", id_col="vec_id",
         vec_col="embedding", levels=2, persist_levels=True,
+        persisted_out=level_frames,
     )
     mapping = mapping.persist()
     codebook = codebook.persist()
@@ -402,7 +404,9 @@ def _codebook2(spark: SparkSession, sf_dir: str):
     # the corpus-sized mapping materializes on its first consumer's
     # action instead of paying one extra full pass up front (r6 bench:
     # the eager count was a redundant scan of the whole chain)
-    per_session[sf_dir] = (mapping, codebook)
+    # the per-level centroid frames ride along so clear_session_caches
+    # unpersists them too (they are persisted inside rq_encode_seeded)
+    per_session[sf_dir] = (mapping, codebook, *level_frames)
     return mapping, codebook
 
 

@@ -14,6 +14,7 @@ same ``readStream`` picks it up file by file.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -25,6 +26,7 @@ from mevi_spark.plans.registry import register
 from mevi_spark.plans.retrieval import _SQL_CENT_LIST
 from mevi_spark.sources.io import load_table
 from mevi_spark.streaming import (
+    dedup_stream,
     incremental_quantize,
     sessionize_stream,
     windowed_event_counts,
@@ -132,6 +134,64 @@ def streaming_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@register(
+    "streaming_dedup_ingest",
+    oracle="SELECT event_id, ts, event_type, value FROM events",
+)
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 ingest guard: exactly-once over at-least-once delivery.
+
+    Every slice of the time-ordered event stream is DELIVERED TWICE
+    (the copies re-arrive after all originals, mtime-bumped — a replayed
+    backfill); :func:`~mevi_spark.streaming.dedup_stream` suppresses the
+    second copies with watermark-bounded state. Determinism of the
+    drained result: originals are never late (slices ascend in event
+    time, so each batch's rows are above the watermark its predecessors
+    set), and for each redelivered row either its key state is alive
+    (same-key arrival within the delay → deduplicated) or the watermark
+    has passed ``ts + delay`` (→ the copy is older than the watermark
+    and dropped as late data) — exactly one copy of every event
+    survives, so the stream equals the batch table, the oracle.
+    """
+    import shutil
+
+    base = _tmp("dedup")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    glob = _stage_time_slices(ev, "ts", 3, f"{base}/in")
+    for i in range(3):
+        src, dst = f"{base}/in/s{i:02d}", f"{base}/in/s9{i}"
+        shutil.copytree(src, dst)
+        bump = 3600 + i  # strictly after every original, in slice order
+        for name in os.listdir(dst):
+            full = os.path.join(dst, name)
+            st = os.stat(full)
+            os.utime(full, (st.st_atime + bump, st.st_mtime + bump))
+    is_ntz = dict(ev.dtypes).get("ts") == "timestamp_ntz"
+    stream = stream_parquet_source(
+        spark, glob, ev.schema, max_files_per_trigger=1
+    )
+    evt = stream.withColumn("ts", F.timestamp_micros(epoch_us(stream, "ts")))
+    deduped = dedup_stream(evt, ["event_id"], delay="1 hour")
+    sink = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(sink)
+    if is_ntz:
+        out = out.select(
+            "event_id", _flavor_safe_ntz("ts"), "event_type", "value"
+        )
+    return out
 
 
 def _flavor_safe_ntz(col: str) -> F.Column:

@@ -15,10 +15,13 @@ arriving corpus/event stream.
   (``applyInPandasWithState``): cross-batch session state per user,
   closed sessions emitted as their closing event arrives;
 * :func:`sessionize_stream_window` — the same semantics through the
-  engine's built-in ``session_window`` (declarative state management).
+  engine's built-in ``session_window`` (declarative state management);
+* :func:`dedup_stream` — exactly-once ingest under at-least-once
+  delivery (watermark-bounded ``dropDuplicatesWithinWatermark``).
 """
 
 from mevi_spark.streaming.incremental import (
+    dedup_stream,
     incremental_quantize,
     sessionize_stream,
     sessionize_stream_window,
@@ -26,6 +29,7 @@ from mevi_spark.streaming.incremental import (
 )
 
 __all__ = [
+    "dedup_stream",
     "incremental_quantize",
     "sessionize_stream",
     "sessionize_stream_window",

@@ -84,6 +84,35 @@ def incremental_quantize(
     )
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    keys: list[str],
+    delay: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once ingest under at-least-once delivery: suppress
+    duplicate rows by key with watermark-bounded state
+    (``dropDuplicatesWithinWatermark``).
+
+    The production problem this solves at 100 TB/day: every ingest bus
+    (file landing zones, Kafka, replayed backfills) delivers
+    at-least-once, so the same record can arrive twice — and a naive
+    ``dropDuplicates`` on a stream keeps one state entry per key EVER
+    seen (unbounded). Here the state for a key is freed once the
+    watermark passes ``event_time + delay``; a copy arriving later than
+    that is necessarily older than the watermark and is dropped as late
+    data — so every record is emitted exactly once and state size is
+    bounded by the key-arrival rate × delay, not by history.
+
+    Requires an LTZ ``ts_col`` (``withWatermark`` rejects NTZ — rebuild
+    via ``timestamp_micros(epoch_us(...))`` like the sessionize replay
+    harness does).
+    """
+    return stream_df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def windowed_event_counts(
     stream_df: DataFrame,
     window_duration: str = "1 day",

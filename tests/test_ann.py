@@ -187,3 +187,42 @@ def test_ivf_recall_curve_separated_fixture(spark):
     assert recalls == sorted(recalls), f"not monotone: {recalls}"
     assert recalls[2] >= 0.9, f"recall@10 at nprobe=4 too low: {recalls}"
     assert recalls[3] == 1.0, f"nprobe=K must be exact: {recalls}"
+
+
+def test_ivf_cosine_probe_uses_cosine(spark):
+    """ADVICE r5 #4: the probe stage must rank clusters by the SAME
+    metric as scoring. Construct the adversarial geometry: centroid B
+    has a huge norm but points away from the query; centroid A is unit
+    and aligned. An ip probe picks B (norm wins), a cosine probe picks
+    A — so with nprobe=1 the cosine result must come from A's list."""
+    from mevi_spark.operators.ann import ivf_topk_join
+
+    docs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.05], 0),   # list A: aligned with the query
+            (1, [1.0, -0.05], 0),
+            (2, [0.0, 1.0], 1),    # list B: orthogonal-ish
+            (3, [0.05, 1.0], 1),
+        ],
+        "doc_id long, doc_vec array<double>, code long",
+    )
+    cents = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 2),
+            (1, [0.0, 100.0], 2),  # huge norm: wins any ip probe
+        ],
+        "code long, centroid array<double>, cnt long",
+    )
+    queries = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    for impl in ("expr", "join"):
+        rows = ivf_topk_join(
+            queries, docs, cents, k=1, nprobe=1,
+            metric="cosine", impl=impl,
+        ).collect()
+        assert len(rows) == 1, impl
+        assert rows[0].doc_id == 0, (
+            f"impl={impl}: cosine probe must pick the aligned list, "
+            f"got doc {rows[0].doc_id}"
+        )

@@ -32,6 +32,20 @@ def test_clear_session_caches_frees_blocks(spark, sf_dir):
     )
 
 
+def test_clear_frees_persisted_level_frames(spark, sf_dir):
+    """The K-row per-level centroid frames persisted inside
+    rq_encode_seeded(persist_levels=True) are tracked in the cache entry
+    and unpersisted on clear — not left for session GC (ADVICE r5)."""
+    R.clear_session_caches(spark)
+    R._codebook2(spark, sf_dir)
+    entry = R._CHAIN_CACHE[spark][sf_dir]
+    assert len(entry) > 2, "level frames should ride along in the entry"
+    levels = entry[2:]
+    assert all(df.storageLevel != StorageLevel.NONE for df in levels)
+    R.clear_session_caches(spark)
+    assert all(df.storageLevel == StorageLevel.NONE for df in levels)
+
+
 def test_caches_are_per_session_maps(spark, sf_dir):
     """The weak keying is by session object — no id()-tuple keys that a
     recycled id could alias."""

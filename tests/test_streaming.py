@@ -169,3 +169,23 @@ def test_sessionize_stream_watermark_evicts_state(spark):
         # 10:30/11:00 session stays open (watermark never passes it)
         (2, 1, "2024-03-01 09:00:00", "2024-03-01 09:00:00"),
     ]
+
+
+def test_streaming_dedup_ingest_exactly_once(spark, sf_dir):
+    """At-least-once delivery (every slice delivered twice) through
+    dedup_stream must drain to exactly the batch events table — no row
+    lost, no row doubled."""
+    from mevi_spark.plans.streaming_ops import streaming_dedup_ingest
+    from mevi_spark.sources.io import load_table
+
+    got = sorted(
+        (r.event_id, str(r.ts), r.event_type, r.value)
+        for r in streaming_dedup_ingest(spark, sf_dir).collect()
+    )
+    want = sorted(
+        (r.event_id, str(r.ts), r.event_type, r.value)
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .collect()
+    )
+    assert len(got) == len(want) and got == want

@@ -1,0 +1,64 @@
+"""epoch_us identifier safety and registry window-staleness detection
+(ADVICE r5 low items #3 and #5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mevi_spark.functions.time import epoch_us
+from mevi_spark.plans import registry as REG
+
+
+def test_epoch_us_quotes_weird_column_names(spark):
+    """An NTZ column whose name needs quoting (dots, spaces, hyphens,
+    embedded backticks) must resolve as one column reference, not parse
+    as an expression."""
+    base = spark.sql(
+        "SELECT TIMESTAMP_NTZ '2024-01-01 00:00:01' AS ts"
+    )
+    want = 1704067201_000000
+    for name in ["event ts", "a.b", "a-b", "a`b"]:
+        df = base.select(F.col("ts").alias(name))
+        assert dict(df.dtypes)[name] == "timestamp_ntz"
+        got = df.select(epoch_us(df, name).alias("us")).first()["us"]
+        assert got == want, name
+
+
+def test_epoch_us_ltz_arm(spark):
+    df = spark.sql(
+        "SELECT TIMESTAMP '2024-01-01 00:00:01 UTC' AS `t s`"
+    )
+    got = df.select(epoch_us(df, "t s").alias("us")).first()["us"]
+    assert got == 1704067201_000000
+
+
+def test_registry_reorders_on_equal_count_swap():
+    """Replacing one registered query with another (same total count)
+    must still trigger a reorder — the staleness key is the name SET,
+    not the count (ADVICE r5 #5)."""
+    REG._ensure_loaded()
+    REG._reorder_if_stale()
+    names = list(REG.QUERIES)
+    # a victim outside _PRIORITY_ORDER: removing a priority name is a
+    # loud error by design, which is not what this test exercises
+    victim = next(
+        n for n in reversed(names) if n not in REG._PRIORITY_ORDER
+    )
+    fn = REG.QUERIES.pop(victim)
+    sql = REG.ORACLES.pop(victim, None)
+    try:
+        REG.QUERIES["zz_swapped_in"] = fn
+        REG.ORACLES["zz_swapped_in"] = sql or "SELECT 1 AS one"
+        assert len(REG.QUERIES) == len(names)  # equal-count swap
+        got = list(REG.get_queries())
+        # the swapped-in name must be placed by the (recomputed) order,
+        # i.e. a reorder ran: the ordered-key now matches the new set
+        assert REG._ORDERED_KEY == frozenset(REG.QUERIES)
+        assert "zz_swapped_in" in got and victim not in got
+    finally:
+        REG.QUERIES.pop("zz_swapped_in", None)
+        REG.ORACLES.pop("zz_swapped_in", None)
+        REG.QUERIES[victim] = fn
+        if sql is not None:
+            REG.ORACLES[victim] = sql
+        REG._reorder_if_stale()
