@@ -101,10 +101,30 @@ def tokenize_padded(
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
 
-def stopword_ratio(c: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+def _toks_of(c: Column | str, toks: Column | str | None) -> Column:
+    """Tokenize ``c`` — or reuse a pre-staged token column.
+
+    The quality metrics are HIGHER-ORDER-FUNCTION expressions, which
+    fall back to interpreted eval (no whole-stage codegen, hence no
+    common-subexpression elimination): five metrics in one projection
+    re-run the normalize+split regex five times per row. Staging the
+    token array as a real column once and passing it via ``toks``
+    makes each metric read an attribute instead (the shingle_frame
+    pattern from the MinHash path).
+    """
+    if toks is None:
+        return tokens(normalize_text(c))
+    return F.col(toks) if isinstance(toks, str) else toks
+
+
+def stopword_ratio(
+    c: Column | str,
+    stopwords: tuple[str, ...] = STOPWORDS,
+    toks: Column | str | None = None,
+) -> Column:
     """Fraction of whitespace tokens that are stopwords (0.0 when the
     doc is empty)."""
-    toks = tokens(normalize_text(c))
+    toks = _toks_of(c, toks)
     sw = F.array(*[F.lit(s) for s in stopwords])
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
@@ -123,18 +143,22 @@ def punct_ratio(c: Column | str) -> Column:
     )
 
 
-def type_token_ratio(c: Column | str) -> Column:
+def type_token_ratio(
+    c: Column | str, toks: Column | str | None = None
+) -> Column:
     """Distinct-token / total-token ratio — low values flag repetitive
     (low-quality) text."""
-    toks = tokens(normalize_text(c))
+    toks = _toks_of(c, toks)
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
         F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
     )
 
 
-def mean_token_len(c: Column | str) -> Column:
+def mean_token_len(
+    c: Column | str, toks: Column | str | None = None
+) -> Column:
     """Mean whitespace-token length in characters (0.0 when empty)."""
-    toks = tokens(normalize_text(c))
+    toks = _toks_of(c, toks)
     total = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
@@ -157,17 +181,24 @@ LANG_PROFILES: tuple[tuple[str, tuple[str, ...]], ...] = (
 )
 
 
-def lang_hits(c: Column | str, words: tuple[str, ...]) -> Column:
+def lang_hits(
+    c: Column | str,
+    words: tuple[str, ...],
+    toks: Column | str | None = None,
+) -> Column:
     """Number of tokens of ``c`` that appear in ``words``."""
-    toks = tokens(normalize_text(c))
+    toks = _toks_of(c, toks)
     w = F.array(*[F.lit(s) for s in words])
     return F.size(F.filter(toks, lambda t: F.array_contains(w, t)))
 
 
-def lang_id(c: Column | str) -> Column:
+def lang_id(c: Column | str, toks: Column | str | None = None) -> Column:
     """Predicted language = argmax of per-profile stopword hits; first
     profile wins ties (deterministic)."""
-    scored = [(name, lang_hits(c, words)) for name, words in LANG_PROFILES]
+    scored = [
+        (name, lang_hits(c, words, toks=toks))
+        for name, words in LANG_PROFILES
+    ]
     # build argmax as a fold over (best_name, best_hits) pairs
     best_name, best_hits = F.lit(scored[0][0]), scored[0][1]
     for name, hits in scored[1:]:

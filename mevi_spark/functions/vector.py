@@ -9,7 +9,50 @@ double precision (verified empirically).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, functions as F
+
+
+def lit_vec(vals) -> Column:
+    """``array<double>`` literal from a Python sequence as ONE
+    expression node (``F.lit`` on the list), not ``dim`` separate
+    ``F.lit`` calls wrapped in ``F.array``.
+
+    Same post-optimization plan (CreateArray over foldable literals
+    constant-folds to the identical Literal), but the driver-side cost
+    differs sharply: per-element construction is ``dim`` py4j round
+    trips and a ``dim``-child tree for every eager analyzer pass, which
+    dominated the RQ chain build (~1.5 s at dim=64, K=10, 2 levels).
+    """
+    return F.lit([float(v) for v in vals])
+
+
+def sql_ident(name: str) -> str:
+    """Backtick-quote a column name for embedding in SQL text
+    (escaping embedded backticks)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def sql_double_array(vals) -> str:
+    """SQL text for an ``array<double>`` literal, bit-exact.
+
+    ``repr(float)`` is the shortest string that round-trips to the same
+    double in Python, and Java's ``Double.parseDouble`` is correctly
+    rounded, so ``parse(repr(v)) == v`` bit-for-bit (verified including
+    subnormals and exponent forms). Text + one ``F.expr`` parse is the
+    cheap way to inline a codebook: building the same tree through the
+    Column API is hundreds of py4j round trips per expression (~0.5 s
+    warm at K=10 × dim=64 — the dominant RQ chain-build cost), while
+    the JVM-side parse of the equivalent text is milliseconds.
+    """
+    parts = []
+    for v in vals:
+        f = float(v)
+        if not math.isfinite(f):
+            raise ValueError(f"non-finite literal in vector: {v!r}")
+        parts.append(repr(f) + "D")
+    return "array(" + ",".join(parts) + ")"
 
 
 def _d(c: Column | str) -> Column:

@@ -38,7 +38,14 @@ import math
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from mevi_spark.functions.vector import cosine, dot, iptol2_doc, iptol2_query
+from mevi_spark.functions.vector import (
+    cosine,
+    dot,
+    iptol2_doc,
+    iptol2_query,
+    sql_double_array,
+    sql_ident,
+)
 from mevi_spark.operators.dedup import _sign_key, deterministic_planes
 
 
@@ -237,33 +244,19 @@ def ivf_topk_join(
                 return cent
             nrm = math.sqrt(sum(v * v for v in cent)) or 1.0
             return [v / nrm for v in cent]
-        lit_cents = F.array(
-            *[
-                F.struct(
-                    F.array(
-                        *[F.lit(v) for v in _probe_vec(cent)]
-                    ).alias("cent"),
-                    F.lit(code).cast("long").alias("c"),
-                )
-                for code, cent, _cc in entries
-            ]
+        # SQL text, one parse — not hundreds of Column-API py4j round
+        # trips (see sql_double_array); bit-exact literals
+        cents_sql = ",".join(
+            f"named_struct('cent',{sql_double_array(_probe_vec(cent))},"
+            f"'c',{int(code)}L)"
+            for code, cent, _cc in entries
         )
-        qv = F.col(query_vec).cast("array<double>")
-        scored_cents = F.transform(
-            lit_cents,
-            lambda e: F.struct(
-                (
-                    -F.aggregate(
-                        F.zip_with(qv, e["cent"], lambda x, y: x * y),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                ).alias("ns"),
-                e["c"].alias("c"),
-            ),
-        )
-        probes = F.transform(
-            F.slice(F.sort_array(scored_cents), 1, nprobe), lambda e: e["c"]
+        qv_sql = f"cast({sql_ident(query_vec)} AS array<double>)"
+        probes = F.expr(
+            f"transform(slice(sort_array(transform(array({cents_sql}),"
+            f" e -> named_struct('ns', -aggregate(zip_with({qv_sql},"
+            f" e.cent, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x),"
+            f"'c', e.c))), 1, {int(nprobe)}), e -> e.c)"
         )
         probed = queries.select(
             query_id, query_vec, F.explode(probes).alias(list_col)

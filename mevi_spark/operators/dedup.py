@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from mevi_spark.functions.text import normalize_text, word_shingles
+from mevi_spark.functions.vector import lit_vec
 from mevi_spark.functions.text_analysis import simhash_bits_long
 
 
@@ -454,7 +455,7 @@ def _sign_key(vec: Column, planes: list[list[int]]) -> Column:
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.array(*[F.lit(float(v)) for v in plane]),
+                lit_vec(plane),
                 lambda x, w: x * w,
             ),
             F.lit(0.0).cast("double"),

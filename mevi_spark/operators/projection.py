@@ -39,7 +39,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
-from mevi_spark.functions.vector import dot
+from mevi_spark.functions.vector import dot, lit_vec
 
 
 def projection_weights(
@@ -55,7 +55,7 @@ def projection_weights(
 
 
 def _lit_arr(vals) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vals])
+    return lit_vec(vals)
 
 
 def rank_feature(

@@ -37,7 +37,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from mevi_spark.functions.vector import code_flat, dot
+from mevi_spark.functions.vector import (
+    code_flat,
+    dot,
+    sql_double_array,
+    sql_ident,
+)
 from mevi_spark.operators.topk import topk_per_group
 
 
@@ -205,33 +210,24 @@ def assign_nearest(
 
     if entries is None:
         entries = centroid_entries(centroids)
-    lit_cents = F.array(
-        *[
-            F.struct(
-                F.lit(code).cast("long").alias("c"),
-                F.array(*[F.lit(v) for v in cent]).alias("cent"),
-                F.lit(cc).alias("cc"),
-            )
-            for code, cent, cc in entries
-        ]
+    # one SQL-text parse instead of hundreds of Column-API py4j round
+    # trips (~0.5 s warm per expression at K=10 × dim=64 — the dominant
+    # chain-build cost); repr(float)+'D' literals are bit-exact (see
+    # sql_double_array). Same plan after parsing: array_min over
+    # (distance, code) structs, lexicographic = the (d asc, c asc)
+    # tie-break.
+    cents_sql = ",".join(
+        f"named_struct('d',{cc!r}D,'c',{int(code)}L,"
+        f"'cent',{sql_double_array(cent)})"
+        for code, cent, cc in entries
     )
-    v = F.col(vec_col).cast("array<double>")
-    scored = F.transform(
-        lit_cents,
-        lambda e: F.struct(
-            (
-                e["cc"]
-                - 2.0
-                * F.aggregate(
-                    F.zip_with(v, e["cent"], lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ).alias("d"),
-            e["c"].alias("c"),
-        ),
+    v_sql = f"cast({sql_ident(vec_col)} AS array<double>)"
+    best = F.expr(
+        f"array_min(transform(array({cents_sql}), e -> named_struct("
+        f"'d', e.d - 2.0D * aggregate(zip_with({v_sql}, e.cent,"
+        f" (x, y) -> x * y), 0.0D, (acc, x) -> acc + x),"
+        f"'c', e.c))).c"
     )
-    best = F.array_min(scored)["c"]
     return vectors.select(id_col, vec_col, *keep).withColumn(out_code, best)
 
 
@@ -266,18 +262,16 @@ def subtract_centroid(
         raise ValueError(f"unknown impl: {impl!r}")
     if entries is None:
         entries = centroid_entries(centroids)
-    cent_map = F.map_from_arrays(
-        F.array(*[F.lit(code).cast("long") for code, _, _ in entries]),
-        F.array(
-            *[F.array(*[F.lit(v) for v in cent]) for _, cent, _ in entries]
-        ),
-    )
+    # SQL text for the same single-parse reason as assign_nearest
+    map_sql = "map(" + ",".join(
+        f"{int(code)}L,{sql_double_array(cent)}" for code, cent, _ in entries
+    ) + ")"
     return assigned.withColumn(
         out_col,
-        F.zip_with(
-            F.col(vec_col).cast("array<double>"),
-            F.element_at(cent_map, F.col(code_col).cast("long")),
-            lambda a, b: a - b,
+        F.expr(
+            f"zip_with(cast({sql_ident(vec_col)} AS array<double>),"
+            f" element_at({map_sql}, cast({sql_ident(code_col)} AS bigint)),"
+            f" (a, b) -> a - b)"
         ),
     )
 

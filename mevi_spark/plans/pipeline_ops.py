@@ -408,15 +408,21 @@ def text_quality_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regex-heavy per-row stage over a bounded input: spread it
     # (identity when the scan already plans wide — see spread_small_scan)
     docs = spread_small_scan(spark, load_table(spark, sf_dir, "documents"))
-    per_doc = docs.select(
+    # stage the token array ONCE as a real column: the ratio metrics are
+    # higher-order-function expressions (interpreted, no codegen CSE),
+    # so inlining the tokenizer would re-run the normalize+split regex
+    # per metric per row — the shingle_frame staging pattern
+    staged = docs.select(
+        "source", "text", tokens(normalize_text("text")).alias("_toks")
+    )
+    t = F.col("_toks")
+    per_doc = staged.select(
         "source",
-        F.round(
-            F.size(tokens(normalize_text("text"))).cast("double"), 6
-        ).alias("ws"),
+        F.round(F.size(t).cast("double"), 6).alias("ws"),
         F.round(TA.bpe_token_count("text").cast("double"), 6).alias("bpe"),
-        F.round(TA.stopword_ratio("text"), 6).alias("sw"),
-        F.round(TA.type_token_ratio("text"), 6).alias("ttr"),
-        F.round(TA.mean_token_len("text"), 6).alias("tl"),
+        F.round(TA.stopword_ratio("text", toks=t), 6).alias("sw"),
+        F.round(TA.type_token_ratio("text", toks=t), 6).alias("ttr"),
+        F.round(TA.mean_token_len("text", toks=t), 6).alias("tl"),
     )
 
     def _avg(c: str):
@@ -466,9 +472,17 @@ SELECT doc_id, {_sql_lang_pred()} AS pred_lang FROM d
 def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: argmax of per-language stopword-profile
     hits (first profile wins ties) — the n-gram-free tier of web-corpus
-    lang filtering, pure codegen expressions."""
+    lang filtering. Tokens staged once, read by all five profiles."""
+    from mevi_spark.functions.text import normalize_text, tokens
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", TA.lang_id("text").alias("pred_lang"))
+    staged = docs.select(
+        "doc_id", tokens(normalize_text("text")).alias("_toks")
+    )
+    return staged.select(
+        "doc_id",
+        TA.lang_id("_toks", toks=F.col("_toks")).alias("pred_lang"),
+    )
 
 
 @register(
