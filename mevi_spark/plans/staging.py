@@ -30,6 +30,7 @@ import hashlib
 import os
 import shutil
 import tempfile
+import uuid
 from collections.abc import Callable
 
 _MARKER = "_STAGED"
@@ -80,9 +81,25 @@ def ensure_staged(
     os.makedirs(parent, exist_ok=True)
     for entry in os.listdir(parent):
         full = os.path.join(parent, entry)
-        if full != path:
+        if full != path and not entry.startswith(".build-"):
             shutil.rmtree(full, ignore_errors=True)
-    write_fn(path)
-    with open(marker, "w", encoding="utf-8") as fh:
-        fh.write("ok\n")
+    # build in a private scratch dir and publish with one atomic rename:
+    # two processes staging the same layout concurrently (driver +
+    # bench, parallel test workers) each build their own copy and the
+    # first rename wins — never two writers interleaving inside the
+    # final directory. rename(2) is atomic on one filesystem, and the
+    # marker inside the scratch dir travels with it, so a published
+    # path is always complete.
+    scratch = os.path.join(parent, f".build-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+    try:
+        write_fn(scratch)
+        with open(os.path.join(scratch, _MARKER), "w", encoding="utf-8") as fh:
+            fh.write("ok\n")
+        try:
+            os.rename(scratch, path)
+        except OSError:
+            if not os.path.exists(marker):  # lost a race AND no winner?
+                raise
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
     return path

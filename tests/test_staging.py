@@ -102,3 +102,50 @@ def test_fine_run_uses_shared_layout_and_leaks_nothing(spark, sf_dir):
 
     after = set(glob.glob(os.path.join(tempfile.gettempdir(), "mevi_fine_idx_*")))
     assert after == before
+
+
+def test_concurrent_staging_single_winner(tmp_path, monkeypatch, sf_dir):
+    """Two concurrent stagers of the same layout never interleave
+    writes in the published directory: each builds in a private scratch
+    dir, one atomic rename wins, and both callers get a complete
+    (marker-bearing, single-writer) layout."""
+    import threading
+    import time as _time
+
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", str(tmp_path))
+    barrier = threading.Barrier(2)
+    results, errors = [], []
+
+    def write_fn(path):
+        os.makedirs(path, exist_ok=True)
+        tag = threading.current_thread().name
+        for i in range(3):
+            with open(os.path.join(path, f"part-{i}"), "w") as fh:
+                fh.write(tag)
+            _time.sleep(0.01)
+
+    def run():
+        try:
+            barrier.wait()
+            results.append(staging.ensure_staged("race", sf_dir, write_fn))
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    ts = [threading.Thread(target=run, name=f"w{i}") for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors and len(set(results)) == 1
+    p = results[0]
+    assert os.path.exists(os.path.join(p, "_STAGED"))
+    # single writer: every part file carries the SAME thread tag
+    tags = {
+        open(os.path.join(p, f)).read()
+        for f in os.listdir(p)
+        if f.startswith("part-")
+    }
+    assert len(tags) == 1, f"interleaved writers: {tags}"
+    # no scratch dirs survive
+    leftovers = [d for d in os.listdir(os.path.dirname(p)) if d.startswith(".build-")]
+    assert leftovers == []
