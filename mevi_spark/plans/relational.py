@@ -462,3 +462,54 @@ def corpus_sample_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     parted = kept.repartitionByRange(F.asc("doc_id")).sortWithinPartitions("doc_id")
     indexed = parted.rdd.map(lambda r: r[0]).zipWithIndex()
     return spark.createDataFrame(indexed, "old_id long, new_id long")
+
+
+@register(
+    "bucketed_join_rollup",
+    oracle="""
+SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+)
+def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table round trip (the co-located-join layout): write
+    orders and customer hash-clustered on custkey into external
+    bucketed parquet tables, join through the catalog, roll up per
+    market segment.
+
+    The layout decision this exercises — pre-shuffle at WRITE time so
+    repeated equi-joins on the key plan with no exchange — is asserted
+    as a plan property in ``tests/test_bucketed.py`` (broadcast
+    disabled there; at toy SF the optimizer rightly prefers a broadcast
+    join, which is also correct over bucketed scans). Spark form of the
+    reference pre-sharding its corpus per rank so workers join locally
+    (``MEVI/main.py`` rank-sliced corpus files).
+    """
+    import tempfile
+    import uuid as _uuid
+
+    from mevi_spark.sources.bucketed import write_bucketed
+
+    base = tempfile.mkdtemp(prefix="mevi_bucketed_")
+    tag = _uuid.uuid4().hex[:8]
+    t_o, t_c = f"b_orders_{tag}", f"b_cust_{tag}"
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        t_o, ["o_custkey"], 8, path=f"{base}/orders",
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        t_c, ["c_custkey"], 8, path=f"{base}/customer",
+    )
+    j = spark.table(t_o).join(
+        spark.table(t_c), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return j.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("total_price"),
+    )
