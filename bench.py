@@ -72,9 +72,10 @@ def main() -> None:
     # plan→execute round trips cost ~0.3 s per query (measured, 5-query
     # sample: 5.9 s → 4.5 s). On a cluster leave it on — same reasoning
     # as the shuffle width, opposite direction. Env-overridable.
+    aqe_raw = os.environ.get("SPARK_GRAFT_AQE", "false").strip().lower()
     spark.conf.set(
         "spark.sql.adaptive.enabled",
-        os.environ.get("SPARK_GRAFT_AQE", "false"),
+        "true" if aqe_raw in ("1", "true", "on", "yes") else "false",
     )
     qs = registry.get_queries()
 
@@ -90,6 +91,13 @@ def main() -> None:
     warm_dir = os.environ.get(
         "SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001"
     )
+    if not os.path.isdir(warm_dir):
+        print(
+            f"WARNING: warm dir {warm_dir!r} missing — timings will "
+            "include first-run codegen/JIT compile (set "
+            "SPARK_GRAFT_WARM_DIR to a small SF directory)",
+            file=sys.stderr,
+        )
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is not None and os.path.isdir(warm_dir):

@@ -27,11 +27,10 @@ def epoch_us(df: DataFrame, col: str) -> Column:
     over the same parquet input.
     """
     if dict(df.dtypes).get(col) == "timestamp_ntz":
-        # backtick-quote the identifier (escaping embedded backticks) so
-        # names with dots/spaces/hyphens parse as one column reference
-        ident = "`" + col.replace("`", "``") + "`"
+        from mevi_spark.functions.vector import sql_ident
+
         return F.expr(
             "timestampdiff(MICROSECOND, "
-            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {ident})"
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {sql_ident(col)})"
         )
     return F.unix_micros(F.col(col))

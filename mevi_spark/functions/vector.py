@@ -46,13 +46,17 @@ def sql_double_array(vals) -> str:
     warm at K=10 × dim=64 — the dominant RQ chain-build cost), while
     the JVM-side parse of the equivalent text is milliseconds.
     """
-    parts = []
-    for v in vals:
-        f = float(v)
-        if not math.isfinite(f):
-            raise ValueError(f"non-finite literal in vector: {v!r}")
-        parts.append(repr(f) + "D")
-    return "array(" + ",".join(parts) + ")"
+    return "array(" + ",".join(sql_double(v) for v in vals) + ")"
+
+
+def sql_double(v) -> str:
+    """One bit-exact SQL double literal (see :func:`sql_double_array`);
+    non-finite values would parse-error opaquely, so they fail loudly
+    here instead."""
+    f = float(v)
+    if not math.isfinite(f):
+        raise ValueError(f"non-finite SQL double literal: {v!r}")
+    return repr(f) + "D"
 
 
 def _d(c: Column | str) -> Column:

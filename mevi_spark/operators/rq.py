@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, functions as F
 from mevi_spark.functions.vector import (
     code_flat,
     dot,
+    sql_double,
     sql_double_array,
     sql_ident,
 )
@@ -217,7 +218,7 @@ def assign_nearest(
     # (distance, code) structs, lexicographic = the (d asc, c asc)
     # tie-break.
     cents_sql = ",".join(
-        f"named_struct('d',{cc!r}D,'c',{int(code)}L,"
+        f"named_struct('d',{sql_double(cc)},'c',{int(code)}L,"
         f"'cent',{sql_double_array(cent)})"
         for code, cent, cc in entries
     )

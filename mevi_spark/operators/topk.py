@@ -195,9 +195,40 @@ def topk_join(
     then IVF when ``centroids`` is given, else LSH. Pass
     ``query_count`` when the size is already known to skip the count
     job (at scale, prefer passing it — the count is one scan of the
-    query side). Extra ``kwargs`` flow to the chosen implementation.
+    query side).
+
+    Extra ``kwargs`` flow to the chosen implementation, but only the
+    ones that implementation accepts: under ``'auto'`` the strategy is
+    DATA-dependent, so an unconditional pass-through would make e.g.
+    ``nprobe=5`` work while the query side is large (ivf) and raise
+    ``TypeError`` once it shrinks below the exact limit. A kwarg no
+    strategy accepts is still an immediate error.
     """
+    import inspect
+
     from mevi_spark.operators import ann
+
+    impls = {
+        "exact": exact_topk_join,
+        "ivf": ann.ivf_topk_join,
+        "lsh": ann.lsh_topk_join,
+    }
+
+    def _sig(fn):
+        params = inspect.signature(fn).parameters
+        var_kw = any(
+            p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+        )
+        return set(params), var_kw
+
+    sigs = {name: _sig(fn) for name, fn in impls.items()}
+    known = set().union(*(names for names, _ in sigs.values()))
+    if not any(var_kw for _, var_kw in sigs.values()):
+        unknown = set(kwargs) - known
+        if unknown:
+            raise TypeError(
+                f"topk_join got unknown kwargs: {sorted(unknown)}"
+            )
 
     if strategy == "auto":
         n = query_count if query_count is not None else queries.count()
@@ -207,17 +238,27 @@ def topk_join(
             strategy = "ivf"
         else:
             strategy = "lsh"
+    if strategy not in impls:
+        raise ValueError(f"unknown strategy: {strategy!r}")
+
+    def _accepted(fn):
+        names, var_kw = _sig(fn)
+        if var_kw:
+            return dict(kwargs)
+        return {k_: v for k_, v in kwargs.items() if k_ in names}
+
     if strategy == "exact":
-        return exact_topk_join(queries, docs, k, metric, **kwargs)
+        return exact_topk_join(queries, docs, k, metric, **_accepted(exact_topk_join))
     if strategy == "ivf":
         if centroids is None:
             raise ValueError("strategy='ivf' requires centroids")
         return ann.ivf_topk_join(
-            queries, docs, centroids, k, metric=metric, **kwargs
+            queries, docs, centroids, k, metric=metric,
+            **_accepted(ann.ivf_topk_join),
         )
-    if strategy == "lsh":
-        return ann.lsh_topk_join(queries, docs, k, metric=metric, **kwargs)
-    raise ValueError(f"unknown strategy: {strategy!r}")
+    return ann.lsh_topk_join(
+        queries, docs, k, metric=metric, **_accepted(ann.lsh_topk_join)
+    )
 
 
 def _make_block_topk(bc, query_id: str, doc_id: str, score_col: str):

@@ -600,3 +600,71 @@ def tokenize_padded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("attention_mask"),
         F.col("t.n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+@register(
+    "corpus_prep_pipeline",
+    oracle=f"""
+WITH {_SQL_CORPUS},
+k AS (
+  SELECT doc_id, text,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS key
+  FROM corpus),
+canon AS (SELECT key, MIN(doc_id) AS doc_id FROM k GROUP BY key),
+kept AS (SELECT k.doc_id, k.text FROM k JOIN canon
+         ON k.key = canon.key AND k.doc_id = canon.doc_id),
+d AS (SELECT doc_id, {_SQL_NORM_T} AS t FROM kept),
+f AS (
+  SELECT doc_id, t FROM d
+  WHERE ({{LANG_PRED}}) = 'en' AND len(t) >= 30
+    AND (CASE WHEN len(t) = 0 THEN 0.0
+         ELSE len(list_filter(t, x -> list_contains({_STOP_SQL}, x)))::DOUBLE
+              / len(t) END) <= 0.10),
+j AS (SELECT doc.source, f.t FROM f
+      JOIN documents doc ON f.doc_id % 100000 = doc.doc_id)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len(t)) AS BIGINT) AS total_tokens
+FROM j GROUP BY source
+""".replace("{LANG_PRED}", _sql_lang_pred()),
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline, end to end in ONE plan:
+    planted corpus → exact dedup (md5-of-normalized groupBy, survivor =
+    min id) → language filter (en) → quality filter (≥30 tokens,
+    stopword ratio ≤ 0.10) → per-source rollup.
+
+    Every stage is the library operator the standalone queries test
+    (dedup_exact / lang_id / quality metrics); composing them shows the
+    stages FUSE — dedup's shuffle is the only corpus-wide exchange, the
+    filters run map-side on the staged token column, and the rollup
+    partial-aggregates. Token totals are integer sums — deterministic
+    with no decimal stabilization needed.
+    """
+    from mevi_spark.functions.text import normalize_text, tokens
+
+    corpus = _corpus(spark, sf_dir)
+    keyed = corpus.select(
+        "doc_id", "text", F.md5(normalize_text("text")).alias("_k")
+    )
+    canon = keyed.groupBy("_k").agg(F.min("doc_id").alias("doc_id"))
+    kept = keyed.join(canon, ["_k", "doc_id"]).select("doc_id", "text")
+    staged = kept.select(
+        "doc_id", tokens(normalize_text("text")).alias("_toks")
+    )
+    t = F.col("_toks")
+    f = staged.filter(
+        (TA.lang_id("_toks", toks=t) == "en")
+        & (F.size(t) >= 30)
+        & (TA.stopword_ratio("_toks", toks=t) <= 0.10)
+    )
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("_src_id"), "source"
+    )
+    joined = f.join(
+        F.broadcast(src), f.doc_id % 100000 == F.col("_src_id")
+    )
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(t)).cast("bigint").alias("total_tokens"),
+    )

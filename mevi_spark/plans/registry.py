@@ -85,13 +85,14 @@ _LOADED = False
 #   tier 4 — the 13 bench headliners, kept in-window for regression
 #            coverage regardless of row count.
 #
-# The 22 queries left outside are all r5-green with 3+ rows; they
+# The 23 queries left outside are all r5-green with 3+ rows; they
 # rotate back as their deficit grows, and the local full-gate check
 # covers them every round. Names not listed here (future additions)
 # sort after the listed ones in plain registration order.
 _PRIORITY_ORDER: list[str] = [
     # tier 1 — zero driver rows
     "bucketed_join_rollup",
+    "corpus_prep_pipeline",
     "streaming_dedup_ingest",
     "streaming_sessionize_evict",
     "streaming_sessionize_window",
@@ -131,7 +132,6 @@ _PRIORITY_ORDER: list[str] = [
     "augment_spans",
     "beam_constrained",
     "brand_set_ops",
-    "code_prefix_members",
     "customer_order_rollup",
     # tier 4 — bench headliners (regression coverage)
     "q1_pricing_summary",

@@ -488,6 +488,7 @@ def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference pre-sharding its corpus per rank so workers join locally
     (``MEVI/main.py`` rank-sliced corpus files).
     """
+    import shutil
     import tempfile
     import uuid as _uuid
 
@@ -507,9 +508,19 @@ def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = spark.table(t_o).join(
         spark.table(t_c), F.col("o_custkey") == F.col("c_custkey")
     )
-    return j.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+    out = j.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
         F.count("*").alias("n_orders"),
         F.round(
             F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 4
         ).alias("total_price"),
     )
+    # the rollup is segment-count-sized: materialize it eagerly so the
+    # bucketed staging (a full copy of both tables) and the uuid catalog
+    # entries can be freed before returning — repeated calls in a
+    # long-lived session must not accumulate /tmp copies or tables
+    # (the dedup_minhash localCheckpoint-then-release pattern)
+    out = out.localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+    spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+    shutil.rmtree(base, ignore_errors=True)
+    return out

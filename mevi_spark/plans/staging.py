@@ -15,8 +15,11 @@ This module gives every consumer one deterministic directory per
   and bench runs (the first ``coarse_to_fine`` call stops paying the
   staging write);
 * source rewritten (new mtime) → a new version directory is built and
-  every stale version of the same ``(kind, sf_dir)`` is removed, so at
-  most one version per layout exists on disk — bounded, not a leak.
+  stale versions of the same ``(kind, sf_dir)`` are reaped after a
+  short grace period (live sessions may still be scanning the old
+  layout), so at most two versions per layout briefly coexist —
+  bounded, not a leak. Orphaned scratch dirs from crashed builders are
+  reaped by pid-liveness/age.
 
 At cluster scale the same pattern holds with a durable URI: the staged
 layout is a table-management concern (write once per ingest, share
@@ -30,6 +33,7 @@ import hashlib
 import os
 import shutil
 import tempfile
+import time
 import uuid
 from collections.abc import Callable
 
@@ -58,6 +62,56 @@ def staged_path(kind: str, sf_dir: str, table: str = "embeddings") -> str:
     )
 
 
+def _grace_s() -> float:
+    """Seconds a stale layout survives before deletion (env knob)."""
+    return float(os.environ.get("SPARK_GRAFT_STAGE_GRACE", "600"))
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _reap(parent: str, keep: str) -> None:
+    """Remove stale versions and orphaned scratch dirs under ``parent``.
+
+    * stale VERSION dirs (older source mtimes) are deleted only after a
+      grace period (``$SPARK_GRAFT_STAGE_GRACE``, default 600 s since
+      last modification): a live session's lazy DataFrames may still
+      scan the old layout right after the source was rewritten, and a
+      grace-delayed reap bounds disk at two versions briefly instead of
+      failing those scans mid-flight;
+    * ``.build-<pid>-...`` scratch dirs from builders that crashed
+      before publishing are deleted once their pid is gone (or after
+      the grace period — pids recycle), closing the orphan-copy leak.
+    """
+    now = time.time()
+    for entry in os.listdir(parent):
+        full = os.path.join(parent, entry)
+        if full == keep:
+            continue
+        if entry.startswith(".build-"):
+            try:
+                pid = int(entry.split("-")[1])
+            except (IndexError, ValueError):
+                pid = -1
+            age = now - os.path.getmtime(full)
+            if (pid > 0 and not _pid_alive(pid)) or age > _grace_s():
+                shutil.rmtree(full, ignore_errors=True)
+            continue
+        try:
+            age = now - os.path.getmtime(full)
+        except OSError:
+            continue
+        if age > _grace_s():
+            shutil.rmtree(full, ignore_errors=True)
+
+
 def ensure_staged(
     kind: str,
     sf_dir: str,
@@ -79,10 +133,7 @@ def ensure_staged(
         return path
     parent = os.path.dirname(path)
     os.makedirs(parent, exist_ok=True)
-    for entry in os.listdir(parent):
-        full = os.path.join(parent, entry)
-        if full != path and not entry.startswith(".build-"):
-            shutil.rmtree(full, ignore_errors=True)
+    _reap(parent, keep=path)
     # build in a private scratch dir and publish with one atomic rename:
     # two processes staging the same layout concurrently (driver +
     # bench, parallel test workers) each build their own copy and the

@@ -45,8 +45,9 @@ def test_ensure_staged_builds_once(stage_env, tmp_path):
 
 
 def test_ensure_staged_rebuilds_on_new_mtime_and_reaps_stale(
-    stage_env, tmp_path
+    stage_env, tmp_path, monkeypatch
 ):
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_GRACE", "0")
     sf_dir = _fake_source(tmp_path)
 
     def write(path):

@@ -119,3 +119,14 @@ def test_lsh_dim_param_skips_probe_job(spark, sf_dir):
     }
     assert got == same
     assert ref  # data-derived variant still works
+
+
+def test_auto_with_strategy_specific_kwargs_never_crashes(spark, sf_dir):
+    """Strategy-specific kwargs must not TypeError when 'auto' resolves
+    to a different backend (the dispatch is DATA-dependent): nprobe is
+    ivf-only, yet a small query side resolving to exact must still run."""
+    qs, ds = _sides(spark, sf_dir)
+    out = topk.topk_join(qs, ds, k=5, query_count=100, nprobe=2)
+    assert out.count() > 0  # resolved to exact; nprobe dropped
+    with pytest.raises(TypeError, match="unknown kwargs"):
+        topk.topk_join(qs, ds, k=5, query_count=100, bogus_knob=1)
