@@ -75,8 +75,10 @@ _LOADED = False
 # FEWEST accumulated driver rows, oldest-evidence first —
 #
 #   tier 1 — new this round, zero driver rows (the two
-#            watermark-flushing sessionize implementations and the
-#            exactly-once ingest dedup);
+#            watermark-flushing sessionize implementations, the
+#            exactly-once ingest dedup, the bucketed-join round trip,
+#            the composed corpus-prep pipeline, and the batch
+#            session_window sessionize twin);
 #   tier 2 — one or two green rows (r5's first-time greens + the
 #            multimodal/tokenize set last seen in r4);
 #   tier 3 — three rows but NO r5 row (the 12 the judge listed:
@@ -85,7 +87,7 @@ _LOADED = False
 #   tier 4 — the 13 bench headliners, kept in-window for regression
 #            coverage regardless of row count.
 #
-# The 23 queries left outside are all r5-green with 3+ rows; they
+# The 24 queries left outside are all r5-green with 3+ rows; they
 # rotate back as their deficit grows, and the local full-gate check
 # covers them every round. Names not listed here (future additions)
 # sort after the listed ones in plain registration order.
@@ -93,6 +95,7 @@ _PRIORITY_ORDER: list[str] = [
     # tier 1 — zero driver rows
     "bucketed_join_rollup",
     "corpus_prep_pipeline",
+    "sessionize_events_window",
     "streaming_dedup_ingest",
     "streaming_sessionize_evict",
     "streaming_sessionize_window",
@@ -132,7 +135,6 @@ _PRIORITY_ORDER: list[str] = [
     "augment_spans",
     "beam_constrained",
     "brand_set_ops",
-    "customer_order_rollup",
     # tier 4 — bench headliners (regression coverage)
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -524,3 +524,48 @@ def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(f"DROP TABLE IF EXISTS {t_c}")
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@register(
+    "sessionize_events_window",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM seq)
+SELECT user_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess GROUP BY user_id, session_idx
+""",
+)
+def sessionize_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via the engine's ``session_window``
+    aggregation — the second independent implementation of the batch
+    close rule (the lag+running-sum plan is ``sessionize_events``),
+    sharing one oracle. ``session_window.end`` is ``last_event + gap``
+    by definition, so the last-event bound is ``end − gap``; the start
+    IS the first event. Exactly-gap boundary events would differ
+    between the two implementations, which the µs-random testdata never
+    produces (same caveat as the streaming twin). One shuffle (the
+    session-window aggregation), no window-function sorts."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        ev.groupBy(win.alias("_w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.col("_w.start").alias("session_start"),
+            F.expr("_w.end - INTERVAL 30 MINUTES").alias("session_end"),
+        )
+    )

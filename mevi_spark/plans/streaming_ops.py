@@ -38,6 +38,25 @@ def _tmp(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=f"mevi_stream_{prefix}_")
 
 
+def _drained(df: DataFrame, base: str, sink: str | None = None) -> DataFrame:
+    """Finish a bounded-stream query: pin the (small) drained result in
+    executor storage, then free the replay harness — the staged input
+    slices + checkpoint directory and the memory-sink temp view. Without
+    this every call leaks one ``mevi_stream_*`` tree and one uuid view
+    for the session's lifetime (the same leak class VERDICT r5 #1
+    flagged on the fine-index staging)."""
+    import shutil
+
+    out = df.localCheckpoint(eager=True)
+    if sink is not None:
+        try:
+            df.sparkSession.catalog.dropTempView(sink)
+        except Exception:
+            pass
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def _stage_time_slices(
     df: DataFrame, ts_col: str, n_slices: int, in_dir: str
 ) -> str:
@@ -90,7 +109,9 @@ def streaming_quantize_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     out = spark.read.parquet(f"{base}/out")
-    return out.select("vec_id", F.col("code").cast("int").alias("code"))
+    return _drained(
+        out.select("vec_id", F.col("code").cast("int").alias("code")), base
+    )
 
 
 @register(
@@ -133,7 +154,7 @@ def streaming_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    return _drained(spark.table(sink), base, sink)
 
 
 @register(
@@ -191,7 +212,7 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.select(
             "event_id", _flavor_safe_ntz("ts"), "event_type", "value"
         )
-    return out
+    return _drained(out, base, sink)
 
 
 def _flavor_safe_ntz(col: str) -> F.Column:
@@ -322,7 +343,7 @@ def _replay_sessionize_flushed(
             _flavor_safe_ntz("session_end"),
             "n_events",
         )
-    return out
+    return _drained(out, base, sink)
 
 
 @register(
@@ -375,4 +396,4 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    return _drained(spark.table(sink), base, sink)

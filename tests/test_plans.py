@@ -33,6 +33,8 @@ _NO_BLOWUP = [
     "ann_ivf_topk",
     "text_quality_stats",
     "dedup_ngram_dfcut",
+    "corpus_prep_pipeline",
+    "bucketed_join_rollup",
 ]
 # NOT listed: coarse_to_fine_retrieval and the beam/eval queries — their
 # lineage contains the sanctioned broadcast-Cross expansion against the

@@ -174,10 +174,15 @@ def test_sessionize_stream_watermark_evicts_state(spark):
 def test_streaming_dedup_ingest_exactly_once(spark, sf_dir):
     """At-least-once delivery (every slice delivered twice) through
     dedup_stream must drain to exactly the batch events table — no row
-    lost, no row doubled."""
+    lost, no row doubled. The replay harness (staged slices, checkpoint,
+    memory-sink view) must be freed after the drain."""
+    import glob as _glob
+    import tempfile as _tf
+
     from mevi_spark.plans.streaming_ops import streaming_dedup_ingest
     from mevi_spark.sources.io import load_table
 
+    before = set(_glob.glob(f"{_tf.gettempdir()}/mevi_stream_dedup_*"))
     got = sorted(
         (r.event_id, str(r.ts), r.event_type, r.value)
         for r in streaming_dedup_ingest(spark, sf_dir).collect()
@@ -189,3 +194,5 @@ def test_streaming_dedup_ingest_exactly_once(spark, sf_dir):
         .collect()
     )
     assert len(got) == len(want) and got == want
+    after = set(_glob.glob(f"{_tf.gettempdir()}/mevi_stream_dedup_*"))
+    assert after == before, "replay harness directories leaked"
