@@ -269,3 +269,92 @@ def ivf_topk_join(
     score = {"ip": dot, "cosine": cosine}[metric](query_vec, doc_vec)
     scored = cands.select(query_id, doc_id, score.alias(score_col))
     return topk_per_group(scored, [query_id], score_col, k, [doc_id])
+
+
+def adc_topk_join(
+    queries: DataFrame,
+    mapping: DataFrame,
+    codebook: DataFrame,
+    k: int,
+    nprobe: int = 3,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    doc_id: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """IVF-ADC: approximate top-k over a QUANTIZED corpus — the scan
+    reads only ``(doc_id, code_0, code_1)``, never a raw vector.
+
+    The asymmetric-distance shape of faiss ``IndexIVFPQ.search`` (the
+    quantized tier under the reference's HNSW/IVF configs,
+    ``MEVI/faiss_search.py:13-21``; reconstruction scoring is F11,
+    ``MEVI/pq.py:281-305``): per query, precompute one K-entry lookup
+    table per RQ level — ``LUT_l[c] = <q, centroid_l[c]>`` — then a
+    candidate's score is ``LUT_0[code_0] + LUT_1[code_1]`` (the
+    inner product against the ADDITIVE reconstruction, decomposed so it
+    never touches the doc vector). At 100 TB this is the memory story
+    of quantized search: the per-doc payload joins/aggregates at ~2
+    longs instead of dim floats, column pruning keeps the embedding
+    column out of the scan entirely, and the probe restricts work to
+    ``nprobe/K`` of the corpus with the same DPP-prunable ``code_0``
+    equi-join as :func:`ivf_topk_join`.
+
+    ``codebook`` is the two-level frame ``(level, code, centroid)``
+    (:func:`~mevi_spark.operators.rq.rq_encode_seeded` output). LUTs
+    and the probe are built as one SQL-text expression per level from
+    the collected K-row codebook. Deterministic: probe ties (−ip,
+    code); result ties (−score, doc_id). Score = sequential fold per
+    level, added level-major — the same op order as the oracle's
+    ``list_dot_product(q, c0) + list_dot_product(q, c1)``.
+    """
+    from mevi_spark.operators.rq import centroid_entries
+    from mevi_spark.operators.topk import topk_per_group
+
+    lvl = [
+        centroid_entries(codebook.filter(F.col("level") == i))
+        for i in (0, 1)
+    ]
+    for i, entries in enumerate(lvl):
+        codes = [c for c, _, _ in entries]
+        if codes != list(range(len(codes))):
+            # element_at(LUT, code+1) indexes the LUT positionally;
+            # non-dense codebooks would silently mis-score
+            raise ValueError(
+                f"ADC requires contiguous 0-based codes at level {i}, "
+                f"got {codes[:8]}..."
+            )
+    qv_sql = f"cast({sql_ident(query_vec)} AS array<double>)"
+
+    def _lut_sql(entries):
+        dots = ",".join(
+            f"aggregate(zip_with({qv_sql}, {sql_double_array(cent)},"
+            f" (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+            for _code, cent, _cc in entries
+        )
+        return f"array({dots})"
+
+    probe_structs = ",".join(
+        f"named_struct('ns', -element_at(_lut0, {i + 1}), 'c', {int(code)}L)"
+        for i, (code, _cent, _cc) in enumerate(lvl[0])
+    )
+    q = queries.select(
+        query_id,
+        F.expr(_lut_sql(lvl[0])).alias("_lut0"),
+        F.expr(_lut_sql(lvl[1])).alias("_lut1"),
+    ).select(
+        query_id,
+        "_lut0",
+        "_lut1",
+        F.explode(
+            F.expr(
+                f"transform(slice(sort_array(array({probe_structs})),"
+                f" 1, {int(nprobe)}), e -> e.c)"
+            )
+        ).alias("code_0"),
+    )
+    cands = q.join(mapping.select(doc_id, "code_0", "code_1"), "code_0")
+    score = F.element_at("_lut0", F.col("code_0").cast("int") + 1) + (
+        F.element_at("_lut1", F.col("code_1").cast("int") + 1)
+    )
+    scored = cands.select(query_id, doc_id, score.alias(score_col))
+    return topk_per_group(scored, [query_id], score_col, k, [doc_id])

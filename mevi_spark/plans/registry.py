@@ -77,8 +77,9 @@ _LOADED = False
 #   tier 1 — new this round, zero driver rows (the two
 #            watermark-flushing sessionize implementations, the
 #            exactly-once ingest dedup, the bucketed-join round trip,
-#            the composed corpus-prep pipeline, and the batch
-#            session_window sessionize twin);
+#            the composed corpus-prep pipeline, the batch
+#            session_window sessionize twin, and the IVF-ADC
+#            quantized-corpus search);
 #   tier 2 — one or two green rows (r5's first-time greens + the
 #            multimodal/tokenize set last seen in r4);
 #   tier 3 — three rows but NO r5 row (the 12 the judge listed:
@@ -87,12 +88,13 @@ _LOADED = False
 #   tier 4 — the 13 bench headliners, kept in-window for regression
 #            coverage regardless of row count.
 #
-# The 24 queries left outside are all r5-green with 3+ rows; they
+# The 25 queries left outside are all r5-green with 3+ rows; they
 # rotate back as their deficit grows, and the local full-gate check
 # covers them every round. Names not listed here (future additions)
 # sort after the listed ones in plain registration order.
 _PRIORITY_ORDER: list[str] = [
     # tier 1 — zero driver rows
+    "ann_adc_topk",
     "bucketed_join_rollup",
     "corpus_prep_pipeline",
     "sessionize_events_window",
@@ -134,7 +136,6 @@ _PRIORITY_ORDER: list[str] = [
     "ann_lsh_topk",
     "augment_spans",
     "beam_constrained",
-    "brand_set_ops",
     # tier 4 — bench headliners (regression coverage)
     "q1_pricing_summary",
     "q3_shipping_priority",

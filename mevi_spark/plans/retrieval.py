@@ -1092,6 +1092,60 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("score", F.round("score", 6))
 
 
+@register(
+    "ann_adc_topk",
+    oracle=f"""
+WITH {_SQL_ENC2},
+a1 AS (
+  SELECT vec_id, code_0, code AS code_1 FROM (
+    SELECT r.vec_id, r.code_0, c.code,
+           ROW_NUMBER() OVER (PARTITION BY r.vec_id ORDER BY
+             list_dot_product(c.centroid, c.centroid)
+               - 2 * list_dot_product(r.rv, c.centroid) ASC,
+             c.code ASC) AS rn
+    FROM resid r, cent1 c) WHERE rn = 1),
+q AS ({_SQL_Q}),
+pr AS (SELECT query_id, qv, code, centroid,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY list_dot_product(qv, centroid) DESC,
+                                          code ASC) AS prn
+       FROM q, cent0),
+probe AS (SELECT query_id, qv, code AS code_0, centroid AS c0
+          FROM pr WHERE prn <= 3),
+s AS (SELECT p.query_id, m.vec_id AS doc_id,
+             list_dot_product(p.qv, p.c0)
+               + list_dot_product(p.qv, c1.centroid) AS s
+      FROM probe p JOIN a1 m ON m.code_0 = p.code_0
+      JOIN cent1 c1 ON c1.code = m.code_1),
+r AS (SELECT query_id, doc_id, s,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id ASC) AS rank
+      FROM s)
+SELECT query_id, doc_id, ROUND(s, 6) AS score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""",
+)
+def ann_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 approx, IVF-ADC flavor: top-10 over the QUANTIZED corpus —
+    the scan touches only ``(doc_id, code_0, code_1)``, scores come
+    from per-query lookup tables against the additive reconstruction
+    (faiss ``IndexIVFPQ.search``'s asymmetric-distance shape; F11
+    reconstruction scoring, ``MEVI/pq.py:281-305``). Fourth similarity
+    strategy after exact / LSH / IVF: the one that never reads a raw
+    doc vector."""
+    from mevi_spark.operators.ann import adc_topk_join
+
+    mapping, codebook = _codebook2(spark, sf_dir)
+    out = adc_topk_join(
+        _queries(spark, sf_dir).select("query_id", "query_vec"),
+        mapping.select(F.col("id").alias("doc_id"), "code_0", "code_1"),
+        codebook,
+        k=10,
+        nprobe=3,
+    )
+    return out.withColumn("score", F.round("score", 6))
+
+
 # ---------------------------------------------------------------------------
 # A6: EMA codebook update — one step, label assignment, zero-init state
 

@@ -226,3 +226,61 @@ def test_ivf_cosine_probe_uses_cosine(spark):
             f"impl={impl}: cosine probe must pick the aligned list, "
             f"got doc {rows[0].doc_id}"
         )
+
+
+def test_adc_scans_only_codes_and_matches_reconstruction(spark, sf_dir, tmp_path):
+    """IVF-ADC: with the quantized mapping stored as a table, the scan
+    must read ONLY (doc_id, code_0, code_1) — no vector column — and
+    scores must equal brute-force <q, c0 + c1> reconstruction scoring
+    over the probed lists."""
+    from pyspark.sql import functions as F
+
+    from mevi_spark.operators.ann import adc_topk_join
+    from mevi_spark.operators.rq import rq_encode_seeded
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mapping, codebook = rq_encode_seeded(
+        emb, seed_code="label", id_col="vec_id",
+        vec_col="embedding", levels=2,
+    )
+    mpath = str(tmp_path / "mapping")
+    mapping.select(
+        F.col("id").alias("doc_id"), "code_0", "code_1"
+    ).write.parquet(mpath)
+    stored = spark.read.parquet(mpath)
+    qs = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = adc_topk_join(qs, stored, codebook, k=10, nprobe=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    scan_schemas = _re.findall(r"ReadSchema: (\S+)", plan)
+    mapping_scans = [s for s in scan_schemas if "code_0" in s]
+    assert mapping_scans, plan
+    assert all("vec" not in s and "embedding" not in s for s in mapping_scans), (
+        f"ADC scan reads vector columns: {mapping_scans}"
+    )
+
+    # brute-force reconstruction parity on the same probes
+    cents = {
+        (r.level, r.code): list(r.centroid) for r in codebook.collect()
+    }
+    K = len([1 for (l, _c) in cents if l == 0])
+    got = {
+        (r.query_id, r.doc_id): r.score for r in out.collect()
+    }
+    codes = {r.doc_id: (r.code_0, r.code_1) for r in stored.collect()}
+    import numpy as np
+    for qrow in qs.collect():
+        qv = np.array(qrow.query_vec, dtype=np.float64)
+        lut0 = {c: float(np.dot(qv, cents[(0, c)])) for c in range(K)}
+        probes = sorted(range(K), key=lambda c: (-lut0[c], c))[:3]
+        scored = [
+            (d, lut0[c0] + float(np.dot(qv, cents[(1, c1)])))
+            for d, (c0, c1) in codes.items() if c0 in probes
+        ]
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for d, s in scored[:10]:
+            assert (qrow.query_id, d) in got
+            assert abs(got[(qrow.query_id, d)] - s) < 1e-6
