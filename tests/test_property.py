@@ -1,0 +1,143 @@
+"""Property-based equivalence: the two independent batch sessionize
+implementations (lag+running-sum windows vs the engine's
+``session_window`` aggregation) must agree on arbitrary event streams.
+
+Exactly-at-gap boundaries are excluded by assumption: the close rules
+legitimately differ there (lag uses ``gap > threshold``,
+``session_window``'s window end is exclusive), and the µs-random
+testdata never produces them — the same caveat both docstrings state.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, assume, given, settings, strategies as st
+from pyspark.sql import Window, functions as F
+
+from mevi_spark.functions.time import epoch_us
+
+GAP_US = 1_800_000_000  # 30 min — the threshold both implementations use
+_BASE = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),            # user_id
+        st.integers(min_value=0, max_value=3 * 86400),    # offset seconds
+    ),
+    min_size=1,
+    max_size=25,
+    unique=True,
+)
+
+
+def _batch_lag_sessionize(df):
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    us = epoch_us(df, "ts")
+    gap = us - F.lag(us).over(w)
+    seq = df.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > GAP_US), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = seq.withColumn(
+        "session_idx",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def _batch_window_sessionize(df):
+    win = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        df.groupBy(win.alias("_w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.col("_w.start").alias("session_start"),
+            F.expr("_w.end - INTERVAL 30 MINUTES").alias("session_end"),
+        )
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_events)
+def test_sessionize_implementations_agree(spark, events):
+    per_user: dict[int, list[int]] = {}
+    for u, s in events:
+        per_user.setdefault(u, []).append(s)
+    for offs in per_user.values():
+        offs.sort()
+        assume(all(b - a != 1800 for a, b in zip(offs, offs[1:])))
+
+    rows = [
+        (i, u, _BASE + dt.timedelta(seconds=s))
+        for i, (u, s) in enumerate(sorted(events))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    a = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in _batch_lag_sessionize(df).collect()
+    }
+    b = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in _batch_window_sessionize(df).collect()
+    }
+    assert a == b
+
+
+_vec = st.lists(
+    st.integers(min_value=-8, max_value=8).map(float), min_size=4, max_size=4
+)
+_corpus = st.lists(
+    st.tuples(_vec, st.integers(min_value=0, max_value=2)),  # (vec, code)
+    min_size=4,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_corpus, st.lists(_vec, min_size=1, max_size=3))
+def test_ivf_full_probe_equals_exact(spark, corpus, qvecs):
+    """IVF with nprobe = K (probe every list) must return exactly the
+    exact top-k — the recall knob's boundary condition, on arbitrary
+    integer-valued vectors (ties included: both paths break on doc_id)."""
+    from mevi_spark.operators.ann import ivf_topk_join
+    from mevi_spark.operators.rq import rq_level_centroids
+    from mevi_spark.operators.topk import exact_topk_join
+
+    docs = spark.createDataFrame(
+        [(i, v, c) for i, (v, c) in enumerate(corpus)],
+        "doc_id long, doc_vec array<double>, code long",
+    )
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(qvecs)],
+        "query_id long, query_vec array<double>",
+    )
+    cents = rq_level_centroids(docs, code_col="code", vec_col="doc_vec")
+    n_lists = cents.count()
+    exact = {
+        (r.query_id, r.rank, r.doc_id)
+        for r in exact_topk_join(queries, docs, k=5, metric="ip").collect()
+    }
+    ivf = {
+        (r.query_id, r.rank, r.doc_id)
+        for r in ivf_topk_join(
+            queries, docs, cents, k=5, nprobe=int(n_lists)
+        ).collect()
+    }
+    assert ivf == exact
