@@ -154,11 +154,13 @@ FROM r WHERE rank <= 10
 """,
 )
 def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4 with the cosine metric (F5's other branch), SQL impl — the
-    whole-stage-codegen plan for pre-pruned candidate sets."""
+    """J4 with the cosine metric (F5's other branch), blocked kernel —
+    the same streaming corpus scan as ``knn_topk_ip`` (the crossJoin
+    ``impl='sql'`` variant stays available on the operator for
+    pre-pruned candidate sets, where its codegen plan wins; corpus-wide
+    it would be the BNLJ the plan audit forbids)."""
     out = exact_topk_join(
         _queries(spark, sf_dir), _docs(spark, sf_dir), k=10, metric="cosine",
-        impl="sql",
     )
     return out.withColumn("score", F.round("score", 6))
 
