@@ -284,3 +284,37 @@ def simhash_bits_long(c: Column | str, n_bits: int = 60) -> Column:
             F.lit(0).cast("long")
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene: redact before the corpus ships)
+
+#: (name, pattern, replacement) — patterns restricted to the RE2 ∩ Java
+#: regex subset so the SAME string runs in Spark and in the DuckDB
+#: oracle. Order matters: emails first (an address contains dots and
+#: digits an overly-eager later pattern could clip).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_counts(c: Column | str) -> list[Column]:
+    """Per-pattern match counts (one column per ``PII_PATTERNS`` entry),
+    computed BEFORE redaction — codegen ``regexp_count``."""
+    col = _c(c)
+    return [
+        F.regexp_count(col, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _repl in PII_PATTERNS
+    ]
+
+
+def redact_pii(c: Column | str) -> Column:
+    """Chained ``regexp_replace`` over ``PII_PATTERNS`` — emails, then
+    phone numbers, then IPv4 literals, each to a typed placeholder. Pure
+    codegen; at 100 TB this is a map-only pass fused into the scan."""
+    col = _c(c)
+    for _name, pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return col

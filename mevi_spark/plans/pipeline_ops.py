@@ -668,3 +668,101 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.size(t)).cast("bigint").alias("total_tokens"),
     )
+
+
+_PII_ORACLE = """
+WITH planted AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+                 THEN ' call 555-010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 9 = 0 THEN ' from 10.20.30.40' ELSE '' END
+           AS text
+  FROM documents),
+c AS (
+  SELECT source,
+         len(regexp_extract_all(text, '@EMAILPAT@')) AS n_email,
+         len(regexp_extract_all(text, '@PHONEPAT@')) AS n_phone,
+         len(regexp_extract_all(text, '@IPPAT@')) AS n_ipv4,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '@EMAILPAT@', '<EMAIL>', 'g'),
+           '@PHONEPAT@', '<PHONE>', 'g'),
+           '@IPPAT@', '<IP>', 'g') AS red
+  FROM planted)
+SELECT source,
+       CAST(SUM(CASE WHEN n_email + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_redacted,
+       CAST(SUM(n_email) AS BIGINT) AS n_emails,
+       CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+       CAST(SUM(n_ipv4) AS BIGINT) AS n_ips,
+       CAST(SUM(('0x' || substring(md5(red), 1, 6))::BIGINT) AS BIGINT)
+         AS red_fingerprint
+FROM c GROUP BY source
+"""
+for _n, _p, _r in TA.PII_PATTERNS:
+    _PII_ORACLE = _PII_ORACLE.replace(
+        {"email": "@EMAILPAT@", "phone": "@PHONEPAT@", "ipv4": "@IPPAT@"}[_n],
+        _p,
+    )
+
+
+@register("text_redact_pii", oracle=_PII_ORACLE)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data hygiene: PII redaction before the corpus ships.
+
+    The clean synthetic corpus carries no PII, so — like the dedup
+    queries plant duplicates — deterministic emails / phone numbers /
+    IPv4 literals are PLANTED (the same construction in Spark and in
+    the oracle), then counted (pre-redaction ``regexp_count``) and
+    redacted to typed placeholders. The per-source fingerprint sums an
+    md5-prefix integer of every redacted text, so the oracle match
+    proves the replacement output is byte-identical, not just the
+    counts. All codegen ``regexp_*`` — a map-only pass at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    did = F.col("doc_id")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 4 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 6 == 0,
+                F.concat(
+                    F.lit(" call 555-010-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(did % 9 == 0, F.lit(" from 10.20.30.40")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    c = planted.select(
+        "source",
+        *TA.pii_counts("text"),
+        TA.redact_pii("text").alias("red"),
+    )
+    any_pii = (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")) > 0
+    return c.groupBy("source").agg(
+        F.sum(F.when(any_pii, 1).otherwise(0)).alias("n_docs_redacted"),
+        F.sum("n_email").alias("n_emails"),
+        F.sum("n_phone").alias("n_phones"),
+        F.sum("n_ipv4").alias("n_ips"),
+        F.sum(
+            F.conv(F.substring(F.md5("red"), 1, 6), 16, 10).cast("bigint")
+        ).alias("red_fingerprint"),
+    )

@@ -78,8 +78,8 @@ _LOADED = False
 #            watermark-flushing sessionize implementations, the
 #            exactly-once ingest dedup, the bucketed-join round trip,
 #            the composed corpus-prep pipeline, the batch
-#            session_window sessionize twin, and the IVF-ADC
-#            quantized-corpus search);
+#            session_window sessionize twin, the IVF-ADC
+#            quantized-corpus search, and PII redaction);
 #   tier 2 — one or two green rows (r5's first-time greens + the
 #            multimodal/tokenize set last seen in r4);
 #   tier 3 — three rows but NO r5 row (the 12 the judge listed:
@@ -88,7 +88,7 @@ _LOADED = False
 #   tier 4 — the 13 bench headliners, kept in-window for regression
 #            coverage regardless of row count.
 #
-# The 25 queries left outside are all r5-green with 3+ rows; they
+# The 26 queries left outside are all r5-green with 3+ rows; they
 # rotate back as their deficit grows, and the local full-gate check
 # covers them every round. Names not listed here (future additions)
 # sort after the listed ones in plain registration order.
@@ -101,6 +101,7 @@ _PRIORITY_ORDER: list[str] = [
     "streaming_dedup_ingest",
     "streaming_sessionize_evict",
     "streaming_sessionize_window",
+    "text_redact_pii",
     # tier 2 — one row (first green in r5)
     "ann_ivf_topk",
     "complement_qg10",
@@ -134,7 +135,6 @@ _PRIORITY_ORDER: list[str] = [
     "video_frame_sample",
     # tier 3 — three rows, r5-green
     "ann_lsh_topk",
-    "augment_spans",
     "beam_constrained",
     # tier 4 — bench headliners (regression coverage)
     "q1_pricing_summary",
