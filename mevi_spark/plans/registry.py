@@ -88,13 +88,14 @@ _LOADED = False
 #   tier 4 — the 13 bench headliners, kept in-window for regression
 #            coverage regardless of row count.
 #
-# The 26 queries left outside are all r5-green with 3+ rows; they
+# The 27 queries left outside are all r5-green with 3+ rows; they
 # rotate back as their deficit grows, and the local full-gate check
 # covers them every round. Names not listed here (future additions)
 # sort after the listed ones in plain registration order.
 _PRIORITY_ORDER: list[str] = [
     # tier 1 — zero driver rows
     "ann_adc_topk",
+    "compaction_roundtrip",
     "bucketed_join_rollup",
     "corpus_prep_pipeline",
     "sessionize_events_window",
@@ -134,7 +135,6 @@ _PRIORITY_ORDER: list[str] = [
     "rq_centroids_label",
     "video_frame_sample",
     # tier 3 — three rows, r5-green
-    "ann_lsh_topk",
     "beam_constrained",
     # tier 4 — bench headliners (regression coverage)
     "q1_pricing_summary",

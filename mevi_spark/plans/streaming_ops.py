@@ -115,6 +115,58 @@ def streaming_quantize_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "compaction_roundtrip",
+    oracle=f"""
+WITH cent AS ({_SQL_CENT_LIST}),
+scored AS (
+  SELECT e.vec_id, c.code,
+         list_dot_product(c.centroid, c.centroid)
+           - 2 * list_dot_product(e.embedding::DOUBLE[], c.centroid) AS d
+  FROM embeddings e, cent c),
+r AS (SELECT vec_id, code,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, code ASC) AS rn
+      FROM scored)
+SELECT vec_id, CAST(code AS INT) AS code FROM r WHERE rn = 1
+""",
+)
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table maintenance for the append-heavy streaming layout: the
+    incremental-quantize index (one small file set per micro-batch,
+    partitioned by code) is COMPACTED in place — per-partition byte
+    budgets, salted rewrite, atomic rename swap
+    (:func:`~mevi_spark.sources.compact.compact_partitioned`) — and the
+    compacted index must still hash-match the batch assignment oracle:
+    compaction is content-preserving by contract, and this row proves
+    it on the real streaming output, post-swap. The file count strictly
+    drops (asserted here: a regression to a no-op compactor fails
+    loudly before the oracle even runs)."""
+    from mevi_spark.sources.compact import compact_partitioned, data_file_count
+
+    base = _tmp("compact")
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.repartition(4).write.mode("overwrite").parquet(f"{base}/in")
+    cents = rq_level_centroids(emb, code_col="label", vec_col="embedding")
+    stream = stream_parquet_source(
+        spark, f"{base}/in", emb.schema, max_files_per_trigger=1
+    )
+    q = incremental_quantize(
+        stream, cents, f"{base}/out", f"{base}/ckpt",
+        id_col="vec_id", vec_col="embedding",
+    )
+    q.awaitTermination()
+    before = data_file_count(f"{base}/out")
+    after = compact_partitioned(spark, f"{base}/out", "code")
+    if not after < before:
+        raise AssertionError(
+            f"compaction did not shrink the layout: {before} -> {after}"
+        )
+    out = spark.read.parquet(f"{base}/out")
+    return _drained(
+        out.select("vec_id", F.col("code").cast("int").alias("code")), base
+    )
+
+
+@register(
     "streaming_event_window_counts",
     oracle="""
 WITH win AS (

@@ -1,0 +1,127 @@
+"""Small-file compaction for append-heavy parquet layouts.
+
+Streaming ingest (``incremental_quantize`` appends one file set per
+micro-batch) and repeated small appends leave a partitioned layout with
+many tiny files; at scale that means listing cost, tiny-task overhead,
+and poor scan locality. Compaction is the standard table-maintenance
+pass: rewrite each partition's files into a few right-sized ones
+WITHOUT changing a single row.
+
+Design:
+
+* content-preserving by construction — one ``spark.read`` of the old
+  layout, one partitioned write of the same rows; the driver query's
+  oracle (the same SQL as the pre-compaction index) proves it;
+* right-sizing by bytes, PER partition — each ``col=value`` directory
+  is measured and rewritten as ``ceil(bytes / target_file_bytes)``
+  files (≥1): tiny partitions collapse to one file, an oversized
+  partition still splits (rows salted across its file budget);
+* atomic publish — the compacted layout is written to a scratch
+  directory and swapped in with two renames (old → trash, new → live,
+  trash deleted), so readers never observe a half-compacted directory;
+  a crash before the swap leaves the live layout untouched, and a
+  failed second rename rolls the original back.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")) and not f.endswith(".crc"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def data_file_count(path: str) -> int:
+    """Number of data files in a layout (excludes markers/CRCs)."""
+    n = 0
+    for _root, _dirs, files in os.walk(path):
+        n += sum(
+            1
+            for f in files
+            if not f.startswith(("_", "."))
+            and not f.endswith(".crc")
+        )
+    return n
+
+
+def partition_file_budget(
+    path: str, partition_col: str, target_file_bytes: int
+) -> dict[str, int]:
+    """``{partition_value_string: file_count}`` from on-disk sizes."""
+    budget: dict[str, int] = {}
+    prefix = f"{partition_col}="
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if entry.startswith(prefix) and os.path.isdir(full):
+            budget[entry[len(prefix):]] = max(
+                1, math.ceil(_dir_bytes(full) / float(target_file_bytes))
+            )
+    return budget
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact a ``partitionBy(partition_col)`` parquet layout in place.
+
+    Returns the data-file count after compaction. Row content and the
+    partition-column layout are preserved exactly; each partition is
+    rewritten as its byte-budgeted file count (salted shuffle keys so
+    an oversized partition splits across its budget).
+    """
+    budget = partition_file_budget(path, partition_col, target_file_bytes)
+    if not budget:
+        raise ValueError(
+            f"no {partition_col}= partition directories under {path!r}"
+        )
+    df = spark.read.parquet(path)
+    # salt ∈ [0, budget[value]) via a literal value→budget map: rows of
+    # one partition value spread across exactly its file budget
+    k_map = F.create_map(
+        *[
+            x
+            for v, k in budget.items()
+            for x in (F.lit(v), F.lit(int(k)))
+        ]
+    )
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(
+            F.abs(F.hash(*[c for c in df.columns])),
+            F.element_at(k_map, F.col(partition_col).cast("string")),
+        ),
+    )
+    n_tasks = int(sum(budget.values()))
+    parent = os.path.dirname(os.path.abspath(path))
+    scratch = os.path.join(parent, f".compact-{uuid.uuid4().hex[:8]}")
+    (
+        salted.repartition(n_tasks, partition_col, F.col("_salt"))
+        .drop("_salt")
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(scratch)
+    )
+    trash = os.path.join(parent, f".trash-{uuid.uuid4().hex[:8]}")
+    os.rename(path, trash)
+    try:
+        os.rename(scratch, path)
+    except OSError:
+        os.rename(trash, path)  # roll back, keep the original live
+        shutil.rmtree(scratch, ignore_errors=True)
+        raise
+    shutil.rmtree(trash, ignore_errors=True)
+    return data_file_count(path)

@@ -1,0 +1,84 @@
+"""Small-file compaction: content-preserving, per-partition
+right-sizing, atomic swap."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mevi_spark.sources.compact import (
+    compact_partitioned,
+    data_file_count,
+    partition_file_budget,
+)
+
+
+def _fragmented_layout(spark, path: str):
+    df = spark.range(2000).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("code"),
+        F.concat(F.lit("v"), F.col("id")).alias("payload"),
+    )
+    # 10 shuffled writers × 4 partition values → ~40 small files
+    df.repartition(10).write.partitionBy("code").parquet(path)
+    return df
+
+
+def test_compact_collapses_files_and_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "layout")
+    df = _fragmented_layout(spark, path)
+    before_files = data_file_count(path)
+    before_rows = sorted(
+        (r.id, r.code, r.payload) for r in spark.read.parquet(path).collect()
+    )
+    assert before_files > 8  # genuinely fragmented
+
+    after_files = compact_partitioned(spark, path, "code")
+    assert after_files == 4  # one file per tiny partition
+    assert data_file_count(path) == after_files
+    after_rows = sorted(
+        (r.id, r.code, r.payload) for r in spark.read.parquet(path).collect()
+    )
+    assert after_rows == before_rows
+    # partition directory set unchanged
+    assert sorted(
+        e for e in os.listdir(path) if e.startswith("code=")
+    ) == ["code=0", "code=1", "code=2", "code=3"]
+    # no scratch/trash remnants
+    assert not [
+        e
+        for e in os.listdir(tmp_path)
+        if e.startswith((".compact-", ".trash-"))
+    ]
+
+
+def test_compact_splits_oversized_partition(spark, tmp_path):
+    path = str(tmp_path / "layout2")
+    _fragmented_layout(spark, path)
+    # target ≈ half of one partition's bytes → every partition budgets 2+
+    sizes = partition_file_budget(path, "code", target_file_bytes=1)
+    assert all(k >= 1 for k in sizes.values())
+    one_dir_bytes = sum(
+        os.path.getsize(os.path.join(path, "code=0", f))
+        for f in os.listdir(os.path.join(path, "code=0"))
+        if not f.startswith(("_", "."))
+    )
+    n = compact_partitioned(
+        spark, path, "code", target_file_bytes=max(1, one_dir_bytes // 2)
+    )
+    per_part = {
+        d: len(
+            [
+                f
+                for f in os.listdir(os.path.join(path, d))
+                if not f.startswith(("_", "."))
+            ]
+        )
+        for d in os.listdir(path)
+        if d.startswith("code=")
+    }
+    assert n == sum(per_part.values())
+    assert all(v >= 2 for v in per_part.values()), per_part
+    rows = spark.read.parquet(path).count()
+    assert rows == 2000
