@@ -40,6 +40,18 @@ def _tmp(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=f"mevi_{prefix}_") + "/data"
 
 
+def _finish(df: DataFrame, path: str) -> DataFrame:
+    """Pin the (small) checksum result eagerly, then free the roundtrip
+    artifact directory — repeated calls in a long-lived session must
+    not accumulate mkdtemp trees (the streaming `_drained` pattern)."""
+    import os
+    import shutil
+
+    out = df.localCheckpoint(eager=True)
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # S1: corpus TSV write → read → checksum
 
@@ -68,10 +80,13 @@ def tsv_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _tmp("corpus_tsv")
     corpus.write.mode("overwrite").csv(path, sep="\t")
     back = read_corpus_tsv(spark, path)
-    return back.select(
-        "doc_id",
-        F.length("title").cast("long").alias("title_len"),
-        F.length("content").cast("long").alias("content_len"),
+    return _finish(
+        back.select(
+            "doc_id",
+            F.length("title").cast("long").alias("title_len"),
+            F.length("content").cast("long").alias("content_len"),
+        ),
+        path,
     )
 
 
@@ -106,12 +121,15 @@ def tsv_queries_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _tmp("queries_tsv")
     dev.write.mode("overwrite").csv(path, sep="\t")
     back = read_queries_dev_tsv(spark, path)
-    return back.select(
-        "query",
-        F.size("doc_ids").cast("long").alias("n_ids"),
-        F.aggregate(
-            "doc_ids", F.lit(0).cast("long"), lambda acc, x: acc + x
-        ).alias("ids_sum"),
+    return _finish(
+        back.select(
+            "query",
+            F.size("doc_ids").cast("long").alias("n_ids"),
+            F.aggregate(
+                "doc_ids", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("ids_sum"),
+        ),
+        path,
     )
 
 
@@ -159,17 +177,20 @@ def tsv_run_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _tmp("run_tsv")
     write_run_tsv(run, path)
     back = read_run_tsv(spark, path)
-    return back.select(
-        "query",
-        F.size("preds").cast("long").alias("n_preds"),
-        F.aggregate(
-            "preds", F.lit(0).cast("long"), lambda acc, x: acc + x
-        ).alias("preds_sum"),
-        F.aggregate(
-            "scores",
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + F.round(x * 1e6).cast("long"),
-        ).alias("scores_sum_e6"),
+    return _finish(
+        back.select(
+            "query",
+            F.size("preds").cast("long").alias("n_preds"),
+            F.aggregate(
+                "preds", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("preds_sum"),
+            F.aggregate(
+                "scores",
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.round(x * 1e6).cast("long"),
+            ).alias("scores_sum_e6"),
+        ),
+        path,
     )
 
 
@@ -201,13 +222,16 @@ def memmap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_memmap_shards(emb, out_dir, dtype="float32")
     dim = len(emb.first()["vec"])
     back = read_memmap_matrix(spark, out_dir, dim=dim, dtype="float32")
-    return back.select(
-        "row_id",
-        F.aggregate(
-            "vec",
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + F.round(x.cast("double") * 1e6).cast("long"),
-        ).alias("vec_sum_e6"),
+    return _finish(
+        back.select(
+            "row_id",
+            F.aggregate(
+                "vec",
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.round(x.cast("double") * 1e6).cast("long"),
+            ).alias("vec_sum_e6"),
+        ),
+        out_dir,
     )
 
 
@@ -253,4 +277,40 @@ def embed_determinism(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("deterministic"),
             F.round(F.sqrt(norm_sq), 4).alias("norm4"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S1 flavor: JSON-lines interchange (the pipeline exchange format)
+
+
+@register(
+    "jsonl_roundtrip",
+    oracle="""
+SELECT doc_id, source, strlen(text)::BIGINT AS content_len
+FROM documents
+""",
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink → scan → checksum: the de-facto interchange
+    format between corpus-pipeline stages (every row one JSON object,
+    shard-parallel on both sides). Written with Spark's native sharded
+    JSON sink, read back with an EXPLICIT schema — inference would be a
+    full extra pass at scale and can mistype empty shards. The length
+    checksum proves text content survives JSON escaping round-trip."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    path = _tmp("jsonl")
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema("doc_id long, source string, text string").json(
+        path
+    )
+    return _finish(
+        back.select(
+            "doc_id",
+            "source",
+            F.length("text").cast("long").alias("content_len"),
+        ),
+        path,
     )

@@ -88,7 +88,7 @@ _LOADED = False
 #   tier 4 — the 13 bench headliners, kept in-window for regression
 #            coverage regardless of row count.
 #
-# The 27 queries left outside are all r5-green with 3+ rows; they
+# The 28 queries left outside are all r5-green with 3+ rows; they
 # rotate back as their deficit grows, and the local full-gate check
 # covers them every round. Names not listed here (future additions)
 # sort after the listed ones in plain registration order.
@@ -98,6 +98,7 @@ _PRIORITY_ORDER: list[str] = [
     "compaction_roundtrip",
     "bucketed_join_rollup",
     "corpus_prep_pipeline",
+    "jsonl_roundtrip",
     "sessionize_events_window",
     "streaming_dedup_ingest",
     "streaming_sessionize_evict",
@@ -134,8 +135,6 @@ _PRIORITY_ORDER: list[str] = [
     "rq_assign_nearest",
     "rq_centroids_label",
     "video_frame_sample",
-    # tier 3 — three rows, r5-green
-    "beam_constrained",
     # tier 4 — bench headliners (regression coverage)
     "q1_pricing_summary",
     "q3_shipping_priority",
