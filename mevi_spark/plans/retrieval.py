@@ -1229,12 +1229,13 @@ def rq_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, seed_code="label", id_col="vec_id", vec_col="embedding",
         levels=1,
     )
-    path = tempfile.mkdtemp(prefix="mevi_rq_model_") + "/model"
+    base = tempfile.mkdtemp(prefix="mevi_rq_model_")
+    path = base + "/model"
     save_rq_model(
         mapping.withColumnRenamed("vec_id", "id"), codebook, path
     )
     _, cb = load_rq_model(spark, path)
-    return cb.select(
+    out = cb.select(
         "level",
         "code",
         F.posexplode("centroid").alias("pos0", "m0"),
@@ -1242,6 +1243,13 @@ def rq_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "level", "code", (F.col("pos0") + 1).alias("pos"),
         F.round("m0", 6).alias("m"),
     )
+    # pin the K·dim-row result, free the model artifact dir (the
+    # roundtrip-query no-leak rule — see interop_ops._finish)
+    out = out.localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 # ---------------------------------------------------------------------------
