@@ -766,3 +766,41 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5("red"), 1, 6), 16, 10).cast("bigint")
         ).alias("red_fingerprint"),
     )
+
+
+@register(
+    "dataset_split",
+    oracle="""
+WITH s AS (
+  SELECT source,
+         CASE WHEN ('0x' || substring(md5('split|' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90
+              THEN 'train'
+              WHEN ('0x' || substring(md5('split|' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 95
+              THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT source, split, COUNT(*) AS n_docs
+FROM s GROUP BY source, split
+""",
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) by hashing the
+    stable row id — the curation staple: reproducible across runs and
+    engines (no RNG state), stable under corpus growth (a doc's split
+    never changes when rows are added), map-only at any scale. Uses the
+    same md5-prefix ``hash60`` construction as tokenization/sampling so
+    one hash family covers the whole pipeline."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("bigint") % 100
+    split = (
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    )
+    return docs.select("source", split.alias("split")).groupBy(
+        "source", "split"
+    ).agg(F.count("*").alias("n_docs"))

@@ -88,7 +88,9 @@ _LOADED = False
 #   tier 4 — the 13 bench headliners, kept in-window for regression
 #            coverage regardless of row count.
 #
-# The 28 queries left outside are all r5-green with 3+ rows; they
+# The 29 queries left outside are all r5-green with 3+ rows; they
+# (streaming_quantize_index rotates out with its code path still
+# driver-exercised through compaction_roundtrip's identical oracle);
 # rotate back as their deficit grows, and the local full-gate check
 # covers them every round. Names not listed here (future additions)
 # sort after the listed ones in plain registration order.
@@ -98,6 +100,7 @@ _PRIORITY_ORDER: list[str] = [
     "compaction_roundtrip",
     "bucketed_join_rollup",
     "corpus_prep_pipeline",
+    "dataset_split",
     "jsonl_roundtrip",
     "sessionize_events_window",
     "streaming_dedup_ingest",
@@ -121,7 +124,6 @@ _PRIORITY_ORDER: list[str] = [
     "doc_query_sets",
     "rq_ema_step",
     "rq_reconstruct",
-    "streaming_quantize_index",
     # tier 3 — three rows, NO r5 row (oldest evidence in the registry)
     "dedup_components",
     "dedup_embedding_cosine",

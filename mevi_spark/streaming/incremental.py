@@ -102,7 +102,12 @@ def dedup_stream(
     watermark passes ``event_time + delay``; a copy arriving later than
     that is necessarily older than the watermark and is dropped as late
     data — so every record is emitted exactly once and state size is
-    bounded by the key-arrival rate × delay, not by history.
+    bounded by the key-arrival rate × delay, not by history. The
+    argument is robust to the engine's watermark LAG (the operator
+    applies a watermark one batch older than the reported one — see
+    ``tests/test_streaming.py::test_windowed_counts_drop_late_rows``):
+    state expiry and the late filter use the SAME operator watermark W,
+    and expired-state ⇒ ``ts < W − delay`` ⇒ late, for any W.
 
     Requires an LTZ ``ts_col`` (``withWatermark`` rejects NTZ — rebuild
     via ``timestamp_micros(epoch_us(...))`` like the sessionize replay

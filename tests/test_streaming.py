@@ -196,3 +196,56 @@ def test_streaming_dedup_ingest_exactly_once(spark, sf_dir):
     assert len(got) == len(want) and got == want
     after = set(_glob.glob(f"{_tf.gettempdir()}/mevi_stream_dedup_*"))
     assert after == before, "replay harness directories leaked"
+
+
+def test_windowed_counts_drop_late_rows(spark):
+    """An event arriving after the watermark provably passed its window
+    is dropped — the already-emitted window is never revised and no
+    late-window row appears (the append-mode contract downstream
+    consumers rely on; without it they would double-count).
+
+    Watermark-lag subtlety this test encodes (measured on 4.1.2, and
+    why the dedup-ingest safety argument is lag-independent): the
+    watermark a batch's stateful operator APPLIES is computed from data
+    in batches strictly BEFORE the previous one — the progress report
+    shows the new value one batch before it takes effect. So the late
+    slice here arrives after TWO watermark-advancing slices, making its
+    row late under the operator's effective watermark (04:40), not just
+    the reported one."""
+    base = tempfile.mkdtemp(prefix="mevi_t_late_")
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    s1 = [(1, _ts(0, 10), "a", 1.0)]
+    s2 = [(2, _ts(5, 0), "a", 1.0)]    # new watermark 04:30 (not yet applied)
+    s3 = [(3, _ts(5, 10), "a", 1.0)]   # 04:30 applies; new 04:40
+    s4 = [(4, _ts(0, 20), "a", 100.0)]  # LATE under effective 04:30/04:40
+    s5 = [(5, _ts(6, 30), "a", 1.0)]   # pushes watermark past hour 5's end
+    glob = _write_slices(spark, base, [s1, s2, s3, s4, s5], schema)
+    stream = stream_parquet_source(
+        spark,
+        glob,
+        spark.createDataFrame([], schema).schema,
+        max_files_per_trigger=1,
+    )
+    agg = windowed_event_counts(
+        stream, window_duration="1 hour", watermark_delay="30 minutes"
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r.win_start), r.n_events, r.sum_value_e6)
+        for r in spark.table("t_late").collect()
+    }
+    # hour 0 emitted with ONLY event 1 — the late event 4 (value 100)
+    # is nowhere: not a revision, not a fresh row; hour 5 closed with
+    # its two events; hour 6 (max-ts window) withheld
+    assert got == {
+        ("2024-03-01 00:00:00", 1, 1_000_000),
+        ("2024-03-01 05:00:00", 2, 2_000_000),
+    }
