@@ -569,3 +569,42 @@ def sessionize_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("_w.end - INTERVAL 30 MINUTES").alias("session_end"),
         )
     )
+
+
+@register(
+    "salted_hot_key_rollup",
+    oracle="""
+SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS hot_key,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+""",
+)
+def salted_hot_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planned hot-key mitigation (the salting technique of SURVEY §4's
+    shuffle notes): a deliberately Zipf-headed key (a third of all users
+    collapse onto key 0) is aggregated through the two-phase salted
+    rollup — phase 1 spreads key 0 across 16 salted reducers, phase 2
+    merges the partials — and must equal the plain group-by, which is
+    exactly what the oracle computes. Decimal-stabilized sum (registry
+    determinism rule)."""
+    from mevi_spark.operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 3 == 0, 0)
+        .otherwise(F.col("user_id"))
+        .alias("hot_key"),
+        "value",
+    )
+    return salted_aggregate(
+        ev,
+        ["hot_key"],
+        {
+            "n": (F.count("*"), F.sum("n").cast("long")),
+            "sum_value": (
+                F.sum(F.col("value").cast("decimal(18,6)")),
+                F.sum("sum_value").cast("double"),
+            ),
+        },
+        salts=16,
+    )

@@ -1,0 +1,90 @@
+"""Salted join / salted aggregation: exact results under planned hot-key
+spreading, and the salt really spreads the hot key."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mevi_spark.operators.skew import salted_aggregate, salted_join
+
+
+def _skewed(spark):
+    # Zipf head: key 0 owns 90% of rows
+    return spark.range(2000).select(
+        F.when(F.col("id") % 10 != 0, 0)
+        .otherwise(F.col("id") % 7)
+        .alias("k"),
+        (F.col("id") * 3 % 101).alias("v"),
+        F.col("id"),
+    )
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = _skewed(spark)
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(7)], "k long, label string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r.id, r.k, r.label)
+            for r in salted_join(big, small, ["k"], salts=5, how=how)
+            .select("id", "k", "label")
+            .collect()
+        )
+        want = sorted(
+            (r.id, r.k, r.label)
+            for r in big.join(small, ["k"], how)
+            .select("id", "k", "label")
+            .collect()
+        )
+        assert got == want and len(got) == 2000, how
+
+
+def test_salted_join_spreads_the_hot_key(spark):
+    big = _skewed(spark)
+    small = spark.createDataFrame([(0, "hot")], "k long, label string")
+    j = salted_join(big, small, ["k"], salts=5)
+    # the physical join key carries the salt: the hot key's rows hash
+    # into multiple (k, salt) groups
+    n_groups = (
+        big.withColumn(
+            "_s",
+            F.pmod(F.abs(F.hash(*[F.col(c) for c in big.columns])), F.lit(5)),
+        )
+        .filter(F.col("k") == 0)
+        .select("_s")
+        .distinct()
+        .count()
+    )
+    assert n_groups >= 4  # 90% of rows no longer share one reducer key
+    assert j.count() == big.filter(F.col("k") == 0).count()
+
+
+def test_salted_aggregate_exact(spark):
+    df = _skewed(spark)
+    got = sorted(
+        (r.k, r.n, r.v_sum)
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            {
+                "n": (F.count("*"), F.sum("n")),
+                "v_sum": (F.sum("v"), F.sum("v_sum")),
+            },
+            salts=8,
+        ).collect()
+    )
+    want = sorted(
+        (r.k, r.n, r.v_sum)
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("v_sum"))
+        .collect()
+    )
+    assert got == want
+
+
+def test_salt_column_collision_rejected(spark):
+    df = _skewed(spark).withColumn("_mevi_salt", F.lit(1))
+    with pytest.raises(ValueError, match="_mevi_salt"):
+        salted_aggregate(df, ["k"], {"n": (F.count("*"), F.sum("n"))})
