@@ -88,7 +88,7 @@ _LOADED = False
 #   tier 4 — the 13 bench headliners, kept in-window for regression
 #            coverage regardless of row count.
 #
-# The 29 queries left outside are all r5-green with 3+ rows; they
+# The 30 queries left outside are all r5-green with 2+ rows; they
 # (streaming_quantize_index rotates out with its code path still
 # driver-exercised through compaction_roundtrip's identical oracle);
 # rotate back as their deficit grows, and the local full-gate check
@@ -106,6 +106,7 @@ _PRIORITY_ORDER: list[str] = [
     "streaming_dedup_ingest",
     "streaming_sessionize_evict",
     "streaming_sessionize_window",
+    "streaming_topk_maintenance",
     "text_redact_pii",
     # tier 2 — one row (first green in r5)
     "ann_ivf_topk",
@@ -120,7 +121,6 @@ _PRIORITY_ORDER: list[str] = [
     "tokenize_padded",
     # tier 2 — two rows, last seen r5
     "cluster_projection",
-    "code_token_arith",
     "doc_query_sets",
     "rq_ema_step",
     "rq_reconstruct",

@@ -28,6 +28,7 @@ from mevi_spark.sources.io import load_table
 from mevi_spark.streaming import (
     dedup_stream,
     incremental_quantize,
+    incremental_topk,
     sessionize_stream,
     windowed_event_counts,
 )
@@ -163,6 +164,63 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.read.parquet(f"{base}/out")
     return _drained(
         out.select("vec_id", F.col("code").cast("int").alias("code")), base
+    )
+
+
+@register(
+    "streaming_topk_maintenance",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 50 = 0),
+d AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS dv FROM embeddings),
+s AS (SELECT query_id, doc_id, list_dot_product(qv, dv) AS s FROM q, d),
+r AS (SELECT query_id, doc_id, s,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id ASC) AS rank
+      FROM s)
+SELECT query_id, doc_id, ROUND(s, 6) AS score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""",
+)
+def streaming_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3, streaming flavor: the corpus arrives file by file and every
+    query's exact top-10 is MAINTAINED — batch-local top-k merged into
+    the published result table with an atomic swap per micro-batch
+    (:func:`~mevi_spark.streaming.incremental_topk`). The drained
+    result must equal the one-shot batch top-k (same contract as
+    ``knn_topk_ip``'s blocked kernel, third independent implementation
+    of the exact-top-k answer), which the oracle computes directly —
+    the running-top-k merge invariant, driver-checked."""
+    base = _tmp("topk")
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = emb.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("doc_vec")
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(f"{base}/in")
+    stream = stream_parquet_source(
+        spark, f"{base}/in", docs.schema, max_files_per_trigger=1
+    )
+    q = incremental_topk(
+        stream, queries, f"{base}/out", f"{base}/ckpt", k=10
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(f"{base}/out")
+    from mevi_spark.operators.topk import topk_per_group
+
+    ranked = topk_per_group(
+        out.select("query_id", "doc_id", "score"),
+        ["query_id"], "score", 10, ["doc_id"],
+    )
+    return _drained(
+        ranked.select(
+            "query_id", "doc_id",
+            F.round("score", 6).alias("score"), "rank",
+        ),
+        base,
     )
 
 

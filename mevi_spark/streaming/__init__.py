@@ -17,12 +17,16 @@ arriving corpus/event stream.
 * :func:`sessionize_stream_window` — the same semantics through the
   engine's built-in ``session_window`` (declarative state management);
 * :func:`dedup_stream` — exactly-once ingest under at-least-once
-  delivery (watermark-bounded ``dropDuplicatesWithinWatermark``).
+  delivery (watermark-bounded ``dropDuplicatesWithinWatermark``);
+* :func:`incremental_topk` — running exact top-k maintenance: per-query
+  results stay current as the corpus arrives, converging to the batch
+  answer by the running-top-k merge invariant.
 """
 
 from mevi_spark.streaming.incremental import (
     dedup_stream,
     incremental_quantize,
+    incremental_topk,
     sessionize_stream,
     sessionize_stream_window,
     windowed_event_counts,
@@ -31,6 +35,7 @@ from mevi_spark.streaming.incremental import (
 __all__ = [
     "dedup_stream",
     "incremental_quantize",
+    "incremental_topk",
     "sessionize_stream",
     "sessionize_stream_window",
     "windowed_event_counts",

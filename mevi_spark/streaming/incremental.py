@@ -84,6 +84,86 @@ def incremental_quantize(
     )
 
 
+def incremental_topk(
+    stream_df: DataFrame,
+    queries: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "doc_id",
+    vec_col: str = "doc_vec",
+):
+    """W3 as a streaming operator: keep each query's exact top-k CURRENT
+    while the corpus arrives.
+
+    Per micro-batch: score the batch's docs against the (bounded, eval-
+    sized) broadcast query set, take the batch-local per-query top-k,
+    merge it with the maintained result set, re-top-k, and publish with
+    an atomic directory swap — readers always see a complete, current
+    result table. Exact by the running-top-k invariant the blocked batch
+    kernel (``exact_topk_join``) relies on: any doc in the global top-k
+    is in its own batch's local top-k, so ``topk(pool ∪ topk(batch))``
+    converges to the batch-engine answer regardless of arrival order or
+    batching. State is the k×|queries| result table itself — no state
+    store, restart-safe through the checkpointed source offsets plus the
+    last published table.
+
+    The query side must be bounded (the reference's eval shape: ~10³
+    queries); the corpus side streams unboundedly.
+    """
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from mevi_spark.functions.vector import dot
+    from mevi_spark.operators.topk import topk_per_group
+
+    q = queries.select(
+        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
+    )
+
+    def sink(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        scored = (
+            batch.select(id_col, vec_col)
+            .crossJoin(F.broadcast(q))
+            .select(
+                F.col("_qid").alias(query_id),
+                F.col(id_col),
+                dot("_qv", vec_col).alias("score"),
+            )
+        )
+        local = topk_per_group(scored, [query_id], "score", k, [id_col])
+        if os.path.exists(os.path.join(output_dir, "_SUCCESS")):
+            cur = spark.read.parquet(output_dir).select(
+                query_id, id_col, "score"
+            )
+            merged = cur.unionByName(local.select(query_id, id_col, "score"))
+        else:
+            merged = local.select(query_id, id_col, "score")
+        out = topk_per_group(merged, [query_id], "score", k, [id_col])
+        parent = os.path.dirname(os.path.abspath(output_dir))
+        os.makedirs(parent, exist_ok=True)
+        scratch = os.path.join(parent, f".topk-{_uuid.uuid4().hex[:8]}")
+        out.write.mode("overwrite").parquet(scratch)
+        trash = None
+        if os.path.exists(output_dir):
+            trash = os.path.join(parent, f".topk-old-{_uuid.uuid4().hex[:8]}")
+            os.rename(output_dir, trash)
+        os.rename(scratch, output_dir)
+        if trash:
+            shutil.rmtree(trash, ignore_errors=True)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_stream(
     stream_df: DataFrame,
     keys: list[str],
