@@ -143,6 +143,11 @@ def incremental_topk(
             merged = cur.unionByName(local.select(query_id, id_col, "score"))
         else:
             merged = local.select(query_id, id_col, "score")
+        # replay-idempotent: a restarted batch re-merges the same local
+        # top-k; without the dedup its duplicate (query, doc) rows would
+        # occupy two ranks and evict legitimate docs (scores are
+        # deterministic per pair, so dedup loses nothing)
+        merged = merged.dropDuplicates([query_id, id_col])
         out = topk_per_group(merged, [query_id], "score", k, [id_col])
         parent = os.path.dirname(os.path.abspath(output_dir))
         os.makedirs(parent, exist_ok=True)

@@ -249,3 +249,39 @@ def test_windowed_counts_drop_late_rows(spark):
         ("2024-03-01 00:00:00", 1, 1_000_000),
         ("2024-03-01 05:00:00", 2, 2_000_000),
     }
+
+
+def test_incremental_topk_replay_idempotent(spark, sf_dir):
+    """A replayed micro-batch (restart-from-checkpoint) re-merges the
+    same batch-local top-k; the maintained table must not grow duplicate
+    (query, doc) rows that would occupy two ranks and evict legitimate
+    docs."""
+    import tempfile as _tf
+
+    from mevi_spark.streaming import incremental_topk
+    from mevi_spark.streaming.incremental import stream_parquet_source
+
+    base = _tf.mkdtemp(prefix="mevi_t_itopk_")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = emb.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("doc_vec")
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    docs.repartition(3).write.mode("overwrite").parquet(f"{base}/in")
+    schema = docs.schema
+    for ck in ("ckpt1", "ckpt2"):  # second run = full replay of every file
+        stream = stream_parquet_source(
+            spark, f"{base}/in", schema, max_files_per_trigger=1
+        )
+        q = incremental_topk(
+            stream, queries, f"{base}/out", f"{base}/{ck}", k=5
+        )
+        q.awaitTermination()
+    out = spark.read.parquet(f"{base}/out")
+    per_q = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in per_q)
+    pairs = out.select("query_id", "doc_id").collect()
+    assert len(pairs) == len({(r.query_id, r.doc_id) for r in pairs})
