@@ -43,8 +43,14 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if _SALT in big.columns or _SALT in small.columns:
         raise ValueError(f"{_SALT} column already present")
+    # salt from row POSITION, not row content: the canonical hot key is
+    # a sentinel/default value whose rows are literal duplicates — a
+    # content hash gives them all one salt and one reducer still owns
+    # the key. Position-based salting spreads them; placement varies
+    # across runs but the RESULT set never does (the salt only routes).
     big_salted = big.withColumn(
-        _SALT, F.pmod(F.abs(F.hash(*[F.col(c) for c in big.columns])), F.lit(salts))
+        _SALT,
+        F.pmod(F.monotonically_increasing_id(), F.lit(salts)).cast("int"),
     )
     small_rep = small.withColumn(
         _SALT,
@@ -71,8 +77,13 @@ def salted_aggregate(
     """
     if _SALT in df.columns:
         raise ValueError(f"{_SALT} column already present")
+    # position-based salt (see salted_join): duplicate rows must spread.
+    # monotonically_increasing_id embeds the input partition id, so
+    # phase-1 partial rows per (key, salt) stay bounded and map-side
+    # combine still collapses within-task duplicates.
     salted = df.withColumn(
-        _SALT, F.pmod(F.abs(F.hash(*[F.col(c) for c in df.columns])), F.lit(salts))
+        _SALT,
+        F.pmod(F.monotonically_increasing_id(), F.lit(salts)).cast("int"),
     )
     partial = salted.groupBy(*keys, _SALT).agg(
         *[p.alias(name) for name, (p, _m) in aggs.items()]

@@ -197,12 +197,14 @@ def topk_join(
     job (at scale, prefer passing it — the count is one scan of the
     query side).
 
-    Extra ``kwargs`` flow to the chosen implementation, but only the
-    ones that implementation accepts: under ``'auto'`` the strategy is
-    DATA-dependent, so an unconditional pass-through would make e.g.
-    ``nprobe=5`` work while the query side is large (ivf) and raise
-    ``TypeError`` once it shrinks below the exact limit. A kwarg no
-    strategy accepts is still an immediate error.
+    Extra ``kwargs`` flow to the chosen implementation. Under
+    ``'auto'`` the strategy is DATA-dependent, so kwargs are filtered
+    to what the resolved backend accepts — an unconditional
+    pass-through would make e.g. ``nprobe=5`` work while the query
+    side is large (ivf) and raise ``TypeError`` once it shrinks below
+    the exact limit; a kwarg NO strategy accepts is still an immediate
+    error. With an EXPLICIT strategy nothing is filtered: a kwarg that
+    strategy doesn't accept is a caller bug and raises as usual.
     """
     import inspect
 
@@ -230,7 +232,8 @@ def topk_join(
                 f"topk_join got unknown kwargs: {sorted(unknown)}"
             )
 
-    if strategy == "auto":
+    was_auto = strategy == "auto"
+    if was_auto:
         n = query_count if query_count is not None else queries.count()
         if n <= exact_query_limit:
             strategy = "exact"
@@ -242,6 +245,8 @@ def topk_join(
         raise ValueError(f"unknown strategy: {strategy!r}")
 
     def _accepted(fn):
+        if not was_auto:
+            return dict(kwargs)  # explicit strategy: bad kwargs raise
         names, var_kw = _sig(fn)
         if var_kw:
             return dict(kwargs)

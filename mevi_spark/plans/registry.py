@@ -88,12 +88,13 @@ _LOADED = False
 #   tier 4 — the 13 bench headliners, kept in-window for regression
 #            coverage regardless of row count.
 #
-# The 30 queries left outside are all r5-green with 2+ rows; they
-# (streaming_quantize_index rotates out with its code path still
-# driver-exercised through compaction_roundtrip's identical oracle);
-# rotate back as their deficit grows, and the local full-gate check
-# covers them every round. Names not listed here (future additions)
-# sort after the listed ones in plain registration order.
+# The 31 queries left outside are all green with 2+ driver rows
+# (streaming_quantize_index's code path stays driver-exercised through
+# compaction_roundtrip's identical oracle; rq_reconstruct's F11
+# reconstruction scoring through ann_adc_topk); they rotate back as
+# their deficit grows, and the local full-gate check covers them every
+# round. EVERY round-6-new query is in tier 1 (the SKILL.md rule);
+# future additions must be added here or they sort after the window.
 _PRIORITY_ORDER: list[str] = [
     # tier 1 — zero driver rows
     "ann_adc_topk",
@@ -102,6 +103,7 @@ _PRIORITY_ORDER: list[str] = [
     "corpus_prep_pipeline",
     "dataset_split",
     "jsonl_roundtrip",
+    "salted_hot_key_rollup",
     "sessionize_events_window",
     "streaming_dedup_ingest",
     "streaming_sessionize_evict",
@@ -123,7 +125,6 @@ _PRIORITY_ORDER: list[str] = [
     "cluster_projection",
     "doc_query_sets",
     "rq_ema_step",
-    "rq_reconstruct",
     # tier 3 — three rows, NO r5 row (oldest evidence in the registry)
     "dedup_components",
     "dedup_embedding_cosine",

@@ -77,18 +77,28 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+_STALE_MARK = ".stale_since"
+
+
 def _reap(parent: str, keep: str) -> None:
     """Remove stale versions and orphaned scratch dirs under ``parent``.
 
-    * stale VERSION dirs (older source mtimes) are deleted only after a
-      grace period (``$SPARK_GRAFT_STAGE_GRACE``, default 600 s since
-      last modification): a live session's lazy DataFrames may still
-      scan the old layout right after the source was rewritten, and a
-      grace-delayed reap bounds disk at two versions briefly instead of
-      failing those scans mid-flight;
+    * a stale VERSION dir (older source mtime) is first MARKED
+      (``.stale_since`` touched inside it — the grace clock anchors at
+      when it *became* stale, not when it was built, so a long-lived
+      layout still gets its full grace after the source is rewritten)
+      and deleted once the mark is older than the grace period
+      (``$SPARK_GRAFT_STAGE_GRACE``, default 600 s): a live session's
+      lazy DataFrames may still scan the old layout right after the
+      rewrite, and the grace-delayed reap bounds disk at two versions
+      briefly instead of failing those scans mid-flight. ``_reap`` runs
+      on EVERY ``ensure_staged`` call (including marker-hit fast
+      paths), so the countdown progresses without needing another
+      rebuild;
     * ``.build-<pid>-...`` scratch dirs from builders that crashed
       before publishing are deleted once their pid is gone (or after
       the grace period — pids recycle), closing the orphan-copy leak.
+      Every stat tolerates a concurrent reaper having won the race.
     """
     now = time.time()
     for entry in os.listdir(parent):
@@ -100,15 +110,24 @@ def _reap(parent: str, keep: str) -> None:
                 pid = int(entry.split("-")[1])
             except (IndexError, ValueError):
                 pid = -1
-            age = now - os.path.getmtime(full)
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue  # a concurrent reaper already removed it
             if (pid > 0 and not _pid_alive(pid)) or age > _grace_s():
                 shutil.rmtree(full, ignore_errors=True)
             continue
+        mark = os.path.join(full, _STALE_MARK)
         try:
-            age = now - os.path.getmtime(full)
+            stale_since = os.path.getmtime(mark)
         except OSError:
+            try:
+                with open(mark, "w", encoding="utf-8") as fh:
+                    fh.write(str(now))
+            except OSError:
+                pass  # dir vanished under us — nothing to reap
             continue
-        if age > _grace_s():
+        if now - stale_since > _grace_s():
             shutil.rmtree(full, ignore_errors=True)
 
 
@@ -129,9 +148,10 @@ def ensure_staged(
     """
     path = staged_path(kind, sf_dir, table)
     marker = os.path.join(path, _MARKER)
-    if os.path.exists(marker):
-        return path
     parent = os.path.dirname(path)
+    if os.path.exists(marker):
+        _reap(parent, keep=path)  # staleness countdown progresses per call
+        return path
     os.makedirs(parent, exist_ok=True)
     _reap(parent, keep=path)
     # build in a private scratch dir and publish with one atomic rename:

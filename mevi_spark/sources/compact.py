@@ -19,8 +19,10 @@ Design:
 * atomic publish — the compacted layout is written to a scratch
   directory and swapped in with two renames (old → trash, new → live,
   trash deleted), so readers never observe a half-compacted directory;
-  a crash before the swap leaves the live layout untouched, and a
-  failed second rename rolls the original back.
+  a crash before the swap leaves the live layout untouched, a failed
+  second rename rolls the original back, and a crash BETWEEN the two
+  renames is healed on the next call (the layout is restored from its
+  ``.trash-*`` sibling before compacting).
 """
 
 from __future__ import annotations
@@ -58,13 +60,29 @@ def data_file_count(path: str) -> int:
 def partition_file_budget(
     path: str, partition_col: str, target_file_bytes: int
 ) -> dict[str, int]:
-    """``{partition_value_string: file_count}`` from on-disk sizes."""
+    """``{partition_value_string: file_count}`` from on-disk sizes.
+
+    Directory names are URI-unescaped back to COLUMN values (Spark
+    writes ``col=a%20b`` for ``'a b'``) so the salt lookup joins on the
+    value the rows actually carry. Null partitions
+    (``__HIVE_DEFAULT_PARTITION__``) are rejected: their rows can't be
+    matched back by value equality — compact them by filtering
+    upstream.
+    """
+    from urllib.parse import unquote
+
     budget: dict[str, int] = {}
     prefix = f"{partition_col}="
     for entry in sorted(os.listdir(path)):
         full = os.path.join(path, entry)
         if entry.startswith(prefix) and os.path.isdir(full):
-            budget[entry[len(prefix):]] = max(
+            raw = entry[len(prefix):]
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                raise ValueError(
+                    "compact_partitioned cannot salt a null partition "
+                    "(__HIVE_DEFAULT_PARTITION__) — filter nulls upstream"
+                )
+            budget[unquote(raw)] = max(
                 1, math.ceil(_dir_bytes(full) / float(target_file_bytes))
             )
     return budget
@@ -80,9 +98,28 @@ def compact_partitioned(
 
     Returns the data-file count after compaction. Row content and the
     partition-column layout are preserved exactly; each partition is
-    rewritten as its byte-budgeted file count (salted shuffle keys so
-    an oversized partition splits across its budget).
+    rewritten toward its byte-budgeted file count (salted shuffle keys
+    so an oversized partition splits across its budget). The budget is
+    a TARGET, not a guarantee: task placement hashes (value, salt)
+    pairs, so colliding salt groups of one partition can merge —
+    bounded at roughly one missing file / one ~2× file per collision,
+    never a re-fragmentation.
+
+    Crash recovery: if a previous compaction died between its two
+    publish renames, the layout survives in a ``.trash-*`` sibling —
+    restored here before compacting (newest wins), so the data is never
+    more than one call away from being live again.
     """
+    parent = os.path.dirname(os.path.abspath(path))
+    if not os.path.exists(path) and os.path.isdir(parent):
+        trashed = sorted(
+            (e for e in os.listdir(parent) if e.startswith(".trash-")),
+            key=lambda e: os.path.getmtime(os.path.join(parent, e)),
+        )
+        if trashed:
+            os.rename(os.path.join(parent, trashed[-1]), path)
+            for e in trashed[:-1]:
+                shutil.rmtree(os.path.join(parent, e), ignore_errors=True)
     budget = partition_file_budget(path, partition_col, target_file_bytes)
     if not budget:
         raise ValueError(
@@ -106,7 +143,6 @@ def compact_partitioned(
         ),
     )
     n_tasks = int(sum(budget.values()))
-    parent = os.path.dirname(os.path.abspath(path))
     scratch = os.path.join(parent, f".compact-{uuid.uuid4().hex[:8]}")
     (
         salted.repartition(n_tasks, partition_col, F.col("_salt"))

@@ -100,9 +100,10 @@ def incremental_topk(
 
     Per micro-batch: score the batch's docs against the (bounded, eval-
     sized) broadcast query set, take the batch-local per-query top-k,
-    merge it with the maintained result set, re-top-k, and publish with
-    an atomic directory swap — readers always see a complete, current
-    result table. Exact by the running-top-k invariant the blocked batch
+    merge it with the maintained result set, re-top-k, and publish by
+    atomically flipping a version symlink — readers always see a
+    complete, current result table and there is never a moment with no
+    live table, even across a crash mid-publish. Exact by the running-top-k invariant the blocked batch
     kernel (``exact_topk_join``) relies on: any doc in the global top-k
     is in its own batch's local top-k, so ``topk(pool ∪ topk(batch))``
     converges to the batch-engine answer regardless of arrival order or
@@ -149,17 +150,23 @@ def incremental_topk(
         # deterministic per pair, so dedup loses nothing)
         merged = merged.dropDuplicates([query_id, id_col])
         out = topk_per_group(merged, [query_id], "score", k, [id_col])
+        # crash-atomic publish: write a fresh version dir, then flip the
+        # published SYMLINK in one rename — there is no window with no
+        # live table (a two-rename directory swap has one: a crash
+        # between renames strands the data in a trash dir). The batch's
+        # offsets commit only after this sink returns, so a crash
+        # anywhere here replays the batch against the still-live old
+        # version — and the merge is replay-idempotent.
         parent = os.path.dirname(os.path.abspath(output_dir))
         os.makedirs(parent, exist_ok=True)
-        scratch = os.path.join(parent, f".topk-{_uuid.uuid4().hex[:8]}")
-        out.write.mode("overwrite").parquet(scratch)
-        trash = None
-        if os.path.exists(output_dir):
-            trash = os.path.join(parent, f".topk-old-{_uuid.uuid4().hex[:8]}")
-            os.rename(output_dir, trash)
-        os.rename(scratch, output_dir)
-        if trash:
-            shutil.rmtree(trash, ignore_errors=True)
+        version = os.path.join(parent, f".topk-v-{_uuid.uuid4().hex[:8]}")
+        out.write.mode("overwrite").parquet(version)
+        old = os.path.realpath(output_dir) if os.path.islink(output_dir) else None
+        tmp_link = os.path.join(parent, f".topk-ln-{_uuid.uuid4().hex[:8]}")
+        os.symlink(version, tmp_link)
+        os.rename(tmp_link, output_dir)  # atomic link replacement
+        if old and old != version:
+            shutil.rmtree(old, ignore_errors=True)
 
     return (
         stream_df.writeStream.foreachBatch(sink)

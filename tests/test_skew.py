@@ -10,12 +10,17 @@ from mevi_spark.operators.skew import salted_aggregate, salted_join
 
 
 def _skewed(spark):
-    # Zipf head: key 0 owns 90% of rows
+    # Zipf head: key 0 owns 90% of rows, and its VALUE is constant too —
+    # the sentinel-duplicate shape where content-derived salts collapse
+    # (identical rows hash identically; the salt must come from row
+    # position to spread them)
     return spark.range(2000).select(
         F.when(F.col("id") % 10 != 0, 0)
         .otherwise(F.col("id") % 7)
         .alias("k"),
-        (F.col("id") * 3 % 101).alias("v"),
+        F.when(F.col("id") % 10 != 0, 0)
+        .otherwise(F.col("id") * 3 % 101)
+        .alias("v"),
         F.col("id"),
     )
 
@@ -42,22 +47,21 @@ def test_salted_join_matches_plain_join(spark):
 
 
 def test_salted_join_spreads_the_hot_key(spark):
-    big = _skewed(spark)
+    # drop the id so the hot key's rows are LITERAL duplicates — the
+    # worst case for any content-derived salt
+    big = _skewed(spark).select("k", "v")
     small = spark.createDataFrame([(0, "hot")], "k long, label string")
     j = salted_join(big, small, ["k"], salts=5)
-    # the physical join key carries the salt: the hot key's rows hash
-    # into multiple (k, salt) groups
     n_groups = (
         big.withColumn(
-            "_s",
-            F.pmod(F.abs(F.hash(*[F.col(c) for c in big.columns])), F.lit(5)),
+            "_s", F.pmod(F.monotonically_increasing_id(), F.lit(5))
         )
         .filter(F.col("k") == 0)
         .select("_s")
         .distinct()
         .count()
     )
-    assert n_groups >= 4  # 90% of rows no longer share one reducer key
+    assert n_groups >= 4  # duplicate rows spread across reducer keys
     assert j.count() == big.filter(F.col("k") == 0).count()
 
 

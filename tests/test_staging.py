@@ -40,6 +40,12 @@ def test_ensure_staged_builds_once(stage_env, tmp_path):
 
     p1 = staging.ensure_staged("t", sf_dir, write)
     p2 = staging.ensure_staged("t", sf_dir, write)
+    # the stale version is first MARKED (grace clock anchors at
+    # becoming-stale); with grace 0 the next call's reap removes it
+    import time as _time
+
+    _time.sleep(0.01)
+    assert staging.ensure_staged("t", sf_dir, write) == p2
     assert p1 == p2 and len(calls) == 1
     assert os.path.exists(os.path.join(p1, "_STAGED"))
 
@@ -59,6 +65,12 @@ def test_ensure_staged_rebuilds_on_new_mtime_and_reaps_stale(
     st = os.stat(src)
     os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
     p2 = staging.ensure_staged("t", sf_dir, write)
+    # the stale version is first MARKED (grace clock anchors at
+    # becoming-stale); with grace 0 the next call's reap removes it
+    import time as _time
+
+    _time.sleep(0.01)
+    assert staging.ensure_staged("t", sf_dir, write) == p2
     assert p2 != p1
     # exactly one version survives: the stale one was reaped
     versions = os.listdir(os.path.dirname(p2))

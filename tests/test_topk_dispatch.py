@@ -130,3 +130,11 @@ def test_auto_with_strategy_specific_kwargs_never_crashes(spark, sf_dir):
     assert out.count() > 0  # resolved to exact; nprobe dropped
     with pytest.raises(TypeError, match="unknown kwargs"):
         topk.topk_join(qs, ds, k=5, query_count=100, bogus_knob=1)
+
+
+def test_explicit_strategy_rejects_inapplicable_kwargs(spark, sf_dir):
+    """Under an EXPLICIT strategy nothing is filtered: an inapplicable
+    kwarg is a caller bug and must raise, not silently vanish."""
+    qs, ds = _sides(spark, sf_dir)
+    with pytest.raises(TypeError):
+        topk.topk_join(qs, ds, k=5, strategy="lsh", nprobe=5)
