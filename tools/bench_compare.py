@@ -1,0 +1,105 @@
+"""Side-by-side timing: bench.py's Spark headliners vs their own DuckDB
+oracles on the same parquet, same machine.
+
+This makes the single-node comparison the repo is graded on
+reproducible in one command instead of hand-reassembled: the Spark
+column re-times the headline queries exactly as ``bench.py`` does
+(same session config, warm shapes, Arrow materialization), the DuckDB
+column runs each query's REGISTERED oracle SQL (the identical result
+set, value-hash-verified by the correctness gate) through a warm
+connection.
+
+Context for reading the ratio (README "Benchmark methodology"): at
+sf0.1 the inputs are ~17 MB, so most Spark time is the per-query
+planner/scheduler floor — the compute-bound queries are the ones to
+compare. At 100 TB the Spark numbers amortize that floor across a
+cluster; the DuckDB numbers stop existing.
+
+Usage: python tools/bench_compare.py [sf_dir]   # default sf0.1
+Prints one JSON line: {"spark_total": s, "duckdb_total": s,
+"ratio": r, "queries": {name: {"spark": s, "duckdb": s}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+
+    from bench import HEADLINE, PREBUILD_LAZY
+    from mevi_spark.plans import registry
+    from mevi_spark.plans.retrieval import stage_fine_layout
+    from mevi_spark.session import get_spark
+
+    # --- Spark side: identical setup to bench.py ---------------------
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+    spark = get_spark("mevi-bench-compare", shuffle_partitions=shuffle)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    qs = registry.get_queries()
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    for name in HEADLINE:
+        if os.path.isdir(warm_dir):
+            qs[name](spark, warm_dir).collect()
+    stage_fine_layout(spark, sf_dir)
+    prebuilt = {
+        name: qs[name](spark, sf_dir)
+        for name in HEADLINE
+        if name in PREBUILD_LAZY
+    }
+    spark_t: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = prebuilt.get(name) or qs[name](spark, sf_dir)
+        df.toPandas()
+        spark_t[name] = round(time.perf_counter() - t0, 3)
+
+    # --- DuckDB side: the registered oracle SQL ----------------------
+    oracles = registry.get_oracles()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    duck_t: dict[str, float] = {}
+    for name in HEADLINE:
+        sql = oracles[name]
+        con.execute(sql).df()  # warm (page cache + plans)
+        t0 = time.perf_counter()
+        con.execute(sql).df()
+        duck_t[name] = round(time.perf_counter() - t0, 3)
+
+    s_total = round(sum(spark_t.values()), 3)
+    d_total = round(sum(duck_t.values()), 3)
+    print(
+        json.dumps(
+            {
+                "spark_total": s_total,
+                "duckdb_total": d_total,
+                "ratio": round(s_total / d_total, 2) if d_total else None,
+                "queries": {
+                    n: {"spark": spark_t[n], "duckdb": duck_t[n]}
+                    for n in HEADLINE
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
