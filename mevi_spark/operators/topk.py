@@ -189,6 +189,12 @@ def topk_join(
       banded equi-join, the large×large fallback with no index
       prerequisite.
 
+    A fourth strategy lives outside this dispatcher because its corpus
+    input is a QUANTIZED mapping, not raw vectors:
+    :func:`mevi_spark.operators.ann.adc_topk_join` (IVF-ADC — per-query
+    lookup tables against the additive RQ reconstruction; the scan
+    never reads a vector column).
+
     ``'auto'`` picks by query-side size: exact up to
     ``exact_query_limit`` rows (each 65k-chunk costs one corpus pass —
     fine for batch-sized eval query sets, wrong past a few chunks),
