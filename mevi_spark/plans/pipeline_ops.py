@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mevi_spark.functions import text_analysis as TA
-from mevi_spark.functions.text import normalize_text, word_shingles
+from mevi_spark.functions.text import normalize_text
 from mevi_spark.operators import dedup as D
 from mevi_spark.plans.registry import register
 from mevi_spark.sources.io import load_table

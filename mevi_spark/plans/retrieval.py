@@ -47,7 +47,7 @@ from mevi_spark.operators.rq import (
     save_rq_model,
     train_rq_kmeans,
 )
-from mevi_spark.operators.topk import exact_topk_join, topk_per_group
+from mevi_spark.operators.topk import exact_topk_join
 from mevi_spark.plans.registry import register
 from mevi_spark.sources.io import load_table
 
