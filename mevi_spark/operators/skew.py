@@ -21,6 +21,34 @@ from pyspark.sql import Column, DataFrame, functions as F
 _SALT = "_mevi_salt"
 
 
+def _salt_expr(df: DataFrame, salts: int):
+    """Retry-stable salt that still spreads duplicate rows.
+
+    Two constraints pull against each other:
+
+    * a CONTENT hash is stable under task re-execution but sends every
+      copy of a duplicated sentinel row (the canonical hot key) to ONE
+      salt — the reducer hotspot survives;
+    * a POSITION source (``monotonically_increasing_id``) spreads
+      duplicates but changes across task retries when the input is
+      itself shuffle output (fetch order is not stable), so recomputed
+      rows could land in a different (key, salt) group than copies
+      already fetched — silent dup/loss under fault recovery.
+
+    ``hash(spark_partition_id(), content)`` satisfies both: partition
+    MEMBERSHIP (unlike intra-partition order) is deterministic for a
+    deterministic input, so the salt is retry-stable, and duplicate
+    rows living in different input partitions — the only way a hot key
+    is big at scale — get different salts. Duplicates inside one input
+    partition share a salt, bounding per-salt clumps at one input
+    partition's rows (~128 MB).
+    """
+    return F.pmod(
+        F.abs(F.hash(F.spark_partition_id(), *[F.col(c) for c in df.columns])),
+        F.lit(salts),
+    ).cast("int")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -29,7 +57,7 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with the big side's hot keys spread across ``salts``
-    reducers: the big side gets a deterministic per-row salt, the small
+    reducers: the big side gets a retry-stable per-row salt, the small
     side is replicated once per salt value, and the join key becomes
     ``on + [salt]``. Result rows are EXACTLY ``big.join(small, on,
     how)`` — the salt never changes matching, only placement. Costs a
@@ -43,15 +71,7 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if _SALT in big.columns or _SALT in small.columns:
         raise ValueError(f"{_SALT} column already present")
-    # salt from row POSITION, not row content: the canonical hot key is
-    # a sentinel/default value whose rows are literal duplicates — a
-    # content hash gives them all one salt and one reducer still owns
-    # the key. Position-based salting spreads them; placement varies
-    # across runs but the RESULT set never does (the salt only routes).
-    big_salted = big.withColumn(
-        _SALT,
-        F.pmod(F.monotonically_increasing_id(), F.lit(salts)).cast("int"),
-    )
+    big_salted = big.withColumn(_SALT, _salt_expr(big, salts))
     small_rep = small.withColumn(
         _SALT,
         F.explode(F.sequence(F.lit(0), F.lit(salts - 1)).cast("array<int>")),
@@ -77,14 +97,7 @@ def salted_aggregate(
     """
     if _SALT in df.columns:
         raise ValueError(f"{_SALT} column already present")
-    # position-based salt (see salted_join): duplicate rows must spread.
-    # monotonically_increasing_id embeds the input partition id, so
-    # phase-1 partial rows per (key, salt) stay bounded and map-side
-    # combine still collapses within-task duplicates.
-    salted = df.withColumn(
-        _SALT,
-        F.pmod(F.monotonically_increasing_id(), F.lit(salts)).cast("int"),
-    )
+    salted = df.withColumn(_SALT, _salt_expr(df, salts))
     partial = salted.groupBy(*keys, _SALT).agg(
         *[p.alias(name) for name, (p, _m) in aggs.items()]
     )

@@ -104,6 +104,14 @@ def _reap(parent: str, keep: str) -> None:
     for entry in os.listdir(parent):
         full = os.path.join(parent, entry)
         if full == keep:
+            # a version can become current AGAIN (source reverted to an
+            # earlier mtime); its old stale-mark must not survive, or
+            # the NEXT time it goes stale the grace period would be
+            # skipped entirely
+            try:
+                os.remove(os.path.join(full, _STALE_MARK))
+            except OSError:
+                pass
             continue
         if entry.startswith(".build-"):
             try:

@@ -106,14 +106,18 @@ def compact_partitioned(
     never a re-fragmentation.
 
     Crash recovery: if a previous compaction died between its two
-    publish renames, the layout survives in a ``.trash-*`` sibling —
-    restored here before compacting (newest wins), so the data is never
-    more than one call away from being live again.
+    publish renames, the layout survives in a ``.trash-<layout>-*``
+    sibling — restored here before compacting (newest wins), so the
+    data is never more than one call away from being live again. Trash
+    names carry the layout's basename, so recovery can never graft a
+    DIFFERENT table's trash onto this path (two layouts sharing a
+    parent each recover only their own).
     """
     parent = os.path.dirname(os.path.abspath(path))
+    mine = f".trash-{os.path.basename(os.path.abspath(path))}-"
     if not os.path.exists(path) and os.path.isdir(parent):
         trashed = sorted(
-            (e for e in os.listdir(parent) if e.startswith(".trash-")),
+            (e for e in os.listdir(parent) if e.startswith(mine)),
             key=lambda e: os.path.getmtime(os.path.join(parent, e)),
         )
         if trashed:
@@ -151,7 +155,7 @@ def compact_partitioned(
         .partitionBy(partition_col)
         .parquet(scratch)
     )
-    trash = os.path.join(parent, f".trash-{uuid.uuid4().hex[:8]}")
+    trash = os.path.join(parent, mine + uuid.uuid4().hex[:8])
     os.rename(path, trash)
     try:
         os.rename(scratch, path)

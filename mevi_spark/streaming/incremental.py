@@ -127,6 +127,19 @@ def incremental_topk(
 
     def sink(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
+        # migrate a layout published by an earlier non-symlink scheme:
+        # a REAL directory at output_dir becomes version 0 behind the
+        # link (one rename; without this the publish rename below would
+        # fail against an existing directory and kill the stream)
+        if os.path.isdir(output_dir) and not os.path.islink(output_dir):
+            parent0 = os.path.dirname(os.path.abspath(output_dir))
+            legacy = os.path.join(
+                parent0, f".topk-v-{_uuid.uuid4().hex[:8]}"
+            )
+            os.rename(output_dir, legacy)
+            lnk = os.path.join(parent0, f".topk-ln-{_uuid.uuid4().hex[:8]}")
+            os.symlink(legacy, lnk)
+            os.rename(lnk, output_dir)
         scored = (
             batch.select(id_col, vec_col)
             .crossJoin(F.broadcast(q))
@@ -167,6 +180,19 @@ def incremental_topk(
         os.rename(tmp_link, output_dir)  # atomic link replacement
         if old and old != version:
             shutil.rmtree(old, ignore_errors=True)
+        # reap publish orphans from crashed attempts: any version dir
+        # that is neither the one just published nor linked, and any
+        # stray tmp link (a crash between write and flip strands one
+        # full result-table copy per attempt otherwise)
+        for entry in os.listdir(parent):
+            full = os.path.join(parent, entry)
+            if entry.startswith(".topk-ln-"):
+                try:
+                    os.unlink(full)
+                except OSError:
+                    pass
+            elif entry.startswith(".topk-v-") and full != version:
+                shutil.rmtree(full, ignore_errors=True)
 
     return (
         stream_df.writeStream.foreachBatch(sink)

@@ -97,7 +97,7 @@ def test_compact_recovers_from_interrupted_swap(spark, tmp_path):
     _fragmented_layout(spark, path)
     rows_before = spark.read.parquet(path).count()
     # simulate the crash window: layout renamed to trash, no new publish
-    trash = str(tmp_path / ".trash-deadbeef")
+    trash = str(tmp_path / ".trash-layout3-deadbeef")
     shutil.move(path, trash)
     assert not os.path.exists(path)
 

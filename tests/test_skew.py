@@ -52,16 +52,17 @@ def test_salted_join_spreads_the_hot_key(spark):
     big = _skewed(spark).select("k", "v")
     small = spark.createDataFrame([(0, "hot")], "k long, label string")
     j = salted_join(big, small, ["k"], salts=5)
+    from mevi_spark.operators.skew import _salt_expr
+
     n_groups = (
-        big.withColumn(
-            "_s", F.pmod(F.monotonically_increasing_id(), F.lit(5))
-        )
+        big.repartition(8)  # hot duplicates across several input partitions
+        .withColumn("_s", _salt_expr(big, 5))
         .filter(F.col("k") == 0)
         .select("_s")
         .distinct()
         .count()
     )
-    assert n_groups >= 4  # duplicate rows spread across reducer keys
+    assert n_groups >= 3  # duplicate rows spread across reducer keys
     assert j.count() == big.filter(F.col("k") == 0).count()
 
 

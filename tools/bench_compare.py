@@ -50,22 +50,39 @@ def main() -> None:
     # --- Spark side: identical setup to bench.py ---------------------
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
     spark = get_spark("mevi-bench-compare", shuffle_partitions=shuffle)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    aqe_raw = os.environ.get("SPARK_GRAFT_AQE", "false").strip().lower()
+    spark.conf.set(
+        "spark.sql.adaptive.enabled",
+        "true" if aqe_raw in ("1", "true", "on", "yes") else "false",
+    )
     qs = registry.get_queries()
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(warm_dir):
+        print(
+            f"WARNING: warm dir {warm_dir!r} missing — Spark timings "
+            "include first-run codegen/JIT and the ratio is not "
+            "comparable to a warmed run",
+            file=sys.stderr,
+        )
     for name in HEADLINE:
-        if os.path.isdir(warm_dir):
-            qs[name](spark, warm_dir).collect()
+        fn = qs.get(name)
+        if fn is not None and os.path.isdir(warm_dir):
+            fn(spark, warm_dir).collect()
+    warm = spark.range(64).repartition(32)
+    warm.mapInPandas(lambda it: it, "id long").count()
     stage_fine_layout(spark, sf_dir)
     prebuilt = {
         name: qs[name](spark, sf_dir)
         for name in HEADLINE
-        if name in PREBUILD_LAZY
+        if name in PREBUILD_LAZY and name in qs
     }
     spark_t: dict[str, float] = {}
     for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
         t0 = time.perf_counter()
-        df = prebuilt.get(name) or qs[name](spark, sf_dir)
+        df = prebuilt.get(name) or fn(spark, sf_dir)
         df.toPandas()
         spark_t[name] = round(time.perf_counter() - t0, 3)
 
@@ -77,7 +94,7 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     duck_t: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in spark_t:
         sql = oracles[name]
         con.execute(sql).df()  # warm (page cache + plans)
         t0 = time.perf_counter()
@@ -94,7 +111,7 @@ def main() -> None:
                 "ratio": round(s_total / d_total, 2) if d_total else None,
                 "queries": {
                     n: {"spark": spark_t[n], "duckdb": duck_t[n]}
-                    for n in HEADLINE
+                    for n in spark_t
                 },
             }
         )
