@@ -69,76 +69,68 @@ _LOADED = False
 # queries crowd out never-driver-tested ones (round 3 silently dropped
 # 16 of 66), so the exposure order is now explicit:
 #
-# Round-6 policy (recomputed from CORRECTNESS_r01-r05 row
-# counts — VERDICT r5 #2: the r5 list was a static r1-r4 snapshot and
-# went stale by one round): the window holds the queries with the
-# FEWEST accumulated driver rows, oldest-evidence first —
+# Round-7 policy (recomputed from CORRECTNESS_r01-r06 row counts —
+# VERDICT r6 #2: the r6 list deliberately rotated the 31 least-evidenced
+# queries IN, so after r6 those 31 all have a fresh row and the 31 that
+# sat OUT now have the stalest evidence):
 #
-#   tier 1 — new this round, zero driver rows (the two
-#            watermark-flushing sessionize implementations, the
-#            exactly-once ingest dedup, the bucketed-join round trip,
-#            the composed corpus-prep pipeline, the batch
-#            session_window sessionize twin, the IVF-ADC
-#            quantized-corpus search, and PII redaction);
-#   tier 2 — one or two green rows (r5's first-time greens + the
-#            multimodal/tokenize set last seen in r4);
-#   tier 3 — three rows but NO r5 row (the 12 the judge listed:
-#            dedup tier, negatives, nq/inverse-index, knn cosine,
-#            rq assign/centroids, video) then three-row r5-greens;
-#   tier 4 — the 13 bench headliners, kept in-window for regression
+#   tier 1 — the 31 queries with NO r6 driver row (all last green in
+#            r5; fewest accumulated rows first: the three 2-row names,
+#            then the 3-row r5 block alphabetically);
+#   tier 2 — round-6-new queries whose implementation is TOUCHED this
+#            round (incremental_topk publish path, compaction budget
+#            path, skew salt expression, ADC, ingest dedup, PII) so the
+#            driver re-evidences the changed code;
+#   tier 3 — the 13 bench headliners, kept in-window for regression
 #            coverage regardless of row count.
 #
-# The 31 queries left outside are all green with 2+ driver rows
-# (streaming_quantize_index's code path stays driver-exercised through
-# compaction_roundtrip's identical oracle; rq_reconstruct's F11
-# reconstruction scoring through ann_adc_topk); they rotate back as
-# their deficit grows, and the local full-gate check covers them every
-# round. EVERY round-6-new query is in tier 1 (the SKILL.md rule);
-# future additions must be added here or they sort after the window.
+# The 31 left outside are all green with a fresh r6 row; they rotate
+# back as their deficit grows, and the local full-gate check covers
+# them every round. EVERY round-7-new query must be added to tier 2
+# (the SKILL.md rule) with an equally-sized well-evidenced name rotated
+# out; otherwise it sorts after the window.
 _PRIORITY_ORDER: list[str] = [
-    # tier 1 — zero driver rows
-    "ann_adc_topk",
-    "compaction_roundtrip",
-    "bucketed_join_rollup",
-    "corpus_prep_pipeline",
-    "dataset_split",
-    "jsonl_roundtrip",
-    "salted_hot_key_rollup",
-    "sessionize_events_window",
-    "streaming_dedup_ingest",
-    "streaming_sessionize_evict",
-    "streaming_sessionize_window",
+    # tier 1 — no r6 row, two accumulated rows (stalest in registry)
+    "code_token_arith",
+    "rq_reconstruct",
+    "streaming_quantize_index",
+    # tier 1 — no r6 row, three accumulated rows (last green r5)
+    "ann_lsh_topk",
+    "augment_spans",
+    "beam_constrained",
+    "brand_set_ops",
+    "code_prefix_members",
+    "corpus_sample_remap",
+    "customer_order_rollup",
+    "customer_order_running_stats",
+    "customers_without_orders",
+    "dedup_ngram_dfcut",
+    "doc2query_expand",
+    "doc_fingerprints",
+    "embed_determinism",
+    "ensemble_grid",
+    "eval_all_codes",
+    "events_json_extract",
+    "events_type_stats",
+    "memmap_roundtrip",
+    "order_priority_histogram",
+    "partition_pruning_stats",
+    "rq_model_roundtrip",
+    "suppliers_in_region_semi",
+    "text_lang_id",
+    "text_token_counts",
+    "topk_orders_per_customer",
+    "tsv_corpus_roundtrip",
+    "tsv_queries_roundtrip",
+    "tsv_run_roundtrip",
+    # tier 2 — r6-new queries whose code paths change in round 7
     "streaming_topk_maintenance",
+    "compaction_roundtrip",
+    "salted_hot_key_rollup",
+    "ann_adc_topk",
+    "streaming_dedup_ingest",
     "text_redact_pii",
-    # tier 2 — one row (first green in r5)
-    "ann_ivf_topk",
-    "complement_qg10",
-    "rq_kmeans_invariant",
-    "streaming_event_window_counts",
-    "streaming_sessionize",
-    # tier 2 — two rows, last seen r4
-    "image_resize",
-    "media_decode_stats",
-    "media_meta_stats",
-    "tokenize_padded",
-    # tier 2 — two rows, last seen r5
-    "cluster_projection",
-    "doc_query_sets",
-    "rq_ema_step",
-    # tier 3 — three rows, NO r5 row (oldest evidence in the registry)
-    "dedup_components",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "inverse_answer_index",
-    "knn_topk_cosine",
-    "negatives_cluster",
-    "negatives_notclus",
-    "nq_hit_test",
-    "rq_assign_nearest",
-    "rq_centroids_label",
-    "video_frame_sample",
-    # tier 4 — bench headliners (regression coverage)
+    # tier 3 — bench headliners (regression coverage)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "nation_revenue",
