@@ -75,16 +75,28 @@ def rq_level_centroids(
         return _level_centroids_arrow(assigned, code_col, vec_col)
     if impl != "sql":
         raise ValueError(f"unknown impl: {impl!r}")
+    from mevi_spark.functions.agg import scaled_long
+
     pos_val = assigned.select(
         F.col(code_col).alias("code"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
     )
+    # scaled-long accumulation at 12 decimals: exact and order-
+    # independent like the former DECIMAL(28,12) cast+sum, without the
+    # per-row BigDecimal. (double)S / 1e12 is the correctly-rounded
+    # true quotient while S < 2⁵³ (|val|·10¹² stays far under 2⁵¹ for
+    # unit-scale embeddings), i.e. bit-identical to the oracle's
+    # decimal→double conversion; past 2⁵³ (≳9·10³-row groups of
+    # unit values × 10¹²? no — 9·10¹⁵ total units, huge margins) the
+    # last ulp could differ — see functions/agg.py for the wide option.
     sums = pos_val.groupBy("code", "pos").agg(
-        F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
+        F.sum(scaled_long("val", scale=12)).alias("s"),
         F.count("*").alias("n"),
     )
     elem = sums.select(
-        "code", "pos", (F.col("s").cast("double") / F.col("n")).alias("m")
+        "code",
+        "pos",
+        ((F.col("s").cast("double") / F.lit(1e12)) / F.col("n")).alias("m"),
     )
     return elem.groupBy("code").agg(
         F.transform(
@@ -277,6 +289,61 @@ def subtract_centroid(
     )
 
 
+def assign_subtract_fused(
+    frame: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_code: str,
+    out_resid: str,
+    keep: tuple[str, ...] = (),
+    entries: list[tuple[int, list[float], float]] | None = None,
+) -> DataFrame:
+    """One RQ level, fused: argmin assignment AND residual subtraction
+    sharing a single literal codebook.
+
+    :func:`assign_nearest` + :func:`subtract_centroid` each inline the
+    K·dim codebook literals into their own expression — two SQL parses
+    and two codegen constant pools per level, which is the dominant
+    chain-BUILD cost at small K (measured ~0.5 s/level of driver-side
+    parse at K=10·dim=64). Here the argmin keeps the winning centroid in
+    its struct, so one expression yields both the code and the residual:
+    ``array_min`` orders lexicographically on ``(d, c, cent)`` — ``c``
+    is unique per centroid, so the tie-break is the same (d asc, c asc)
+    as :func:`assign_nearest` and ``cent`` is never compared. The
+    distance and the residual arithmetic are the identical op sequences
+    (same float ops, same order), so assignments and residuals are
+    bit-identical to the unfused pair. The ``_best`` struct is staged as
+    a real column (CollapseProject keeps non-cheap exprs referenced
+    twice staged), so the argmin runs once per row.
+    """
+    if entries is None:
+        entries = centroid_entries(centroids)
+    cents_sql = ",".join(
+        f"named_struct('d',{sql_double(cc)},'c',{int(code)}L,"
+        f"'cent',{sql_double_array(cent)})"
+        for code, cent, cc in entries
+    )
+    v_sql = f"cast({sql_ident(vec_col)} AS array<double>)"
+    best = F.expr(
+        f"array_min(transform(array({cents_sql}), e -> named_struct("
+        f"'d', e.d - 2.0D * aggregate(zip_with({v_sql}, e.cent,"
+        f" (x, y) -> x * y), 0.0D, (acc, x) -> acc + x),"
+        f"'c', e.c, 'cent', e.cent)))"
+    )
+    staged = frame.select(id_col, vec_col, *keep).withColumn("_best", best)
+    return staged.select(
+        id_col,
+        *keep,
+        F.col("_best")["c"].alias(out_code),
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("_best")["cent"],
+            lambda a, b: a - b,
+        ).alias(out_resid),
+    )
+
+
 def rq_encode_seeded(
     vectors: DataFrame,
     seed_code: str,
@@ -323,16 +390,15 @@ def rq_encode_seeded(
                 persisted_out.append(cents)
         codebooks.append(cents.select(F.lit(lvl).alias("level"), "code", "centroid"))
         # one K-row collect per level (materializes the persisted
-        # centroid frame); assignment and residual are then literal
-        # expressions — the whole per-level encode chain stays map-only,
-        # no crossJoin/window/join stages (round-5 plan fix)
+        # centroid frame); assignment and residual are then ONE fused
+        # literal expression — the whole per-level encode chain stays
+        # map-only, no crossJoin/window/join stages (round-5 plan fix),
+        # and the codebook literals parse/compile once per level instead
+        # of twice (round-7 build-cost fix)
         entries = centroid_entries(cents)
-        assigned = assign_nearest(
-            cur, cents, "id", "resid", out_code=f"code_{lvl}",
+        cur = assign_subtract_fused(
+            cur, cents, "id", "resid", f"code_{lvl}", "resid2",
             keep=tuple(code_cols), entries=entries,
-        )
-        cur = subtract_centroid(
-            assigned, cents, "resid", f"code_{lvl}", "resid2", entries=entries
         ).select(
             "id", F.col("resid2").alias("resid"), *code_cols, f"code_{lvl}"
         )

@@ -130,26 +130,43 @@ def exact_topk_join(
             _make_block_topk(bc, query_id, doc_id, score_col), out_schema
         )
 
-    # iterate the query side in driver-bounded chunks
+    # iterate the query side in driver-bounded chunks. Probe with a
+    # LIMIT-ed collect first: a side that fits one chunk (the common
+    # eval shape) arrives in ONE job instead of toLocalIterator's
+    # job-per-partition drip (measured: 3 jobs → 1 at sf0.1). The
+    # probe's limit is chunk+1, so the driver never holds more than one
+    # chunk either way; only when the probe overflows does the
+    # iterator path re-scan the side.
     parts: list[DataFrame] = []
-    buf_ids: list = []
-    buf_vecs: list = []
-    for row in queries.select(query_id, query_vec).toLocalIterator(
-        prefetchPartitions=True
-    ):
-        buf_ids.append(row[0])
-        buf_vecs.append(row[1])
-        if len(buf_ids) >= query_chunk:
+    q_side = queries.select(query_id, query_vec)
+    probe = q_side.limit(query_chunk + 1).collect()
+    if len(probe) <= query_chunk:
+        if probe:
+            parts.append(
+                chunk_candidates(
+                    np.array([r[0] for r in probe]),
+                    np.array([r[1] for r in probe], dtype=np.float64),
+                )
+            )
+    else:
+        buf_ids: list = []
+        buf_vecs: list = []
+        for row in q_side.toLocalIterator(prefetchPartitions=True):
+            buf_ids.append(row[0])
+            buf_vecs.append(row[1])
+            if len(buf_ids) >= query_chunk:
+                parts.append(
+                    chunk_candidates(
+                        np.array(buf_ids), np.array(buf_vecs, dtype=np.float64)
+                    )
+                )
+                buf_ids, buf_vecs = [], []
+        if buf_ids:
             parts.append(
                 chunk_candidates(
                     np.array(buf_ids), np.array(buf_vecs, dtype=np.float64)
                 )
             )
-            buf_ids, buf_vecs = [], []
-    if buf_ids:
-        parts.append(
-            chunk_candidates(np.array(buf_ids), np.array(buf_vecs, dtype=np.float64))
-        )
     if not parts:
         return spark.createDataFrame(
             [], f"{query_id} long, {doc_id} long, {score_col} double, rank int"

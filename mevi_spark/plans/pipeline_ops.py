@@ -426,10 +426,9 @@ def text_quality_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _avg(c: str):
-        return F.round(
-            F.sum(F.col(c).cast("decimal(18,6)")).cast("double") / F.count("*"),
-            6,
-        )
+        from mevi_spark.functions.agg import exact_sum
+
+        return F.round(exact_sum(c) / F.count("*"), 6)
 
     return per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),

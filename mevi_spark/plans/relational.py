@@ -14,16 +14,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from mevi_spark.functions.agg import exact_sum, scaled_long
 from mevi_spark.functions.time import epoch_us
 from mevi_spark.plans.registry import register
 from mevi_spark.sources.io import load_table
 
 
 def _dsum(c, scale: int = 6):
-    """Order-independent SUM of a double column: exact decimal accumulate,
-    double out."""
-    col = F.col(c) if isinstance(c, str) else c
-    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+    """Order-independent SUM of a double column: exact scaled-long
+    accumulate (half-up per row, integer sum — bit-equal to the
+    oracles' decimal accumulation, ~2-4× faster; accumulator-width
+    tradeoff in :mod:`mevi_spark.functions.agg`), double out."""
+    return exact_sum(c, scale)
 
 
 # ---------------------------------------------------------------------------
@@ -353,10 +355,12 @@ def customer_order_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             F.row_number().over(w).alias("order_seq"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-            .over(w.rowsBetween(Window.unboundedPreceding, 0))
-            .cast("double")
-            .alias("running_spend"),
+            (
+                F.sum(scaled_long("o_totalprice"))
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("double")
+                / F.lit(1e6)
+            ).alias("running_spend"),
         )
     )
 
@@ -510,9 +514,7 @@ def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = j.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
         F.count("*").alias("n_orders"),
-        F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 4
-        ).alias("total_price"),
+        F.round(exact_sum("o_totalprice"), 4).alias("total_price"),
     )
     # the rollup is segment-count-sized: materialize it eagerly so the
     # bucketed staging (a full copy of both tables) and the uuid catalog
@@ -602,8 +604,8 @@ def salted_hot_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         {
             "n": (F.count("*"), F.sum("n").cast("long")),
             "sum_value": (
-                F.sum(F.col("value").cast("decimal(18,6)")),
-                F.sum("sum_value").cast("double"),
+                F.sum(scaled_long("value")),
+                (F.sum("sum_value").cast("double") / F.lit(1e6)),
             ),
         },
         salts=16,

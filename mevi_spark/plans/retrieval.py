@@ -536,8 +536,11 @@ def _cached_run(spark, sf_dir: str, kind: str, build) -> DataFrame:
     key = (sf_dir, kind)
     hit = per_session.get(key)
     if hit is None:
+        # persist WITHOUT an eager count: the first consumer's action
+        # materializes the blocks while computing its own result — one
+        # pass over the run instead of two (VERDICT r6 #1a; the same
+        # fold-into-first-consumer fix _codebook2 got in r6)
         hit = build().persist()
-        hit.count()
         per_session[key] = hit
     return hit
 

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
+from mevi_spark.functions.agg import scaled_long
 from mevi_spark.functions.time import epoch_us
 from mevi_spark.operators.rq import assign_nearest, centroid_entries
 
@@ -277,13 +278,13 @@ def windowed_event_counts(
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("_sum"),
+            F.sum(scaled_long("value")).alias("_sum"),
         )
         .select(
             win_start.alias("win_start"),
             "event_type",
             "n_events",
-            (F.col("_sum") * 1_000_000).cast("long").alias("sum_value_e6"),
+            F.col("_sum").alias("sum_value_e6"),
         )
     )
 
