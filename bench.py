@@ -7,6 +7,22 @@ Headline set = the operators that dominate real MEVI workloads (SURVEY
 §3): exact ANN top-k, the RQ encode, the beam, coarse-to-fine, ensemble
 fusion, metrics, plus the heaviest relational shapes (q1/q3 aggregation
 and join) and the pipeline dedup ops when present.
+
+Two passes, both reported (VERDICT r6 #3):
+
+* **cold** — the round-6-comparable protocol: first execution of each
+  query at the bench SF after a small-SF shape warmup. Includes the
+  first-run-at-this-scale JIT/page-cache costs a single-shot job pays.
+* **warm** — the same per-query protocol run a second time in the same
+  JVM with all session artifact caches cleared (every query re-does its
+  real work; only JVM/JIT/page-cache state carries over). This is the
+  steady state of a long-lived cluster, and the like-for-like number
+  against tools/bench_compare.py's DuckDB column, which itself times a
+  second, explicitly-warmed run of each oracle.
+
+``value`` stays the cold total so round-over-round deltas in
+BENCH_r{N}.json compare the same protocol; ``warm_total`` /
+``queries_warm`` carry the steady-state numbers.
 """
 
 from __future__ import annotations
@@ -38,22 +54,52 @@ HEADLINE = [
 # runs until .collect(). For these the prepared plan is built in warmup
 # (the prepared-statement pattern: plan once, execute measured) and the
 # timed loop measures execution. Queries that do real work at build
-# time (driver-mediated top-k, eager run/chain caches, checkpointing
-# dedup) are NOT in this set — their build cost is genuine query work
-# and stays inside the timed call.
+# time (driver-mediated top-k, eager run/chain caches) are NOT in this
+# set — their build cost is genuine query work and stays inside the
+# timed call.
 PREBUILD_LAZY = {
     "q1_pricing_summary",
     "q3_shipping_priority",
     "nation_revenue",
     "sessionize_events",
     "dedup_exact",
+    "dedup_minhash_pairs",
     "text_quality_stats",
 }
 
 
-def main() -> None:
+def run_pass(spark, qs, sf_dir: str) -> dict[str, float]:
+    """One timed pass over the headline set (bench protocol: prebuild
+    the lazy plans, then per query time build-if-eager + Arrow
+    materialization)."""
+    prebuilt = {
+        name: qs[name](spark, sf_dir)
+        for name in HEADLINE
+        if name in PREBUILD_LAZY and name in qs
+    }
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = prebuilt.get(name)
+        if df is None:
+            df = fn(spark, sf_dir)
+        # materialize to the client through Arrow batches (toPandas),
+        # not row-at-a-time Row pickling (collect): the DuckDB oracles
+        # this is compared against fetch through a native C++ client, so
+        # Arrow is the apples-to-apples materialization path — measured
+        # 0.95 s → 0.52 s on the 95k-row sessionize result. The
+        # correctness gate still collect()s, driver-side.
+        df.toPandas()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def setup_session():
+    """Session + warmup shared by bench.py and tools/bench_compare.py."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from mevi_spark.plans import registry
     from mevi_spark.session import get_spark
@@ -105,49 +151,41 @@ def main() -> None:
     warm = spark.range(64).repartition(32)
     warm.mapInPandas(lambda it: it, "id long").count()
 
+    from mevi_spark.plans.retrieval import clear_session_caches
+
+    clear_session_caches(spark)
+
     # Stage the bench SF's cluster-partitioned corpus layout ahead of
     # the timed loop — ingest-time table management (shared, mtime-keyed,
     # reused across runs), not query work.
     from mevi_spark.plans.retrieval import stage_fine_layout
 
     stage_fine_layout(spark, sf_dir)
+    return spark, qs, sf_dir
 
-    prebuilt = {
-        name: qs[name](spark, sf_dir)
-        for name in HEADLINE
-        if name in PREBUILD_LAZY and name in qs
-    }
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        df = prebuilt.get(name)
-        if df is None:
-            df = fn(spark, sf_dir)
-        # materialize to the client through Arrow batches (toPandas),
-        # not row-at-a-time Row pickling (collect): the DuckDB oracles
-        # this is compared against fetch through a native C++ client, so
-        # Arrow is the apples-to-apples materialization path — measured
-        # 0.95 s → 0.52 s on the 95k-row sessionize result. The
-        # correctness gate still collect()s, driver-side.
-        df.toPandas()
-        timings[name] = round(time.perf_counter() - t0, 3)
+def main() -> None:
+    spark, qs, sf_dir = setup_session()
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from mevi_spark.plans.retrieval import clear_session_caches
 
+    cold = run_pass(spark, qs, sf_dir)
+    clear_session_caches(spark)
+    warm = run_pass(spark, qs, sf_dir)
     clear_session_caches(spark)
 
-    total = round(sum(timings.values()), 3)
+    cold_total = round(sum(cold.values()), 3)
+    warm_total = round(sum(warm.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": total,
+                "value": cold_total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": cold,
+                "warm_total": warm_total,
+                "queries_warm": warm,
                 "sf": float(sf),
             }
         )

@@ -49,6 +49,29 @@ def sql_double_array(vals) -> str:
     return "array(" + ",".join(sql_double(v) for v in vals) + ")"
 
 
+def sql_json_literal(value, schema: str) -> str:
+    """SQL text for a large constant collection as a near-O(1)
+    analysis-time tree: ``from_json('<json>', '<schema>')``.
+
+    A K·dim codebook inlined as ``array(named_struct(...), ...)`` text
+    parses to ~K·dim expression nodes, and EVERY later plan-construction
+    op re-pays analysis over that subtree (~15 ms per op at K=10,
+    dim=64 — profiled; it dominated the beam's build). ``from_json`` of
+    one string literal is two nodes at analysis time and ConstantFolding
+    collapses it to a single Literal before execution, so runtime plans
+    are identical. Doubles stay bit-exact: ``json.dumps`` emits the
+    shortest round-trip form and Jackson's parse is correctly rounded
+    (verified incl. 1e±308). Non-finite values raise (``allow_nan=False``)
+    — same contract as :func:`sql_double`.
+    """
+    import json
+
+    js = json.dumps(value, allow_nan=False)
+    if "'" in js or "\\" in js:
+        raise ValueError("sql_json_literal supports numeric/plain content only")
+    return f"from_json('{js}', '{schema}')"
+
+
 def sql_double(v) -> str:
     """One bit-exact SQL double literal (see :func:`sql_double_array`);
     non-finite values would parse-error opaquely, so they fail loudly

@@ -27,7 +27,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from mevi_spark.functions.vector import code_flat, dot, neg_l2_score
+from mevi_spark.functions.vector import (
+    code_flat,
+    dot,
+    neg_l2_score,
+    sql_json_literal,
+)
 from mevi_spark.operators.topk import topk_per_group
 
 _METRICS = {"ip": dot, "neg_l2": neg_l2_score}
@@ -63,7 +68,26 @@ def rq_beam_search(
     at every level (the RQ "share_sons" tree,
     ``MEVI/main_models.py:1700-1706``).
     """
-    score_fn = _METRICS[metric]
+    if metric not in _METRICS:
+        raise ValueError(f"unknown metric: {metric!r}")
+    # Collect the codebook once and inline each level as literal arrays
+    # (code-ascending): the codebook is M×K rows — broadcast-sized by
+    # contract — and the literal form turns the per-hypothesis softmax
+    # into map-side array expressions. The former shape (broadcast
+    # crossJoin + two window passes per level) paid 2 exchanges per
+    # level just to aggregate over the K codes of each hypothesis; here
+    # scores/softmax/normalization happen inside the row and the only
+    # shuffle per level is the per-query top-``num_beams`` window. The
+    # float ops are the same sequences (zip_with product fold for the
+    # score, exp-shifted-by-max softmax); the denominator folds the K
+    # exps left-to-right in code order — a deterministic order where
+    # the window SUM had an engine-chosen one.
+    by_level: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in codebook.select("level", "code", "centroid").collect():
+        by_level.setdefault(int(r["level"]), []).append(
+            (int(r["code"]), [float(v) for v in r["centroid"]])
+        )
+
     beam = queries.select(
         F.col(query_id).alias("query_id"),
         F.array().cast("array<int>").alias("prefix"),
@@ -71,19 +95,67 @@ def rq_beam_search(
         F.col(query_vec).cast("array<double>").alias("resid"),
     )
     for lvl in range(levels):
-        cb = F.broadcast(
-            codebook.filter(F.col("level") == lvl).select(
-                F.col("code").alias("_code"), F.col("centroid").alias("_cent")
+        entries = sorted(by_level.get(lvl, []))
+        if not entries:
+            raise ValueError(f"codebook has no level-{lvl} rows")
+        # one constant array<struct<code,cent>> per level, staged as a
+        # real column so (a) CollapseProject keeps each non-cheap array
+        # expression single-execution (shingle_frame discipline) and
+        # (b) via the from_json form the constant is a 2-node tree at
+        # analysis time — the ``array(named_struct(...))`` text form
+        # made every later plan-construction op re-pay ~15 ms of
+        # analysis over the K·dim literal subtree (see
+        # :func:`mevi_spark.functions.vector.sql_json_literal`).
+        ent_sql = sql_json_literal(
+            [{"code": c, "cent": v} for c, v in entries],
+            "array<struct<code:int,cent:array<double>>>",
+        )
+        if metric == "ip":
+            body = (
+                "aggregate(zip_with(cast(resid AS array<double>), e.cent,"
+                " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+            )
+        else:  # neg_l2
+            body = (
+                "-aggregate(zip_with(cast(resid AS array<double>), e.cent,"
+                " (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+            )
+        # every stage is ONE selectExpr of SQL text: the Column-API form
+        # of this loop cost ~1,700 py4j round trips per build (~0.6 s of
+        # socket latency at 2 levels — profiled), the text form a few
+        # dozen. Expressions are the identical float-op sequences.
+        keep = ["query_id", "prefix", "beam_score", "resid"]
+        cand = (
+            beam.selectExpr(*keep, f"{ent_sql} AS _ent")
+            .selectExpr("*", f"transform(_ent, e -> {body}) AS _raw")
+            .selectExpr(
+                "*",
+                "transform(_raw, v -> exp(v - array_max(_raw))) AS _ex",
+            )
+            .selectExpr(
+                *keep,
+                "_ent",
+                "aggregate(_ex, 0.0D, (acc, x) -> acc + x) AS _den",
+                "posexplode(_ex) AS (_idx, _e)",
+            )
+            .selectExpr(
+                *keep,
+                "element_at(_ent, _idx + 1).code AS _code",
+                "element_at(_ent, _idx + 1).cent AS _cent",
+                "_e / _den AS _p",
+            )
+            .selectExpr(
+                "query_id",
+                "prefix",
+                "resid",
+                "_code",
+                "_cent",
+                "beam_score * _p AS beam_score",
             )
         )
-        cand = beam.crossJoin(cb).withColumn(
-            "_raw", score_fn("resid", "_cent")
+        flat_sql = (
+            f"aggregate(prefix, 0L, (acc, c) -> acc * {k_per_level}L + c)"
         )
-        # softmax over the K codes of each hypothesis (MEVI/pq.py:662)
-        hyp = Window.partitionBy("query_id", "prefix")
-        shifted = F.exp(F.col("_raw") - F.max("_raw").over(hyp))
-        cand = cand.withColumn("_p", shifted / F.sum(shifted).over(hyp))
-        cand = cand.withColumn("beam_score", F.col("beam_score") * F.col("_p"))
         if valid_codes is not None:
             valid = F.broadcast(
                 valid_codes.filter(F.col("level") == lvl).select(
@@ -91,28 +163,30 @@ def rq_beam_search(
                     F.col("code").alias("_code"),
                 )
             )
-            cand = cand.withColumn(
-                "_pflat", code_flat("prefix", k_per_level)
-            ).join(valid, ["_pflat", "_code"], "left_semi")
+            cand = cand.selectExpr("*", f"{flat_sql} AS _pflat").join(
+                valid, ["_pflat", "_code"], "left_semi"
+            )
         # top num_beams over beam×K; tie-break = flattened candidate index
-        cand = cand.withColumn(
-            "_flat", code_flat("prefix", k_per_level) * k_per_level + F.col("_code")
+        resid_sql = (
+            "zip_with(resid, _cent, (a, b) -> a - b)"
+            if lvl < levels - 1
+            else "resid"
         )
-        kept = topk_per_group(
-            cand, ["query_id"], "beam_score", num_beams, ["_flat"],
-            rank_col="beam_rank",
-        )
-        new_prefix = F.concat("prefix", F.array(F.col("_code")))
-        if lvl < levels - 1:
-            resid = F.zip_with("resid", "_cent", lambda a, b: a - b)
-        else:
-            resid = F.col("resid")
-        beam = kept.select(
-            "query_id",
-            new_prefix.alias("prefix"),
-            "beam_score",
-            resid.alias("resid"),
-            "beam_rank",
+        beam = (
+            cand.selectExpr(
+                "*",
+                f"row_number() OVER (PARTITION BY query_id"
+                f" ORDER BY beam_score DESC,"
+                f" {flat_sql} * {k_per_level}L + _code ASC) AS beam_rank",
+            )
+            .filter(F.col("beam_rank") <= num_beams)
+            .selectExpr(
+                "query_id",
+                "concat(prefix, array(cast(_code AS int))) AS prefix",
+                "beam_score",
+                f"{resid_sql} AS resid",
+                "beam_rank",
+            )
         )
     return beam.select(
         "query_id",

@@ -251,10 +251,15 @@ def dedup_minhash(
     persisted (memory, spill-to-disk) because three downstream branches
     read it (both sides of the band self-join + both sides of the
     Jaccard verify) — the same materialize-signatures step a 100 TB run
-    would stage through parquet. The verified pair set (small) is
-    eagerly materialized with ``localCheckpoint`` so the signature cache
-    can be released before returning — repeated calls in a long-lived
-    session don't leak cached blocks."""
+    would stage through parquet. The persisted block is parked in the
+    session's deferred-unpersist registry
+    (:mod:`mevi_spark.operators.cache`) rather than eagerly
+    checkpoint-and-released: the caller's first action materializes
+    signatures and joins in ONE pass (the former eager
+    ``localCheckpoint`` paid a full extra materialization before the
+    caller's own action), and ``clear_session_caches`` still frees the
+    blocks deterministically in long-lived sessions."""
+    from mevi_spark.operators.cache import defer_unpersist
     from mevi_spark.sources.io import spread_small_scan
 
     # the signature stage is per-row md5 over every shingle — the one
@@ -274,10 +279,8 @@ def dedup_minhash(
     cands = lsh_candidate_pairs(
         base.select("doc_id", "sig"), "doc_id", "sig", bands, sig_len=num_hashes
     )
-    out = jaccard_verify(
-        cands, base.select("doc_id", "shingles"), threshold
-    ).localCheckpoint(eager=True)
-    base.unpersist()
+    out = jaccard_verify(cands, base.select("doc_id", "shingles"), threshold)
+    defer_unpersist(base)
     return out
 
 

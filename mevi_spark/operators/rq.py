@@ -43,6 +43,7 @@ from mevi_spark.functions.vector import (
     sql_double,
     sql_double_array,
     sql_ident,
+    sql_json_literal,
 )
 from mevi_spark.operators.topk import topk_per_group
 
@@ -319,14 +320,20 @@ def assign_subtract_fused(
     """
     if entries is None:
         entries = centroid_entries(centroids)
-    cents_sql = ",".join(
-        f"named_struct('d',{sql_double(cc)},'c',{int(code)}L,"
-        f"'cent',{sql_double_array(cent)})"
-        for code, cent, cc in entries
+    # from_json constant: 2 analysis-time nodes instead of K·dim — the
+    # downstream chain ops stop re-paying analysis over the codebook
+    # subtree (see sql_json_literal); ConstantFolding collapses it to
+    # one Literal before execution, so the runtime plan is unchanged
+    cents_sql = sql_json_literal(
+        [
+            {"d": cc, "c": int(code), "cent": cent}
+            for code, cent, cc in entries
+        ],
+        "array<struct<d:double,c:bigint,cent:array<double>>>",
     )
     v_sql = f"cast({sql_ident(vec_col)} AS array<double>)"
     best = F.expr(
-        f"array_min(transform(array({cents_sql}), e -> named_struct("
+        f"array_min(transform({cents_sql}, e -> named_struct("
         f"'d', e.d - 2.0D * aggregate(zip_with({v_sql}, e.cent,"
         f" (x, y) -> x * y), 0.0D, (acc, x) -> acc + x),"
         f"'c', e.c, 'cent', e.cent)))"

@@ -431,6 +431,9 @@ def clear_session_caches(spark: SparkSession) -> None:
         except Exception:
             pass
     _DIM_CACHE.pop(spark, None)
+    from mevi_spark.operators.cache import release
+
+    release(spark)
 
 
 @register(

@@ -17,13 +17,24 @@ pass over 100 TB).
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mevi_spark import schemas
 
+# Scan-frame memo: ``spark.read.parquet`` costs ~0.1 s of driver work
+# (file listing + footer schema read + py4j) per call, and a bench/gate
+# session re-reads the same immutable testdata tables dozens of times.
+# DataFrames are immutable plan handles, so reusing one across queries
+# changes nothing about execution; weakly keyed by session (dropped at
+# session GC, id()-reuse can't alias entries).
+_TABLE_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver-generated testdata table (TESTDATA.md).
+    """Read one driver-generated testdata table (TESTDATA.md), memoized
+    per (session, dir, name).
 
     The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
     Spark 4 refuses to read as a timestamp. We read it as long nanos
@@ -33,10 +44,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (the testdata has zero sub-microsecond bits; float division would
     lose precision at 1.7e18 ns).
     """
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    hit = per_session.get((sf_dir, name))
+    if hit is not None:
+        return hit
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    per_session[(sf_dir, name)] = df
     return df
 
 
