@@ -455,17 +455,58 @@ def corpus_sample_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The reference uses ``random.random() < rate``; we need a seedless
     cross-engine-deterministic filter, so the keep decision hashes the id
-    (md5 prefix mod 10). The dense remap is the scalable two-pass
-    zipWithIndex pattern: range-partition + sort by doc_id (so global
-    order = partition order), then per-partition offsets — no
-    single-partition global window anywhere (round-1 straggler
-    finding)."""
+    (md5 prefix mod 10). The dense remap is a two-pass pattern over
+    VALUE-derived range buckets: ``bucket = (doc_id − min) div width``
+    (one stats job for min/max, one count job for per-bucket offsets),
+    then ``new_id = offset[bucket] + rank within bucket`` via a window
+    partitioned BY BUCKET — parallel, no single-partition global window
+    (round-1 straggler finding), no RDD hop (the former ``zipWithIndex``
+    left Tungsten and pickled every row through Python — VERDICT r6 #4).
+    Buckets derive from the VALUES, not from ``repartitionByRange``:
+    the range partitioner's sampled boundaries are seeded by the
+    compiled RDD id, so two separately-compiled passes (the offsets
+    count and the output) are not guaranteed the same partitioning —
+    value-derived buckets make both passes see identical groups by
+    construction. Bucket balance follows the id-space density (ids
+    here, and in most corpora, are near-dense); a pathological id
+    distribution concentrates windows, not correctness."""
     docs = load_table(spark, sf_dir, "documents")
     keep_hash = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("bigint")
     kept = docs.filter(keep_hash % 10 < 7).select("doc_id")
-    parted = kept.repartitionByRange(F.asc("doc_id")).sortWithinPartitions("doc_id")
-    indexed = parted.rdd.map(lambda r: r[0]).zipWithIndex()
-    return spark.createDataFrame(indexed, "old_id long, new_id long")
+    mn, mx, n = kept.agg(
+        F.min("doc_id"), F.max("doc_id"), F.count("*")
+    ).first()
+    if not n:
+        return spark.createDataFrame([], "old_id long, new_id long")
+    nbuckets = max(1, spark.sparkContext.defaultParallelism * 2)
+    width = max(1, -(-(int(mx) - int(mn) + 1) // nbuckets))
+    bucket = F.expr(f"(doc_id - {int(mn)}L) div {width}L")
+    counts = {
+        int(r["b"]): int(r["n"])
+        for r in kept.groupBy(bucket.alias("b")).agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    acc = 0
+    offset_entries = []
+    for b in sorted(counts):
+        offset_entries.append((b, acc))
+        acc += counts[b]
+    offset_map = F.create_map(
+        *[F.lit(v).cast("long") for pair in offset_entries for v in pair]
+    )
+    w = Window.partitionBy("b").orderBy("doc_id")
+    return (
+        kept.withColumn("b", bucket)
+        .select(
+            F.col("doc_id").alias("old_id"),
+            (
+                F.element_at(offset_map, F.col("b"))
+                + F.row_number().over(w)
+                - 1
+            ).cast("long").alias("new_id"),
+        )
+    )
 
 
 @register(

@@ -123,3 +123,35 @@ def test_ivf_gather_prunes_partitioned_corpus(spark, sf_dir):
     out = ivf_topk_join(queries, part, cents, k=5, nprobe=3)
     assert has_dpp(out), "IVF gather lost dynamic partition pruning"
     assert out.count() > 0
+
+
+def test_corpus_sample_remap_stays_dataframe(spark, sf_dir):
+    """VERDICT r6 #4: the dense remap must stay Arrow end-to-end — no
+    RDD hop (ExistingRDD scan = every row pickled through Python), and
+    the whole operation is the two-pass shape: one offsets job at build
+    + one output job at action."""
+    sc = spark.sparkContext
+    before = sc.statusTracker().getJobIdsForGroup("remap-plan")
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    # AQE materializes each query stage as its own job, which is fine
+    # but makes "how many passes over the data" unreadable; count jobs
+    # with static planning
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("remap-plan", "remap-plan")
+    try:
+        df = get_queries()["corpus_sample_remap"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" not in plan, "remap fell back to the RDD API"
+        build_jobs = len(sc.statusTracker().getJobIdsForGroup("remap-plan"))
+        rows = df.collect()
+        total_jobs = len(sc.statusTracker().getJobIdsForGroup("remap-plan"))
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    # build = min/max stats + the per-bucket offsets count; output = one
+    # windowed job over value-derived buckets
+    assert build_jobs - len(before) <= 2, "build should be stats+offsets"
+    assert total_jobs - build_jobs <= 1, "output pass should be one job"
+    # dense remap invariants: new_id is 0..n-1 in doc_id order
+    got = sorted((r["old_id"], r["new_id"]) for r in rows)
+    assert [n for _, n in got] == list(range(len(got)))
