@@ -80,6 +80,36 @@ def _pid_alive(pid: int) -> bool:
 _STALE_MARK = ".stale_since"
 
 
+def reap_stale(candidates: list[str], grace: float | None = None) -> None:
+    """Mark-then-reap for superseded artifact versions (shared by the
+    staged layouts here and ``incremental_topk``'s publish path).
+
+    Each candidate directory gets a ``.stale_since`` mark on first
+    sight — the grace clock anchors at when it *became* stale, not when
+    it was built — and is deleted once the mark is older than ``grace``
+    (default ``$SPARK_GRAFT_STAGE_GRACE``): a reader that resolved the
+    version just before it was superseded can finish its scan instead
+    of losing files mid-flight. Parquet readers ignore dot-files, so
+    the mark never changes a scan. Every stat tolerates a concurrent
+    reaper having won the race.
+    """
+    now = time.time()
+    g = _grace_s() if grace is None else grace
+    for full in candidates:
+        mark = os.path.join(full, _STALE_MARK)
+        try:
+            stale_since = os.path.getmtime(mark)
+        except OSError:
+            try:
+                with open(mark, "w", encoding="utf-8") as fh:
+                    fh.write(str(now))
+            except OSError:
+                pass  # dir vanished under us — nothing to reap
+            continue
+        if now - stale_since > g:
+            shutil.rmtree(full, ignore_errors=True)
+
+
 def _reap(parent: str, keep: str) -> None:
     """Remove stale versions and orphaned scratch dirs under ``parent``.
 
@@ -125,18 +155,7 @@ def _reap(parent: str, keep: str) -> None:
             if (pid > 0 and not _pid_alive(pid)) or age > _grace_s():
                 shutil.rmtree(full, ignore_errors=True)
             continue
-        mark = os.path.join(full, _STALE_MARK)
-        try:
-            stale_since = os.path.getmtime(mark)
-        except OSError:
-            try:
-                with open(mark, "w", encoding="utf-8") as fh:
-                    fh.write(str(now))
-            except OSError:
-                pass  # dir vanished under us — nothing to reap
-            continue
-        if now - stale_since > _grace_s():
-            shutil.rmtree(full, ignore_errors=True)
+        reap_stale([full])
 
 
 def ensure_staged(

@@ -121,10 +121,26 @@ def incremental_topk(
 
     from mevi_spark.functions.vector import dot
     from mevi_spark.operators.topk import topk_per_group
+    from mevi_spark.plans.staging import reap_stale
 
     q = queries.select(
         F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
     )
+    # version/link prefixes are NAMESPACED by the output's basename:
+    # two incremental_topk streams publishing under one shared parent
+    # must never reap each other's live version dirs or dangle the
+    # other's symlink (ADVICE r6 — the same scoping compact_partitioned
+    # applies to its trash)
+    _base = os.path.basename(os.path.abspath(output_dir))
+    v_prefix = f".topk-v-{_base}-"
+    ln_prefix = f".topk-ln-{_base}-"
+
+    def _grace() -> float:
+        # superseded versions linger this long after being MARKED stale
+        # so a reader that resolved the old target mid-scan finishes
+        # (VERDICT r6 #5); the result table is k×|queries| rows, so a
+        # few graced copies are artifact-sized, not corpus-sized
+        return float(os.environ.get("SPARK_GRAFT_TOPK_GRACE", "60"))
 
     def sink(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
@@ -135,10 +151,10 @@ def incremental_topk(
         if os.path.isdir(output_dir) and not os.path.islink(output_dir):
             parent0 = os.path.dirname(os.path.abspath(output_dir))
             legacy = os.path.join(
-                parent0, f".topk-v-{_uuid.uuid4().hex[:8]}"
+                parent0, f"{v_prefix}{_uuid.uuid4().hex[:8]}"
             )
             os.rename(output_dir, legacy)
-            lnk = os.path.join(parent0, f".topk-ln-{_uuid.uuid4().hex[:8]}")
+            lnk = os.path.join(parent0, f"{ln_prefix}{_uuid.uuid4().hex[:8]}")
             os.symlink(legacy, lnk)
             os.rename(lnk, output_dir)
         scored = (
@@ -173,27 +189,30 @@ def incremental_topk(
         # version — and the merge is replay-idempotent.
         parent = os.path.dirname(os.path.abspath(output_dir))
         os.makedirs(parent, exist_ok=True)
-        version = os.path.join(parent, f".topk-v-{_uuid.uuid4().hex[:8]}")
+        version = os.path.join(parent, f"{v_prefix}{_uuid.uuid4().hex[:8]}")
         out.write.mode("overwrite").parquet(version)
-        old = os.path.realpath(output_dir) if os.path.islink(output_dir) else None
-        tmp_link = os.path.join(parent, f".topk-ln-{_uuid.uuid4().hex[:8]}")
+        tmp_link = os.path.join(parent, f"{ln_prefix}{_uuid.uuid4().hex[:8]}")
         os.symlink(version, tmp_link)
         os.rename(tmp_link, output_dir)  # atomic link replacement
-        if old and old != version:
-            shutil.rmtree(old, ignore_errors=True)
-        # reap publish orphans from crashed attempts: any version dir
-        # that is neither the one just published nor linked, and any
-        # stray tmp link (a crash between write and flip strands one
-        # full result-table copy per attempt otherwise)
+        # reap THIS OUTPUT's superseded versions and publish orphans:
+        # every non-live version dir carrying our prefix (the one just
+        # superseded, plus crashed-attempt strandings) goes through the
+        # shared mark-then-reap — deleted only after a grace period so a
+        # reader that resolved the old target mid-scan survives the flip
+        # (VERDICT r6 #5). Stray tmp links are unlinked immediately: the
+        # single-writer-per-output contract means any ln-prefixed entry
+        # left after our flip is ours and dead.
+        stale = []
         for entry in os.listdir(parent):
             full = os.path.join(parent, entry)
-            if entry.startswith(".topk-ln-"):
+            if entry.startswith(ln_prefix):
                 try:
                     os.unlink(full)
                 except OSError:
                     pass
-            elif entry.startswith(".topk-v-") and full != version:
-                shutil.rmtree(full, ignore_errors=True)
+            elif entry.startswith(v_prefix) and full != version:
+                stale.append(full)
+        reap_stale(stale, grace=_grace())
 
     return (
         stream_df.writeStream.foreachBatch(sink)

@@ -285,3 +285,92 @@ def test_incremental_topk_replay_idempotent(spark, sf_dir):
     assert all(r["count"] == 5 for r in per_q)
     pairs = out.select("query_id", "doc_id").collect()
     assert len(pairs) == len({(r.query_id, r.doc_id) for r in pairs})
+
+
+def test_incremental_topk_shared_parent_isolation(spark, sf_dir):
+    """ADVICE r6: two incremental_topk streams publishing under ONE
+    shared parent must not reap each other's live version dirs or
+    dangle each other's symlink — prefixes are namespaced by the output
+    basename."""
+    import os
+    import tempfile as _tf
+
+    from mevi_spark.streaming import incremental_topk
+    from mevi_spark.streaming.incremental import stream_parquet_source
+
+    base = _tf.mkdtemp(prefix="mevi_t_itopk_iso_")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = emb.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("doc_vec")
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    docs.write.mode("overwrite").parquet(f"{base}/in")
+    schema = docs.schema
+    for name in ("out_a", "out_b"):
+        stream = stream_parquet_source(spark, f"{base}/in", schema)
+        q = incremental_topk(
+            stream, queries, f"{base}/{name}", f"{base}/ck_{name}", k=5
+        )
+        q.awaitTermination()
+    # stream B ran after A: A's symlink must still resolve to a live dir
+    for name in ("out_a", "out_b"):
+        link = f"{base}/{name}"
+        assert os.path.islink(link)
+        assert os.path.isdir(os.path.realpath(link)), f"{name} dangles"
+        assert spark.read.parquet(link).count() > 0
+
+
+def test_incremental_topk_superseded_version_grace(spark, sf_dir, monkeypatch):
+    """VERDICT r6 #5: a reader that resolved the published version just
+    before a new publish must survive the flip — the superseded dir is
+    mark-then-reaped after a grace period, not deleted immediately."""
+    import os
+    import tempfile as _tf
+
+    from mevi_spark.streaming import incremental_topk
+    from mevi_spark.streaming.incremental import stream_parquet_source
+
+    base = _tf.mkdtemp(prefix="mevi_t_itopk_grace_")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = emb.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("doc_vec")
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    half.write.mode("overwrite").parquet(f"{base}/in")
+    schema = docs.schema
+    monkeypatch.setenv("SPARK_GRAFT_TOPK_GRACE", "3600")
+    stream = stream_parquet_source(spark, f"{base}/in", schema)
+    incremental_topk(
+        stream, queries, f"{base}/out", f"{base}/ck", k=5
+    ).awaitTermination()
+    # a reader resolves the CURRENT version (as a concurrent scan would)
+    v1 = os.path.realpath(f"{base}/out")
+    rows_v1 = spark.read.parquet(v1).collect()
+    # second publish supersedes v1
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(
+        f"{base}/in"
+    )
+    stream = stream_parquet_source(spark, f"{base}/in", schema)
+    incremental_topk(
+        stream, queries, f"{base}/out", f"{base}/ck", k=5
+    ).awaitTermination()
+    v2 = os.path.realpath(f"{base}/out")
+    assert v2 != v1
+    # the mid-scan reader's target is intact within the grace window
+    assert os.path.isdir(v1)
+    assert spark.read.parquet(v1).collect() == rows_v1
+    # with grace forced to zero, the next publish reaps the marked dir
+    monkeypatch.setenv("SPARK_GRAFT_TOPK_GRACE", "0")
+    docs.limit(1).write.mode("append").parquet(f"{base}/in")
+    stream = stream_parquet_source(spark, f"{base}/in", schema)
+    incremental_topk(
+        stream, queries, f"{base}/out", f"{base}/ck", k=5
+    ).awaitTermination()
+    assert not os.path.exists(v1), "graced dir should reap once expired"
