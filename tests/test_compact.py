@@ -105,3 +105,33 @@ def test_compact_recovers_from_interrupted_swap(spark, tmp_path):
     assert n == 4
     assert spark.read.parquet(path).count() == rows_before
     assert not os.path.exists(trash)
+
+
+def test_compact_thousand_partition_values(spark):
+    """VERDICT r6 #6: the budget path must scale past driver-sized
+    partition counts — budgets come from a listing DataFrame joined
+    back broadcast, not a 2·|partitions|-entry literal map or a driver
+    os.walk. 1,200 distinct partition values, two files each, compact
+    to one file per partition."""
+    import tempfile as _tf
+
+    base = _tf.mkdtemp(prefix="mevi_t_compact_wide_")
+    path = f"{base}/layout"
+    df = spark.range(4800).select(
+        (F.col("id") % 1200).alias("code"), F.col("id").alias("v")
+    )
+    df.repartition(2).write.partitionBy("code").parquet(path)
+    before = data_file_count(path)
+    assert before > 1200  # at least two files in most partitions
+    after = compact_partitioned(
+        spark, path, "code", target_file_bytes=64 * 1024 * 1024
+    )
+    assert after == 1200
+    got = spark.read.parquet(path)
+    assert got.count() == 4800
+    assert got.select(F.countDistinct("code")).first()[0] == 1200
+    # content preserved exactly
+    assert (
+        got.select(F.sum(F.col("v").cast("long"))).first()[0]
+        == sum(range(4800))
+    )
