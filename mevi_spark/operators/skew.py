@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 _SALT = "_mevi_salt"
 
 
-def _salt_expr(df: DataFrame, salts: int):
+def _salt_expr(keys: list[str], salts: int):
     """Retry-stable salt that still spreads duplicate rows.
 
     Two constraints pull against each other:
@@ -35,16 +35,20 @@ def _salt_expr(df: DataFrame, salts: int):
       rows could land in a different (key, salt) group than copies
       already fetched — silent dup/loss under fault recovery.
 
-    ``hash(spark_partition_id(), content)`` satisfies both: partition
-    MEMBERSHIP (unlike intra-partition order) is deterministic for a
-    deterministic input, so the salt is retry-stable, and duplicate
-    rows living in different input partitions — the only way a hot key
-    is big at scale — get different salts. Duplicates inside one input
-    partition share a salt, bounding per-salt clumps at one input
-    partition's rows (~128 MB).
+    ``hash(spark_partition_id(), join/group keys)`` satisfies both:
+    partition MEMBERSHIP (unlike intra-partition order) is
+    deterministic for a deterministic input, so the salt is
+    retry-stable, and a hot key's rows living in different input
+    partitions — the only way a key is big at scale — get different
+    salts. A key's rows inside one input partition share a salt,
+    bounding per-salt clumps at one input partition's rows (~128 MB).
+    Hashing only the KEYS (not every payload column — ADVICE r6) keeps
+    the expression valid on frames carrying unhashable payload types
+    (MapType raises in ``hash``) and avoids recomputing wide rows
+    per-row; membership determinism is all the retry argument needs.
     """
     return F.pmod(
-        F.abs(F.hash(F.spark_partition_id(), *[F.col(c) for c in df.columns])),
+        F.abs(F.hash(F.spark_partition_id(), *[F.col(c) for c in keys])),
         F.lit(salts),
     ).cast("int")
 
@@ -71,7 +75,7 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if _SALT in big.columns or _SALT in small.columns:
         raise ValueError(f"{_SALT} column already present")
-    big_salted = big.withColumn(_SALT, _salt_expr(big, salts))
+    big_salted = big.withColumn(_SALT, _salt_expr(on, salts))
     small_rep = small.withColumn(
         _SALT,
         F.explode(F.sequence(F.lit(0), F.lit(salts - 1)).cast("array<int>")),
@@ -97,7 +101,7 @@ def salted_aggregate(
     """
     if _SALT in df.columns:
         raise ValueError(f"{_SALT} column already present")
-    salted = df.withColumn(_SALT, _salt_expr(df, salts))
+    salted = df.withColumn(_SALT, _salt_expr(keys, salts))
     partial = salted.groupBy(*keys, _SALT).agg(
         *[p.alias(name) for name, (p, _m) in aggs.items()]
     )

@@ -246,8 +246,16 @@ def topk_join(
         )
         return set(params), var_kw
 
+    # parameters this dispatcher binds itself — a caller re-supplying
+    # one as a kwarg (e.g. a stray ``docs=``) must fail the early
+    # unknown-kwarg check, not surface later as a confusing
+    # duplicate-argument TypeError (ADVICE r6)
+    _bound = {
+        "queries", "docs", "centroids", "k", "metric",
+        "query_count", "strategy", "exact_query_limit",
+    }
     sigs = {name: _sig(fn) for name, fn in impls.items()}
-    known = set().union(*(names for names, _ in sigs.values()))
+    known = set().union(*(names for names, _ in sigs.values())) - _bound
     if not any(var_kw for _, var_kw in sigs.values()):
         unknown = set(kwargs) - known
         if unknown:
@@ -273,7 +281,21 @@ def topk_join(
         names, var_kw = _sig(fn)
         if var_kw:
             return dict(kwargs)
-        return {k_: v for k_, v in kwargs.items() if k_ in names}
+        taken = {k_: v for k_, v in kwargs.items() if k_ in names}
+        dropped = sorted(set(kwargs) - set(taken))
+        if dropped:
+            # a kwarg valid for SOME strategy but not the resolved one
+            # (e.g. nprobe when auto picked exact) is silently
+            # inapplicable by design — but signal it once so tuning
+            # knobs never no-op invisibly (ADVICE r6)
+            import warnings
+
+            warnings.warn(
+                f"topk_join(auto) resolved to {strategy!r}; "
+                f"inapplicable kwargs ignored: {dropped}",
+                stacklevel=3,
+            )
+        return taken
 
     if strategy == "exact":
         return exact_topk_join(queries, docs, k, metric, **_accepted(exact_topk_join))

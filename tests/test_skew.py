@@ -56,7 +56,7 @@ def test_salted_join_spreads_the_hot_key(spark):
 
     n_groups = (
         big.repartition(8)  # hot duplicates across several input partitions
-        .withColumn("_s", _salt_expr(big, 5))
+        .withColumn("_s", _salt_expr(["k"], 5))
         .filter(F.col("k") == 0)
         .select("_s")
         .distinct()
@@ -93,3 +93,24 @@ def test_salt_column_collision_rejected(spark):
     df = _skewed(spark).withColumn("_mevi_salt", F.lit(1))
     with pytest.raises(ValueError, match="_mevi_salt"):
         salted_aggregate(df, ["k"], {"n": (F.count("*"), F.sum("n"))})
+
+
+def test_salted_ops_accept_unhashable_payloads(spark):
+    """ADVICE r6: the salt hashes only the join/group keys, so frames
+    carrying payload types `hash` rejects (MapType) still salt fine."""
+    df = spark.range(100).select(
+        (F.col("id") % 3).alias("k"),
+        F.col("id").alias("v"),
+        F.create_map(F.lit("a"), F.col("id")).alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [(0, "x"), (1, "y"), (2, "z")], "k long, label string"
+    )
+    assert salted_join(df, small, ["k"], salts=4).count() == 100
+    got = {
+        (r.k, r.n)
+        for r in salted_aggregate(
+            df, ["k"], {"n": (F.count("*"), F.sum("n"))}, salts=4
+        ).collect()
+    }
+    assert got == {(0, 34), (1, 33), (2, 33)}
