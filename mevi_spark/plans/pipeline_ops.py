@@ -803,3 +803,203 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("source", split.alias("split")).groupBy(
         "source", "split"
     ).agg(F.count("*").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# round-7 additions: sparse ranking, distribution stats, canonicalization
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+n AS (SELECT COUNT(*) AS n_docs FROM toks),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (ln((n.n_docs + 1)::DOUBLE / (dfreq.df + 1)) + 1.0) AS s
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, s,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, term ASC) AS rnk
+  FROM scored)
+SELECT doc_id, term, ROUND(s, 6) AS tfidf, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+""",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse keyword ranking: per-doc top-5 terms by smoothed TF-IDF
+    (``tf · (ln((N+1)/(df+1)) + 1)``) — the classic sparse complement
+    to the dense retrieval tier (the reference is embedding-only; a
+    training-data platform needs the lexical signal too, e.g. for
+    BM25-style mining and quality filters). Plan shape at 100 TB: one
+    explode + two partial-aggregated shuffles (term stats are
+    corpus-wide but term-keyed), broadcast of the single-row corpus
+    count, per-doc window over ≤|terms-per-doc| rows."""
+    from mevi_spark.functions.text import tokens
+    from mevi_spark.operators.topk import topk_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", tokens(normalize_text("text")).alias("t")
+    )
+    terms = toks.select("doc_id", F.explode("t").alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = toks.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + 1).cast("double")
+                        / (F.col("df") + 1)
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("s"),
+        )
+    )
+    top = topk_per_group(scored, ["doc_id"], "s", 5, ["term"], rank_col="rnk")
+    return top.select(
+        "doc_id",
+        "term",
+        F.round("s", 6).alias("tfidf"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+@register(
+    "events_value_quantiles",
+    oracle="""
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS qs,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type)
+SELECT event_type, p, ROUND(v, 6) AS v, n
+FROM (
+  SELECT event_type, n,
+         unnest(['p25','p50','p75','p95']) AS p,
+         unnest(qs) AS v
+  FROM q)
+""",
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (R-7 linear interpolation — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the method) —
+    the distribution profile every curation/quality pass reads before
+    choosing filter thresholds. Exact percentile sorts per group: fine
+    for grouped profiles (group state bounds it); corpus-wide
+    single-key quantiles at 100 TB switch to ``approx_percentile``
+    (t-digest, mergeable partial aggregation) — documented tradeoff,
+    same API shape."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr(
+            "percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D))"
+        ).alias("qs"),
+        F.count("*").alias("n"),
+    )
+    labels = F.array(*[F.lit(x) for x in ("p25", "p50", "p75", "p95")])
+    return (
+        q.select(
+            "event_type",
+            "n",
+            F.posexplode(F.arrays_zip(labels.alias("p"), F.col("qs").alias("v"))),
+        )
+        .select(
+            "event_type",
+            F.col("col.p").alias("p"),
+            F.round(F.col("col.v"), 6).alias("v"),
+            "n",
+        )
+    )
+
+
+@register(
+    "dedup_canonicalize",
+    oracle=f"""
+WITH RECURSIVE {_SQL_CORPUS}, {_SQL_TOKS},
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                ELSE len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s))) END AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+  WHERE jaccard >= 0.6),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(id, m) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.m FROM edges e JOIN reach r ON r.id = e.dst),
+comp AS (SELECT id, MIN(m) AS component FROM reach GROUP BY id),
+labeled AS (
+  SELECT t.doc_id, COALESCE(c.component, t.doc_id) AS component,
+         len(t.t) AS n_t
+  FROM toks t LEFT JOIN comp c ON c.id = t.doc_id),
+canon AS (
+  SELECT component, doc_id AS canonical_id FROM (
+    SELECT component, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY component
+                              ORDER BY n_t DESC, doc_id ASC) AS r
+    FROM labeled) WHERE r = 1)
+SELECT l.doc_id, l.component, c.canonical_id,
+       l.doc_id = c.canonical_id AS keep
+FROM labeled l JOIN canon c USING (component)
+""",
+)
+def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after near-dup detection that an actual corpus build
+    needs: map EVERY doc (dup or singleton) to the canonical survivor
+    of its duplicate cluster — keep the longest doc, ties to the
+    smallest id. Composition of the component labeling
+    (``dedup_components``) with a per-component argmax; singletons are
+    their own canonical. Plan: the near-dup graph work is the dedup
+    tier's (bounded by its df-cut), then one broadcast-sized join of
+    component labels and one partial-aggregated argmax."""
+    from mevi_spark.functions.text import tokens
+
+    corpus = _corpus(spark, sf_dir)
+    comps = D.connected_components(
+        D.ngram_jaccard_pairs(corpus, threshold=0.6)
+    )
+    labeled = (
+        corpus.select(
+            "doc_id", F.size(tokens(normalize_text("text"))).alias("n_t")
+        )
+        .join(comps.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            "n_t",
+        )
+    )
+    canon = labeled.groupBy("component").agg(
+        F.min(F.struct((-F.col("n_t")).alias("a"), F.col("doc_id").alias("d")))[
+            "d"
+        ].alias("canonical_id")
+    )
+    return labeled.join(canon, "component").select(
+        "doc_id",
+        "component",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+    )

@@ -77,18 +77,23 @@ _LOADED = False
 #   tier 1 — the 31 queries with NO r6 driver row (all last green in
 #            r5; fewest accumulated rows first: the three 2-row names,
 #            then the 3-row r5 block alphabetically);
-#   tier 2 — round-6-new queries whose implementation is TOUCHED this
+#   tier 2 — round-6-new queries whose implementation CHANGED this
 #            round (incremental_topk publish path, compaction budget
-#            path, skew salt expression, ADC, ingest dedup, PII) so the
-#            driver re-evidences the changed code;
+#            path, skew salt + scaled-long merge) so the driver
+#            re-evidences the changed code, plus the three round-7-new
+#            queries (tfidf, quantiles, canonicalize — zero rows);
 #   tier 3 — the 13 bench headliners, kept in-window for regression
 #            coverage regardless of row count.
 #
-# The 31 left outside are all green with a fresh r6 row; they rotate
-# back as their deficit grows, and the local full-gate check covers
-# them every round. EVERY round-7-new query must be added to tier 2
-# (the SKILL.md rule) with an equally-sized well-evidenced name rotated
-# out; otherwise it sorts after the window.
+# Rotated out to make room for the r7-new three: ann_adc_topk,
+# streaming_dedup_ingest, text_redact_pii — each fresh-green in r6 and
+# textually unchanged this round (ADC's upstream RQ-chain changes are
+# re-evidenced through the in-window rq/beam/coarse headliners that
+# share the chain). The 28 others left outside are all green with a
+# fresh r6 row; they rotate back as their deficit grows, and the local
+# full-gate check covers them every round. EVERY round-8-new query
+# must be added to tier 2 (the SKILL.md rule) with an equally-sized
+# well-evidenced name rotated out; otherwise it sorts after the window.
 _PRIORITY_ORDER: list[str] = [
     # tier 1 — no r6 row, two accumulated rows (stalest in registry)
     "code_token_arith",
@@ -123,13 +128,14 @@ _PRIORITY_ORDER: list[str] = [
     "tsv_corpus_roundtrip",
     "tsv_queries_roundtrip",
     "tsv_run_roundtrip",
-    # tier 2 — r6-new queries whose code paths change in round 7
+    # tier 2 — r6-new queries whose code paths changed in round 7
     "streaming_topk_maintenance",
     "compaction_roundtrip",
     "salted_hot_key_rollup",
-    "ann_adc_topk",
-    "streaming_dedup_ingest",
-    "text_redact_pii",
+    # tier 2 — new in round 7, zero driver rows
+    "text_tfidf_topterms",
+    "events_value_quantiles",
+    "dedup_canonicalize",
     # tier 3 — bench headliners (regression coverage)
     "q1_pricing_summary",
     "q3_shipping_priority",
