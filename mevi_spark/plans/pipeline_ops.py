@@ -1003,3 +1003,168 @@ def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_id",
         (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-7 additions #2: eval-set decontamination, repetition filtering
+
+
+@register(
+    "decontaminate_eval",
+    oracle=f"""
+WITH {_SQL_CORPUS}, {_SQL_TOKS},
+sh5 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+              ELSE list_distinct(list_transform(range(1, len(t) - 3),
+                     i -> array_to_string(list_slice(t, i, i + 4), ' ')))
+         END AS s
+  FROM toks),
+ev AS (SELECT DISTINCT unnest(s) AS g FROM sh5 WHERE doc_id >= 100000),
+tr AS (SELECT doc_id, s FROM sh5 WHERE doc_id < 100000),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n
+  FROM (SELECT doc_id, unnest(s) AS g FROM tr) x JOIN ev USING (g)
+  GROUP BY doc_id)
+SELECT tr.doc_id, COALESCE(hits.n, 0) AS n_overlap,
+       COALESCE(hits.n, 0) > 0 AS contaminated
+FROM tr LEFT JOIN hits USING (doc_id)
+""",
+)
+def decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination — the GPT-3/Gopher hygiene step: flag
+    every training document sharing any word 5-gram with a held-out
+    eval set (the planted corpus copies play the eval split:
+    ``doc_id >= 100000``; originals are the train candidates, so exact
+    and near copies must flag). Per train doc: the count of its
+    distinct 5-shingles found in the eval union, and the flag.
+
+    100 TB plan shape: eval sets are benchmark-sized (thousands of
+    docs), so the eval shingle union is broadcast — the corpus-sized
+    side is map-only explode + broadcast-hash-join + partial-agg
+    count; the corpus never shuffles on the shingle key.
+    """
+    from mevi_spark.functions.text import word_shingles
+
+    sh = _corpus(spark, sf_dir).select(
+        "doc_id", word_shingles("text", 5).alias("s")
+    )
+    ev = (
+        sh.filter(F.col("doc_id") >= 100000)
+        .select(F.explode("s").alias("g"))
+        .distinct()
+    )
+    tr = sh.filter(F.col("doc_id") < 100000)
+    hits = (
+        tr.select("doc_id", F.explode("s").alias("g"))
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return tr.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n", F.lit(0)).alias("n_overlap"),
+        (F.coalesce("n", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+@register(
+    "text_repetition_stats",
+    oracle=r"""
+WITH rep AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, text || ' ' || text AS text
+  FROM documents WHERE doc_id % 11 = 0),
+toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM rep),
+bi AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(t)),
+                     i -> array_to_string(list_slice(t, i, i + 1), ' '))
+         END AS b
+  FROM toks),
+stats AS (
+  SELECT doc_id,
+         len(t) AS n_tok,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(t))::DOUBLE / len(t) END
+           AS dup_word_frac,
+         CASE WHEN len(b) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(b))::DOUBLE / len(b) END
+           AS dup_bigram_frac,
+         CASE WHEN len(b) = 0 THEN 0.0
+              ELSE list_max(list_transform(list_distinct(b),
+                     g -> len(list_filter(b, x -> x = g))))::DOUBLE / len(b)
+         END AS top_bigram_frac
+  FROM bi)
+SELECT doc_id, n_tok,
+       ROUND(dup_word_frac, 6) AS dup_word_frac,
+       ROUND(dup_bigram_frac, 6) AS dup_bigram_frac,
+       ROUND(top_bigram_frac, 6) AS top_bigram_frac,
+       dup_bigram_frac > 0.2 OR top_bigram_frac > 0.1 AS repetitive
+FROM stats
+""",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filtering (the Gopher quality rules):
+    duplicate-token fraction, duplicate-bigram fraction, and the most
+    frequent bigram's share, with a ``repetitive`` flag. A doubled-text
+    variant is planted (``doc_id % 11 == 0`` → ``doc_id + 300000``,
+    text self-concatenated) so the flag has a known-true population.
+
+    100 TB plan shape: ZERO shuffles — every statistic is an array
+    expression over the doc's own token list (``array_distinct`` /
+    ``filter`` / ``array_max``), whole-stage codegen, embarrassingly
+    parallel; the O(d·u) per-doc frequency scan is bounded by doc
+    length, not corpus size.
+    """
+    from mevi_spark.functions.text import normalize_text as _norm, tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = docs.unionByName(
+        docs.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat_ws(" ", "text", "text").alias("text"),
+        )
+    )
+    t = tokens(_norm("text"))
+    frame = rep.select("doc_id", t.alias("t")).select(
+        "doc_id",
+        "t",
+        F.when(F.size("t") < 2, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(" ", F.slice("t", i, 2)),
+            )
+        ).alias("b"),
+    )
+    n_tok = F.size("t")
+    n_bi = F.size("b")
+    dup_word = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct("t")).cast("double") / n_tok
+    )
+    dup_bi = F.when(n_bi == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct("b")).cast("double") / n_bi
+    )
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct("b"),
+            lambda g: F.size(F.filter("b", lambda x: x == g)),
+        )
+    )
+    top_bi = F.when(n_bi == 0, F.lit(0.0)).otherwise(
+        top_count.cast("double") / n_bi
+    )
+    return frame.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.round(dup_word, 6).alias("dup_word_frac"),
+        F.round(dup_bi, 6).alias("dup_bigram_frac"),
+        F.round(top_bi, 6).alias("top_bigram_frac"),
+        ((dup_bi > 0.2) | (top_bi > 0.1)).alias("repetitive"),
+    )

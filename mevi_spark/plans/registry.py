@@ -85,15 +85,19 @@ _LOADED = False
 #   tier 3 — the 13 bench headliners, kept in-window for regression
 #            coverage regardless of row count.
 #
-# Rotated out to make room for the r7-new three: ann_adc_topk,
-# streaming_dedup_ingest, text_redact_pii — each fresh-green in r6 and
-# textually unchanged this round (ADC's upstream RQ-chain changes are
+# Rotated out to make room for the r7-new five: ann_adc_topk,
+# streaming_dedup_ingest, text_redact_pii (each fresh-green in r6 and
+# textually unchanged this round; ADC's upstream RQ-chain changes are
 # re-evidenced through the in-window rq/beam/coarse headliners that
-# share the chain). The 28 others left outside are all green with a
-# fresh r6 row; they rotate back as their deficit grows, and the local
-# full-gate check covers them every round. EVERY round-8-new query
-# must be added to tier 2 (the SKILL.md rule) with an equally-sized
-# well-evidenced name rotated out; otherwise it sorts after the window.
+# share the chain) plus tsv_queries_roundtrip and tsv_run_roundtrip
+# (trivial deterministic IO roundtrips, pytest-covered and gated
+# locally every round — the least informative driver rows; the TSV
+# family keeps tsv_corpus_roundtrip in-window as its representative).
+# The others left outside are all green with a fresh r6 row; they
+# rotate back as their deficit grows, and the local full-gate check
+# covers them every round. EVERY round-8-new query must be added to
+# tier 2 (the SKILL.md rule) with an equally-sized well-evidenced name
+# rotated out; otherwise it sorts after the window.
 _PRIORITY_ORDER: list[str] = [
     # tier 1 — no r6 row, two accumulated rows (stalest in registry)
     "code_token_arith",
@@ -126,8 +130,6 @@ _PRIORITY_ORDER: list[str] = [
     "text_token_counts",
     "topk_orders_per_customer",
     "tsv_corpus_roundtrip",
-    "tsv_queries_roundtrip",
-    "tsv_run_roundtrip",
     # tier 2 — r6-new queries whose code paths changed in round 7
     "streaming_topk_maintenance",
     "compaction_roundtrip",
@@ -136,6 +138,8 @@ _PRIORITY_ORDER: list[str] = [
     "text_tfidf_topterms",
     "events_value_quantiles",
     "dedup_canonicalize",
+    "decontaminate_eval",
+    "text_repetition_stats",
     # tier 3 — bench headliners (regression coverage)
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -116,3 +116,87 @@ def test_canonicalize_picks_longest_doc_per_component(spark, sf_dir):
             multi += 1
     # the planted near-dups must actually form multi-doc clusters
     assert multi > 0
+
+
+def _shingles(t: list[str], n: int) -> set[str]:
+    return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+
+def test_decontaminate_flags_planted_copies(spark, sf_dir):
+    from mevi_spark.plans.pipeline_ops import decontaminate_eval
+
+    toks = _doc_tokens(spark, sf_dir)  # base documents only
+    ev_grams: set[str] = set()
+    for doc_id, t in toks.items():
+        if doc_id % 7 == 0:  # exact copy at +100000
+            ev_grams |= _shingles(t, 5)
+        if doc_id % 5 == 0:  # near copy (first token dropped) at +200000
+            ev_grams |= _shingles(t[1:], 5)
+
+    got = {r.doc_id: r for r in decontaminate_eval(spark, sf_dir).collect()}
+    assert set(got) == set(toks)  # train side = every original doc
+    flagged = 0
+    for doc_id, t in toks.items():
+        want = len(_shingles(t, 5) & ev_grams)
+        assert got[doc_id].n_overlap == want, doc_id
+        assert got[doc_id].contaminated == (want > 0)
+        flagged += want > 0
+    # the planted copies must actually contaminate their originals
+    assert flagged >= sum(1 for d in toks if d % 7 == 0 and len(toks[d]) >= 5)
+
+
+def test_repetition_stats_flag_doubled_docs(spark, sf_dir):
+    from mevi_spark.plans.pipeline_ops import text_repetition_stats
+
+    toks = _doc_tokens(spark, sf_dir)
+    got = {r.doc_id: r for r in text_repetition_stats(spark, sf_dir).collect()}
+    assert set(got) == set(toks) | {
+        d + 300000 for d in toks if d % 11 == 0
+    }
+
+    def expect(t: list[str]):
+        bi = [" ".join(t[i : i + 2]) for i in range(len(t) - 1)]
+        dup_w = 0.0 if not t else 1.0 - len(set(t)) / len(t)
+        dup_b = 0.0 if not bi else 1.0 - len(set(bi)) / len(bi)
+        top_b = 0.0 if not bi else max(bi.count(g) for g in set(bi)) / len(bi)
+        return dup_w, dup_b, top_b
+
+    for doc_id, t in toks.items():
+        for did, tt in ((doc_id, t), (doc_id + 300000, t + t)):
+            if did >= 300000 and doc_id % 11 != 0:
+                continue
+            dup_w, dup_b, top_b = expect(tt)
+            r = got[did]
+            assert r.n_tok == len(tt)
+            assert r.dup_word_frac == pytest.approx(round(dup_w, 6), abs=1e-6)
+            assert r.dup_bigram_frac == pytest.approx(round(dup_b, 6), abs=1e-6)
+            assert r.top_bigram_frac == pytest.approx(round(top_b, 6), abs=1e-6)
+            assert r.repetitive == (dup_b > 0.2 or top_b > 0.1)
+    # every doubled doc with enough tokens must flag
+    doubled = [d + 300000 for d in toks if d % 11 == 0 and len(toks[d]) >= 2]
+    assert doubled and all(got[d].repetitive for d in doubled)
+
+
+def test_round7_plan_shapes(spark, sf_dir):
+    """Lock the docstring claims: repetition stats is map-only (zero
+    exchanges); decontamination joins only by broadcast hash."""
+    from mevi_spark.plans.pipeline_ops import (
+        decontaminate_eval,
+        text_repetition_stats,
+    )
+
+    rep = (
+        text_repetition_stats(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in rep
+
+    dec = (
+        decontaminate_eval(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in dec and "BroadcastHashJoin" in dec
