@@ -1168,3 +1168,155 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(top_bi, 6).alias("top_bigram_frac"),
         ((dup_bi > 0.2) | (top_bi > 0.1)).alias("repetitive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-7 additions #3: domain mixing, sequence packing
+
+
+@register(
+    "domain_mix_sample",
+    oracle=f"""
+WITH rates AS (
+  SELECT source, 100 + {_h60("'rate'", "source")} % 800 AS rate_permille
+  FROM (SELECT DISTINCT source FROM documents))
+SELECT d.doc_id, d.source, r.rate_permille
+FROM documents d JOIN rates r USING (source)
+WHERE {_h60("'mix'", "CAST(d.doc_id AS VARCHAR)")} % 1000 < r.rate_permille
+""",
+)
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing — the data-mix step of every pretraining corpus
+    (Pile/LLaMA-style per-source sampling rates): keep each document
+    with a per-source probability, decided by a seedless deterministic
+    hash of the doc id so the sample is reproducible under reruns,
+    retries, and corpus growth (the same contract as ``dataset_split``).
+    Rates here derive from a hash of the source name (100–899 permille)
+    so the query carries no table-specific literals.
+
+    100 TB plan shape: the rate table is |sources|-sized → broadcast;
+    the corpus side is a map-only hash-filter — no shuffle at all, and
+    the filter prunes before any downstream work."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rates = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (100 + TA.hash60("source", seed="rate") % 800).alias(
+                "rate_permille"
+            ),
+        )
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(
+            TA.hash60(F.col("doc_id").cast("string"), seed="mix") % 1000
+            < F.col("rate_permille")
+        )
+        .select("doc_id", "source", "rate_permille")
+    )
+
+
+_SEQ_LEN = 512
+
+
+@register(
+    "sequence_pack",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS n_tok
+  FROM documents
+  WHERE trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) <> ''),
+cum AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS cum_before
+  FROM toks)
+SELECT doc_id, n_tok,
+       CAST(cum_before // {_SEQ_LEN} AS BIGINT) AS start_seq,
+       CAST(cum_before % {_SEQ_LEN} AS BIGINT) AS seq_offset,
+       CAST((cum_before + n_tok - 1) // {_SEQ_LEN} AS BIGINT) AS end_seq
+FROM cum
+""",
+)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — concat-and-chunk: lay every document's tokens
+    end-to-end in doc_id order and cut fixed {SEQ_LEN}-token training
+    sequences, reporting where each doc lands (first sequence, offset
+    within it, last sequence). The GPT-style pretraining packer, as a
+    deterministic metadata query (the writer that materializes token
+    blocks follows this map).
+
+    The global running total is the same two-pass value-bucket pattern
+    as ``corpus_sample_remap`` (``plans/relational.py``): one job for
+    per-bucket token sums, driver-accumulated bucket offsets (bounded
+    by 2·parallelism entries), then a per-bucket window — parallel, no
+    single-partition global window, both passes see identical groups by
+    construction. Counts stay < 2^53 (25T tokens ≈ 100 TB of text) so
+    the floor-division parity with the oracle's integer ``//`` is
+    exact."""
+    from pyspark.sql import Window
+    from mevi_spark.functions.text import tokens
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(tokens(normalize_text("text"))).alias("n_tok"),
+        )
+        .filter(F.col("n_tok") > 0)
+    )
+    mn, mx, n = docs.agg(
+        F.min("doc_id"), F.max("doc_id"), F.count("*")
+    ).first()
+    if not n:
+        return spark.createDataFrame(
+            [], "doc_id long, n_tok int, start_seq long, "
+            "seq_offset long, end_seq long"
+        )
+    nbuckets = max(1, spark.sparkContext.defaultParallelism * 2)
+    width = max(1, -(-(int(mx) - int(mn) + 1) // nbuckets))
+    bucket = F.expr(f"(doc_id - {int(mn)}L) div {width}L")
+    sums = {
+        int(r["b"]): int(r["s"])
+        for r in docs.groupBy(bucket.alias("b"))
+        .agg(F.sum("n_tok").alias("s"))
+        .collect()
+    }
+    acc = 0
+    entries = []
+    for b in sorted(sums):
+        entries.append((b, acc))
+        acc += sums[b]
+    offset_map = F.create_map(
+        *[F.lit(v).cast("long") for pair in entries for v in pair]
+    )
+    w = (
+        Window.partitionBy("b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = (
+        F.element_at(offset_map, F.col("b"))
+        + F.sum("n_tok").over(w)
+        - F.col("n_tok")
+    )
+    return (
+        docs.withColumn("b", bucket)
+        .select(
+            "doc_id",
+            "n_tok",
+            cum_before.alias("c"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            F.expr(f"c div {_SEQ_LEN}").alias("start_seq"),
+            (F.col("c") % _SEQ_LEN).alias("seq_offset"),
+            F.expr(f"(c + n_tok - 1) div {_SEQ_LEN}").alias("end_seq"),
+        )
+    )

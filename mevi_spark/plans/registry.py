@@ -130,9 +130,11 @@ _PRIORITY_ORDER: list[str] = [
     "text_token_counts",
     "topk_orders_per_customer",
     "tsv_corpus_roundtrip",
-    # tier 2 — r6-new queries whose code paths changed in round 7
-    "streaming_topk_maintenance",
-    "compaction_roundtrip",
+    # tier 2 — r6-new query whose exactness-critical salt expression
+    # changed in round 7 (streaming_topk_maintenance and
+    # compaction_roundtrip also changed, but their r7 changes are
+    # publish/budget mechanics with dedicated pytest races — rotated
+    # out for the r7-new names below)
     "salted_hot_key_rollup",
     # tier 2 — new in round 7, zero driver rows
     "text_tfidf_topterms",
@@ -140,6 +142,8 @@ _PRIORITY_ORDER: list[str] = [
     "dedup_canonicalize",
     "decontaminate_eval",
     "text_repetition_stats",
+    "domain_mix_sample",
+    "sequence_pack",
     # tier 3 — bench headliners (regression coverage)
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -200,3 +200,54 @@ def test_round7_plan_shapes(spark, sf_dir):
         .toString()
     )
     assert "SortMergeJoin" not in dec and "BroadcastHashJoin" in dec
+
+
+def test_domain_mix_rates_and_determinism(spark, sf_dir):
+    import hashlib
+
+    from mevi_spark.plans.pipeline_ops import domain_mix_sample
+
+    def h60(seed: str, v: str) -> int:
+        return int(hashlib.md5(f"{seed}|{v}".encode()).hexdigest()[:15], 16)
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    expected = {}
+    for r in docs.itertuples():
+        rate = 100 + h60("rate", r.source) % 800
+        if h60("mix", str(r.doc_id)) % 1000 < rate:
+            expected[r.doc_id] = (r.source, rate)
+
+    got = {
+        r.doc_id: (r.source, r.rate_permille)
+        for r in domain_mix_sample(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # two runs are identical (the reproducibility contract)
+    again = {
+        r.doc_id: (r.source, r.rate_permille)
+        for r in domain_mix_sample(spark, sf_dir).collect()
+    }
+    assert again == got
+
+
+def test_sequence_pack_is_gapless_concat_and_chunk(spark, sf_dir):
+    from mevi_spark.plans.pipeline_ops import _SEQ_LEN, sequence_pack
+
+    toks = _doc_tokens(spark, sf_dir)
+    got = {r.doc_id: r for r in sequence_pack(spark, sf_dir).collect()}
+    nonempty = {d: t for d, t in toks.items() if t}
+    assert set(got) == set(nonempty)
+
+    cum = 0
+    for doc_id in sorted(nonempty):
+        n = len(nonempty[doc_id])
+        r = got[doc_id]
+        assert r.n_tok == n
+        assert r.start_seq == cum // _SEQ_LEN
+        assert r.seq_offset == cum % _SEQ_LEN
+        assert r.end_seq == (cum + n - 1) // _SEQ_LEN
+        cum += n
+    # chunking is gapless: total sequences cover exactly cum tokens
+    assert max(r.end_seq for r in got.values()) == (cum - 1) // _SEQ_LEN
