@@ -844,7 +844,12 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     BM25-style mining and quality filters). Plan shape at 100 TB: one
     explode + two partial-aggregated shuffles (term stats are
     corpus-wide but term-keyed), broadcast of the single-row corpus
-    count, per-doc window over ≤|terms-per-doc| rows."""
+    count, per-doc window over ≤|terms-per-doc| rows. The tf⋈df join
+    is deliberately NOT broadcast-hinted: df is vocabulary-sized
+    (billions of terms at corpus scale) and both sides are already
+    partitioned by ``term`` from the same aggregation, so the planner
+    joins them on the existing exchange; at toy SF its stats pick a
+    broadcast on their own."""
     from mevi_spark.functions.text import tokens
     from mevi_spark.operators.topk import topk_per_group
 
@@ -857,7 +862,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = toks.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
