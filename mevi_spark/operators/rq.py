@@ -418,6 +418,39 @@ def rq_encode_seeded(
     return codes, codebook
 
 
+def rq_encode_from_entries(
+    vectors: DataFrame,
+    level_entries: list[list[tuple[int, list[float], float]]],
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """The mapping half of :func:`rq_encode_seeded` when the per-level
+    codebooks already exist as collected entries (a staged artifact —
+    the reference loads its pickled codebooks the same way,
+    ``MEVI/pq.py:217-247``): the whole encode chain is literal
+    assign→subtract expressions, map-only, with NO centroid aggregation
+    jobs. Given the entries the seeded chain collected, the emitted
+    expressions — and therefore every code and residual — are
+    bit-identical to its mapping.
+
+    Returns ``(id, code_0..code_{L-1})``.
+    """
+    cur = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("resid"),
+    )
+    code_cols: list[str] = []
+    for lvl, entries in enumerate(level_entries):
+        cur = assign_subtract_fused(
+            cur, None, "id", "resid", f"code_{lvl}", "resid2",
+            keep=tuple(code_cols), entries=entries,
+        ).select(
+            "id", F.col("resid2").alias("resid"), *code_cols, f"code_{lvl}"
+        )
+        code_cols.append(f"code_{lvl}")
+    return cur.select("id", *code_cols)
+
+
 def train_rq_kmeans(
     vectors: DataFrame,
     levels: int = 4,

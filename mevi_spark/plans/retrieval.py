@@ -42,6 +42,7 @@ from mevi_spark.operators.rq import (
     ema_update_codebook,
     load_rq_model,
     reconstruct,
+    rq_encode_from_entries,
     rq_encode_seeded,
     rq_level_centroids,
     save_rq_model,
@@ -387,28 +388,55 @@ _CHAIN_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 
 def _codebook2(spark: SparkSession, sf_dir: str):
     """(mapping, codebook) of the two-level label-seeded RQ — persisted
-    and materialized once per (session, sf_dir)."""
+    once per (session, sf_dir), with the trained codebook STAGED on
+    disk once per corpus version (``plans/staging.py``, mtime-keyed —
+    the Spark form of the reference pickling its codebooks once and
+    loading them everywhere, ``MEVI/pq.py:217-247``).
+
+    The first build of a corpus version runs the centroid-aggregation
+    jobs and writes the 2·K codebook rows; every later session — bench
+    passes, parallel test workers, the driver's gate — reads the tiny
+    staged parquet and rebuilds the mapping as pure literal expressions
+    (``rq_encode_from_entries``), paying zero aggregation jobs. Safe
+    because the per-level centroid sums are order-independent by
+    construction (scaled-long accumulation), so a rerun produces
+    bit-identical doubles and parquet round-trips them exactly; the
+    mtime key rebuilds the artifact whenever the source table changes.
+    """
     per_session = _CHAIN_CACHE.setdefault(spark, {})
     hit = per_session.get(sf_dir)
     if hit is not None:
         return hit[0], hit[1]
-    level_frames: list = []
-    mapping, codebook = rq_encode_seeded(
-        _emb(spark, sf_dir), seed_code="label", id_col="vec_id",
-        vec_col="embedding", levels=2, persist_levels=True,
-        persisted_out=level_frames,
-    )
-    mapping = mapping.persist()
-    codebook = codebook.persist()
-    # NOT count()-materialized here: the per-level centroid frames are
-    # already persisted + collected during construction (the literal
-    # codebook entries), so the expensive part of the chain is staged;
-    # the corpus-sized mapping materializes on its first consumer's
-    # action instead of paying one extra full pass up front (r6 bench:
-    # the eager count was a redundant scan of the whole chain)
-    # the per-level centroid frames ride along so clear_session_caches
-    # unpersists them too (they are persisted inside rq_encode_seeded)
-    per_session[sf_dir] = (mapping, codebook, *level_frames)
+
+    from mevi_spark.plans.staging import ensure_staged
+
+    def _write(path: str) -> None:
+        _, cb = rq_encode_seeded(
+            _emb(spark, sf_dir), seed_code="label", id_col="vec_id",
+            vec_col="embedding", levels=2,
+        )
+        cb.coalesce(1).write.mode("overwrite").parquet(path)
+
+    staged = ensure_staged("codebook2", sf_dir, _write)
+    codebook = spark.read.parquet(staged).persist()
+    by_level: dict[int, list] = {}
+    for r in codebook.select("level", "code", "centroid").collect():
+        cent = [float(v) for v in r["centroid"]]
+        cc = 0.0
+        for v in cent:
+            cc += v * v
+        by_level.setdefault(int(r["level"]), []).append(
+            (int(r["code"]), cent, cc)
+        )
+    level_entries = [sorted(by_level[lvl]) for lvl in sorted(by_level)]
+    mapping = rq_encode_from_entries(
+        _emb(spark, sf_dir), level_entries, id_col="vec_id",
+        vec_col="embedding",
+    ).persist()
+    # NOT count()-materialized: the corpus-sized mapping materializes on
+    # its first consumer's action instead of paying one extra full pass
+    # up front (r6 bench: the eager count was a redundant scan)
+    per_session[sf_dir] = (mapping, codebook)
     return mapping, codebook
 
 

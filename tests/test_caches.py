@@ -32,18 +32,28 @@ def test_clear_session_caches_frees_blocks(spark, sf_dir):
     )
 
 
-def test_clear_frees_persisted_level_frames(spark, sf_dir):
-    """The K-row per-level centroid frames persisted inside
-    rq_encode_seeded(persist_levels=True) are tracked in the cache entry
-    and unpersisted on clear — not left for session GC (ADVICE r5)."""
+def test_codebook_is_staged_and_reused(spark, sf_dir):
+    """The trained codebook is a staged on-disk artifact keyed by the
+    embeddings mtime: clearing session caches and rebuilding must NOT
+    rewrite it (no new centroid-training jobs for an unchanged corpus),
+    and the rebuilt chain must produce the identical mapping."""
+    import os
+
+    from mevi_spark.plans.staging import staged_path
+
     R.clear_session_caches(spark)
-    R._codebook2(spark, sf_dir)
-    entry = R._CHAIN_CACHE[spark][sf_dir]
-    assert len(entry) > 2, "level frames should ride along in the entry"
-    levels = entry[2:]
-    assert all(df.storageLevel != StorageLevel.NONE for df in levels)
+    m1, cb1 = R._codebook2(spark, sf_dir)
+    rows1 = sorted(map(tuple, m1.collect()))
+    cb_rows1 = sorted((r["level"], r["code"]) for r in cb1.collect())
+    path = staged_path("codebook2", sf_dir)
+    assert os.path.exists(os.path.join(path, "_STAGED"))
+    mtime = os.path.getmtime(path)
+
     R.clear_session_caches(spark)
-    assert all(df.storageLevel == StorageLevel.NONE for df in levels)
+    m2, cb2 = R._codebook2(spark, sf_dir)
+    assert os.path.getmtime(path) == mtime  # reused, not rebuilt
+    assert sorted(map(tuple, m2.collect())) == rows1
+    assert sorted((r["level"], r["code"]) for r in cb2.collect()) == cb_rows1
 
 
 def test_caches_are_per_session_maps(spark, sf_dir):
