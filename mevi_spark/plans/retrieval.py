@@ -385,6 +385,11 @@ from weakref import WeakKeyDictionary
 
 _CHAIN_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 
+# collected codebook entries keyed by STAGED PATH (which embeds the
+# source mtime, so a stale path can never alias fresh data); plain
+# Python data, session-independent by construction
+_ENTRIES_CACHE: dict[str, list] = {}
+
 
 def _codebook2(spark: SparkSession, sf_dir: str):
     """(mapping, codebook) of the two-level label-seeded RQ — persisted
@@ -419,16 +424,26 @@ def _codebook2(spark: SparkSession, sf_dir: str):
 
     staged = ensure_staged("codebook2", sf_dir, _write)
     codebook = spark.read.parquet(staged).persist()
-    by_level: dict[int, list] = {}
-    for r in codebook.select("level", "code", "centroid").collect():
-        cent = [float(v) for v in r["centroid"]]
-        cc = 0.0
-        for v in cent:
-            cc += v * v
-        by_level.setdefault(int(r["level"]), []).append(
-            (int(r["code"]), cent, cc)
-        )
-    level_entries = [sorted(by_level[lvl]) for lvl in sorted(by_level)]
+    # entries are immutable for a given staged path (the path embeds
+    # the source mtime), so cache the collected Python-side artifact
+    # process-wide: rebuilding the chain after clear_session_caches —
+    # the bench's warm pass, services churning sessions — skips even
+    # the tiny staged-read job
+    level_entries = _ENTRIES_CACHE.get(staged)
+    if level_entries is None:
+        by_level: dict[int, list] = {}
+        for r in codebook.select("level", "code", "centroid").collect():
+            cent = [float(v) for v in r["centroid"]]
+            cc = 0.0
+            for v in cent:
+                cc += v * v
+            by_level.setdefault(int(r["level"]), []).append(
+                (int(r["code"]), cent, cc)
+            )
+        level_entries = [sorted(by_level[lvl]) for lvl in sorted(by_level)]
+        while len(_ENTRIES_CACHE) >= 8:  # a few MB bound; FIFO evict
+            _ENTRIES_CACHE.pop(next(iter(_ENTRIES_CACHE)))
+        _ENTRIES_CACHE[staged] = level_entries
     mapping = rq_encode_from_entries(
         _emb(spark, sf_dir), level_entries, id_col="vec_id",
         vec_col="embedding",
