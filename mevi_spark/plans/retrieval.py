@@ -390,6 +390,10 @@ _CHAIN_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 # Python data, session-independent by construction
 _ENTRIES_CACHE: dict[str, list] = {}
 
+# staged layout paths whose build-time DPP assertion already passed in
+# this process (the plan shape is deterministic per layout)
+_DPP_OK: set[str] = set()
+
 
 def _codebook2(spark: SparkSession, sf_dir: str):
     """(mapping, codebook) of the two-level label-seeded RQ — persisted
@@ -630,11 +634,16 @@ def _fine_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         fine = coarse_to_fine(
             _queries(spark, sf_dir), _coarse1(spark, sf_dir), part, k=10
         )
-        if not has_dpp(fine):
+        # the DPP property is a function of the plan SHAPE, identical
+        # for every build over the same staged layout in this process —
+        # assert it once per layout path instead of re-analyzing the
+        # physical plan (≈0.2 s of py4j) on every rebuild
+        if path not in _DPP_OK and not has_dpp(fine):
             raise RuntimeError(
                 "coarse-to-fine expansion join did not plan dynamic "
                 "partition pruning over the staged cluster-keyed layout"
             )
+        _DPP_OK.add(path)
         return fine
 
     return _cached_run(spark, sf_dir, "fine10", build)
