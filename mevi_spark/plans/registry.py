@@ -211,6 +211,7 @@ def _ensure_loaded() -> None:
         relational,
         retrieval,
         streaming_ops,
+        temporal_ops,
     )
 
     _reorder()

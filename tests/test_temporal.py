@@ -1,0 +1,114 @@
+"""As-of and bounded-range joins: Python recompute over the events
+table plus the plan-shape guarantees the operators exist to provide
+(no cartesian/range explosion, single keyed shuffle for as-of)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from mevi_spark.operators.temporal import asof_join, range_join_binned
+from mevi_spark.plans.temporal_ops import (
+    _HOUR_US,
+    events_asof_attribution,
+    events_range_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events(sf):
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    return ev
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    ev = _events(SF)
+    clicks = ev[ev.event_type == "click"].sort_values("ts_us")
+    purchases = ev[ev.event_type == "purchase"].sort_values("ts_us")
+    want = pd.merge_asof(
+        clicks[["event_id", "user_id", "ts_us"]],
+        purchases[["user_id", "ts_us", "value"]].rename(
+            columns={"ts_us": "pts", "value": "pval"}
+        ),
+        left_on="ts_us",
+        right_on="pts",
+        by="user_id",
+        direction="backward",
+    )
+    got = {r.event_id: r for r in events_asof_attribution(spark, SF).collect()}
+    assert len(got) == len(clicks)
+    for w in want.itertuples():
+        g = got[w.event_id]
+        if pd.isna(w.pval):
+            assert g.purchase_value_asof is None and g.ts_us_asof is None
+        else:
+            assert g.ts_us_asof == int(w.pts)
+            assert abs(g.purchase_value_asof - round(w.pval, 6)) < 1e-9
+
+
+def test_range_pairs_match_python_recompute(spark):
+    ev = _events(SF)
+    views = ev[ev.event_type == "view"]
+    purchases = ev[ev.event_type == "purchase"]
+    want = set()
+    for v in views.itertuples():
+        for p in purchases[purchases.user_id == v.user_id].itertuples():
+            if v.ts_us < p.ts_us <= v.ts_us + _HOUR_US:
+                want.add((v.user_id, v.event_id, p.event_id, p.ts_us - v.ts_us))
+    got = {
+        (r.user_id, r.view_id, r.purchase_id, r.gap_us)
+        for r in events_range_pairs(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_temporal_plan_shapes(spark):
+    """The reason these operators exist: the as-of is ONE keyed shuffle
+    (no join node at all), and the range join is an equi-join — no
+    cartesian product, no broadcast-nested-loop."""
+    asof_plan = (
+        events_asof_attribution(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in asof_plan
+    assert "SortMergeJoin" not in asof_plan  # union+window, not a join
+
+    range_plan = (
+        events_range_pairs(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in range_plan
+
+
+def test_asof_tolerance_and_tiebreak(spark):
+    rows_l = [(1, 100, "a"), (1, 205, "b"), (2, 50, "c")]
+    rows_r = [(1, 100, 10.0, 7), (1, 100, 20.0, 9), (1, 110, 30.0, 1)]
+    left = spark.createDataFrame(rows_l, "k long, t long, tag string")
+    right = spark.createDataFrame(rows_r, "k long, t long, v double, rid long")
+    out = {
+        r.tag: r
+        for r in asof_join(
+            left,
+            right,
+            on=["k"],
+            left_time="t",
+            right_time="t",
+            right_vals=["v"],
+            right_tiebreak="rid",
+            tolerance_us=100,
+        ).collect()
+    }
+    # equal-time rows match; among the two t=100 rows the max rid wins
+    assert out["a"].v_asof == 20.0 and out["a"].t_asof == 100
+    # t=205: latest right is t=110 (within tolerance 100? 205-100=105 <= 110 yes)
+    assert out["b"].v_asof == 30.0 and out["b"].t_asof == 110
+    # no right rows for k=2
+    assert out["c"].v_asof is None and out["c"].t_asof is None

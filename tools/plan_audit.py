@@ -50,6 +50,7 @@ BOUNDED_CROSS_OK = {
     "ann_ivf_topk": "probe vs K-row centroid frame (impl='join' path)",
     "ann_adc_topk": "LUT build vs K-row codebook",
     "cluster_projection": "positional projection vs K-row grid",
+    "text_tfidf_topterms": "crossJoin with the SINGLE-ROW corpus count",
 }
 
 
