@@ -115,3 +115,78 @@ def events_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.col("pts") - F.col("vts")).alias("gap_us"),
     )
+
+
+_MIN_US = 60_000_000
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "events_hypertable_rollup",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type, value,
+         epoch_us(ts) // {_MIN_US} * {_MIN_US} AS b1m,
+         epoch_us(ts) // {_HOUR_US} * {_HOUR_US} AS b1h,
+         epoch_us(ts) // {_DAY_US} * {_DAY_US} AS b1d
+  FROM events),
+g AS (
+  SELECT CASE WHEN GROUPING(b1m) = 0 THEN '1m'
+              WHEN GROUPING(b1h) = 0 THEN '1h'
+              ELSE '1d' END AS resolution,
+         COALESCE(b1m, b1h, b1d) AS bucket_us,
+         event_type,
+         COUNT(*) AS n_events,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS sum_value
+  FROM b
+  GROUP BY GROUPING SETS ((b1m, event_type), (b1h, event_type),
+                          (b1d, event_type)))
+SELECT resolution, CAST(bucket_us AS BIGINT) AS bucket_us, event_type,
+       n_events, sum_value
+FROM g
+""",
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: ONE scan of the events
+    stream rolled up to three time resolutions (1 min / 1 h / 1 day)
+    per event type via ``GROUPING SETS`` — the TimescaleDB/Druid
+    multi-resolution rollup as a single Spark plan. At 100 TB: one
+    scan, a 3× Expand, then ordinary partial-aggregated shuffles whose
+    state is bounded by buckets×types, and the partials are mergeable —
+    exactly the shape an incremental refresh maintains. Sums are
+    scaled-long (order-independent, bit-equal to the oracle's decimal
+    accumulation)."""
+    from mevi_spark.functions.agg import scaled_long
+
+    ev = load_table(spark, sf_dir, "events")
+    us = epoch_us(ev, "ts")
+    b = ev.select(
+        "event_type",
+        "value",
+        (us - us % _MIN_US).cast("long").alias("b1m"),
+        (us - us % _HOUR_US).cast("long").alias("b1h"),
+        (us - us % _DAY_US).cast("long").alias("b1d"),
+    )
+    # grouping() is only legal inside the grouped projection, so the
+    # resolution label is computed in agg() alongside the aggregates
+    resolution = (
+        F.when(F.grouping("b1m") == 0, "1m")
+        .when(F.grouping("b1h") == 0, "1h")
+        .otherwise("1d")
+    )
+    g = b.groupingSets(
+        [["b1m", "event_type"], ["b1h", "event_type"], ["b1d", "event_type"]],
+        "b1m", "b1h", "b1d", "event_type",
+    ).agg(
+        resolution.alias("resolution"),
+        F.count("*").alias("n_events"),
+        (F.sum(scaled_long("value")).cast("double") / F.lit(1e6)).alias("_s"),
+    )
+    return g.select(
+        "resolution",
+        F.coalesce("b1m", "b1h", "b1d").cast("long").alias("bucket_us"),
+        "event_type",
+        "n_events",
+        F.round("_s", 6).alias("sum_value"),
+    )

@@ -112,3 +112,43 @@ def test_asof_tolerance_and_tiebreak(spark):
     assert out["b"].v_asof == 30.0 and out["b"].t_asof == 110
     # no right rows for k=2
     assert out["c"].v_asof is None and out["c"].t_asof is None
+
+
+def test_hypertable_rollup_matches_pandas(spark):
+    from mevi_spark.plans.temporal_ops import (
+        _DAY_US,
+        _MIN_US,
+        events_hypertable_rollup,
+    )
+
+    ev = _events(SF)
+    want = {}
+    for res, width in (("1m", _MIN_US), ("1h", _HOUR_US), ("1d", _DAY_US)):
+        grp = ev.assign(bucket=ev.ts_us // width * width).groupby(
+            ["bucket", "event_type"]
+        )["value"]
+        for (bucket, etype), vals in grp:
+            # scaled-long accumulation: round each value at 6 decimals
+            s = sum(int(abs(v) * 1e6 + 0.5) * (1 if v >= 0 else -1) for v in vals)
+            want[(res, int(bucket), etype)] = (len(vals), round(s / 1e6, 6))
+
+    got = {
+        (r.resolution, r.bucket_us, r.event_type): (r.n_events, r.sum_value)
+        for r in events_hypertable_rollup(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_hypertable_rollup_is_single_scan(spark):
+    """The rollup's point: one scan + one Expand feeds all three
+    resolutions — not three scans unioned."""
+    from mevi_spark.plans.temporal_ops import events_hypertable_rollup
+
+    plan = (
+        events_hypertable_rollup(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Expand") >= 1
