@@ -314,3 +314,64 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         path,
     )
+
+
+@register(
+    "orders_merge_upsert",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, 'U' AS op, 0 AS v FROM orders),
+ch AS (
+  SELECT o_orderkey, o_totalprice + 1000.5 AS o_totalprice, 'U' AS op, 2 AS v
+  FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 'D', 2
+  FROM orders WHERE o_orderkey % 17 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, 'U', 2
+  FROM orders WHERE o_orderkey % 19 = 0),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM ch),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_orderkey
+    ORDER BY v DESC, CASE WHEN op = 'D' THEN 0 ELSE 1 END) AS rn
+  FROM u)
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price
+FROM r WHERE rn = 1 AND op <> 'D'
+""",
+)
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (Delta/Iceberg ``MERGE INTO`` semantics as a plain
+    composition, ``sources/upsert.py``): a deterministic change batch —
+    updates (``%13``), deletes (``%17``), inserts (``%19`` at shifted
+    keys) at version 2 — applied to the orders base. Keys hit by both
+    an update and a delete at the same version resolve to the delete
+    (the conservative rule, exercised by every key divisible by 221).
+    One keyed shuffle; the oracle replays the identical merge with a
+    window."""
+    from mevi_spark.sources.upsert import apply_changes
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    upd = base.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1000.5).alias("o_totalprice"),
+        F.lit("U").alias("_op"),
+        F.lit(2).alias("_version"),
+    )
+    del_ = base.filter(F.col("o_orderkey") % 17 == 0).select(
+        "o_orderkey", "o_totalprice",
+        F.lit("D").alias("_op"), F.lit(2).alias("_version"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 19 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_totalprice",
+        F.lit("U").alias("_op"), F.lit(2).alias("_version"),
+    )
+    merged = apply_changes(
+        base, upd.unionByName(del_).unionByName(ins), ["o_orderkey"]
+    )
+    return merged.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("total_price")
+    )

@@ -1,0 +1,63 @@
+"""CDC merge/upsert: apply a change batch to a base table.
+
+The table-maintenance step between ingest dedup and compaction: a
+batch of keyed changes (upserts and deletes, each carrying a version)
+merges into the base so the latest version per key wins and deletes
+drop the key — Delta/Iceberg ``MERGE INTO`` semantics as a plain
+DataFrame composition.
+
+Plan shape at 100 TB: ONE shuffle on the key (the union is
+partition-local; the per-key latest-version pick is a window over the
+keyed exchange, partial state = 1 row per key). Deterministic under
+concurrent equal versions via the tiebreak column. For a partitioned
+base layout the same merge runs per partition behind dynamic partition
+pruning on the change batch's touched partitions; the full-shuffle
+form here is the general case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+OP_COL = "_op"
+VERSION_COL = "_version"
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    version_col: str = VERSION_COL,
+    op_col: str = OP_COL,
+    base_version: int = 0,
+) -> DataFrame:
+    """Merge ``changes`` into ``base``; returns the new table state.
+
+    ``changes`` carries the base's data columns plus ``op_col``
+    (``'U'`` upsert / ``'D'`` delete) and ``version_col`` (monotone
+    per key; higher wins, ties broken by preferring the delete — the
+    conservative resolution — then arbitrary-but-deterministic column
+    order is the caller's contract). ``base`` rows are implicitly
+    ``(op='U', version=base_version)``.
+    """
+    data_cols = [c for c in base.columns]
+    b = base.select(
+        *data_cols,
+        F.lit("U").alias(op_col),
+        F.lit(base_version).cast("long").alias(version_col),
+    )
+    c = changes.select(
+        *data_cols,
+        F.col(op_col),
+        F.col(version_col).cast("long"),
+    )
+    u = b.unionByName(c)
+    # latest version wins; at equal versions a delete beats an upsert
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(),
+        F.when(F.col(op_col) == "D", 0).otherwise(1).asc(),
+    )
+    latest = u.select(
+        "*", F.row_number().over(w).alias("_rn")
+    ).filter(F.col("_rn") == 1)
+    return latest.filter(F.col(op_col) != "D").select(*data_cols)

@@ -1,0 +1,71 @@
+"""CDC merge semantics on a hand-built fixture: latest version wins,
+delete beats upsert at equal version, inserts appear, untouched rows
+survive — plus the one-shuffle plan property."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mevi_spark.sources.upsert import apply_changes
+
+
+def _merge(spark, changes_rows):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, val string"
+    )
+    changes = spark.createDataFrame(
+        changes_rows, "k long, val string, _op string, _version long"
+    )
+    out = apply_changes(base, changes, ["k"])
+    return {r.k: r.val for r in out.collect()}
+
+
+def test_upsert_update_delete_insert(spark):
+    got = _merge(
+        spark,
+        [
+            (1, "a2", "U", 2),   # update
+            (2, None, "D", 2),   # delete
+            (9, "new", "U", 2),  # insert
+        ],
+    )
+    assert got == {1: "a2", 3: "c", 9: "new"}
+
+
+def test_latest_version_wins_and_delete_breaks_ties(spark):
+    got = _merge(
+        spark,
+        [
+            (1, "v1", "U", 1),
+            (1, "v5", "U", 5),
+            (1, "v3", "U", 3),
+            (2, "touch", "U", 2),
+            (2, None, "D", 2),   # same version as the update: delete wins
+        ],
+    )
+    assert got == {1: "v5", 3: "c"}
+
+
+def test_delete_then_reinsert_at_higher_version(spark):
+    got = _merge(spark, [(3, None, "D", 2), (3, "back", "U", 4)])
+    assert got == {1: "a", 2: "b", 3: "back"}
+
+
+def test_merge_plan_is_single_keyed_shuffle(spark):
+    base = spark.range(100).select(
+        F.col("id").alias("k"), F.lit("x").alias("val")
+    )
+    changes = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.lit("y").alias("val"),
+        F.lit("U").alias("_op"),
+        F.lit(2).cast("long").alias("_version"),
+    )
+    plan = (
+        apply_changes(base, changes, ["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
