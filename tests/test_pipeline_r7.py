@@ -251,3 +251,32 @@ def test_sequence_pack_is_gapless_concat_and_chunk(spark, sf_dir):
         cum += n
     # chunking is gapless: total sequences cover exactly cum tokens
     assert max(r.end_seq for r in got.values()) == (cum - 1) // _SEQ_LEN
+
+
+def test_approx_quantiles_track_exact(spark, sf_dir):
+    """The documented 100 TB path for corpus-wide quantiles
+    (approx_percentile, mergeable t-digest partials) stays within
+    tolerance of the exact grouped percentiles the registered query
+    computes."""
+    from pyspark.sql import functions as F
+
+    from mevi_spark.plans.pipeline_ops import events_value_quantiles
+    from mevi_spark.sources.io import load_table
+
+    exact = {
+        (r.event_type, r.p): r.v
+        for r in events_value_quantiles(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    approx = ev.groupBy("event_type").agg(
+        F.expr(
+            "approx_percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D), 1000)"
+        ).alias("qs")
+    ).collect()
+    spread = (
+        ev.agg(F.max("value") - F.min("value")).first()[0]
+    )
+    for r in approx:
+        for label, got in zip(("p25", "p50", "p75", "p95"), r.qs):
+            want = exact[(r.event_type, label)]
+            assert abs(got - want) <= 0.02 * spread, (r.event_type, label)

@@ -69,3 +69,47 @@ def test_merge_plan_is_single_keyed_shuffle(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_change = st.tuples(
+    st.integers(min_value=0, max_value=6),          # key
+    st.integers(min_value=1, max_value=4),          # version
+    st.sampled_from(["U", "D"]),                    # op
+    st.integers(min_value=0, max_value=99),         # payload
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(_change, max_size=12, unique_by=lambda c: (c[0], c[1], c[2])))
+def test_merge_agrees_with_dict_replay(spark, changes):
+    """apply_changes (max-version-wins with delete beating upsert at
+    the max) must equal a sequential dict replay in version order with
+    upserts applied before deletes within each version (so the
+    co-versioned delete wins there too) — two independent formulations
+    of the same CDC semantics."""
+    base_keys = {0: "b0", 1: "b1", 2: "b2"}
+    state = dict(base_keys)
+    # replay in version order; within a version apply upserts first so
+    # the co-versioned delete wins, matching the operator's tie rule
+    for v in sorted({c[1] for c in changes}):
+        for k, ver, op, payload in changes:
+            if ver == v and op == "U":
+                state[k] = f"p{payload}"
+        for k, ver, op, _ in changes:
+            if ver == v and op == "D":
+                state.pop(k, None)
+    base = spark.createDataFrame(
+        [(k, val) for k, val in base_keys.items()], "k long, val string"
+    )
+    schema = "k long, val string, _op string, _version long"
+    ch = spark.createDataFrame(
+        [(k, f"p{p}", op, v) for k, v, op, p in changes], schema
+    ) if changes else spark.createDataFrame([], schema)
+    got = {r.k: r.val for r in apply_changes(base, ch, ["k"]).collect()}
+    assert got == state
