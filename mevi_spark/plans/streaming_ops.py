@@ -507,3 +507,70 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return _drained(spark.table(sink), base, sink)
+
+
+@register(
+    "streaming_cdc_apply",
+    oracle="""
+SELECT o_orderkey,
+       ROUND(CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1000.5
+                  ELSE o_totalprice END, 2) AS total_price,
+       CASE WHEN o_orderkey % 13 = 0 THEN 2 ELSE 0 END AS version
+FROM orders WHERE o_orderkey % 17 <> 0
+UNION ALL
+SELECT o_orderkey + 10000000, ROUND(o_totalprice, 2), 4
+FROM orders WHERE o_orderkey % 19 = 0
+""",
+)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge, streaming flavor: the ``orders_merge_upsert`` change
+    batch arrives as a STREAM in three version-ordered slices (updates
+    v2, deletes v3, inserts v4) and
+    :func:`~mevi_spark.streaming.incremental_merge` maintains the
+    published table — per batch one keyed merge against the last
+    published state, atomic symlink publish, versions retained so a
+    replayed batch reproduces the identical state. The drained table
+    (keys, prices, winning versions) must equal the one-shot batch
+    merge, which the oracle states in closed form — keys divisible by
+    221 exercise the update-then-delete sequence across slices."""
+    import shutil
+
+    from mevi_spark.streaming import incremental_merge
+
+    base_dir = _tmp("cdc")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    upd = base.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1000.5).alias("o_totalprice"),
+        F.lit("U").alias("_op"), F.lit(2).cast("long").alias("_version"),
+    )
+    del_ = base.filter(F.col("o_orderkey") % 17 == 0).select(
+        "o_orderkey", "o_totalprice",
+        F.lit("D").alias("_op"), F.lit(3).cast("long").alias("_version"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 19 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_totalprice",
+        F.lit("U").alias("_op"), F.lit(4).cast("long").alias("_version"),
+    )
+    for i, sl in enumerate((upd, del_, ins)):
+        sl.coalesce(1).write.mode("overwrite").parquet(
+            f"{base_dir}/in/s{i:02d}"
+        )
+    stream = stream_parquet_source(
+        spark, f"{base_dir}/in/s*", upd.schema, max_files_per_trigger=1
+    )
+    q = incremental_merge(
+        stream, base, ["o_orderkey"],
+        f"{base_dir}/out", f"{base_dir}/ckpt",
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(f"{base_dir}/out")
+    result = out.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.col("_version").cast("int").alias("version"),
+    )
+    return _drained(result, base_dir)

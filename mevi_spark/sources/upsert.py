@@ -30,6 +30,8 @@ def apply_changes(
     version_col: str = VERSION_COL,
     op_col: str = OP_COL,
     base_version: int = 0,
+    base_version_col: str | None = None,
+    keep_version: bool = False,
 ) -> DataFrame:
     """Merge ``changes`` into ``base``; returns the new table state.
 
@@ -38,13 +40,24 @@ def apply_changes(
     per key; higher wins, ties broken by preferring the delete — the
     conservative resolution — then arbitrary-but-deterministic column
     order is the caller's contract). ``base`` rows are implicitly
-    ``(op='U', version=base_version)``.
+    ``(op='U', version=base_version)`` — or, when ``base`` is itself a
+    versioned state table (the incremental/streaming case), pass
+    ``base_version_col`` to take each base row's own version and
+    ``keep_version=True`` to carry the winning version into the output
+    so the next merge can continue from it. With versions retained the
+    merge is replay-idempotent: re-applying an already-applied batch
+    reproduces the identical state.
     """
-    data_cols = [c for c in base.columns]
+    data_cols = [c for c in base.columns if c != base_version_col]
+    bv = (
+        F.col(base_version_col)
+        if base_version_col is not None
+        else F.lit(base_version)
+    )
     b = base.select(
         *data_cols,
         F.lit("U").alias(op_col),
-        F.lit(base_version).cast("long").alias(version_col),
+        bv.cast("long").alias(version_col),
     )
     c = changes.select(
         *data_cols,
@@ -60,4 +73,5 @@ def apply_changes(
     latest = u.select(
         "*", F.row_number().over(w).alias("_rn")
     ).filter(F.col("_rn") == 1)
-    return latest.filter(F.col(op_col) != "D").select(*data_cols)
+    out_cols = [*data_cols, *([version_col] if keep_version else [])]
+    return latest.filter(F.col(op_col) != "D").select(*out_cols)

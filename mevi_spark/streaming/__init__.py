@@ -25,6 +25,7 @@ arriving corpus/event stream.
 
 from mevi_spark.streaming.incremental import (
     dedup_stream,
+    incremental_merge,
     incremental_quantize,
     incremental_topk,
     sessionize_stream,
@@ -34,6 +35,7 @@ from mevi_spark.streaming.incremental import (
 
 __all__ = [
     "dedup_stream",
+    "incremental_merge",
     "incremental_quantize",
     "incremental_topk",
     "sessionize_stream",

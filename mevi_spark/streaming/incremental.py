@@ -85,6 +85,76 @@ def incremental_quantize(
     )
 
 
+def _link_prefixes(output_dir: str, kind: str) -> tuple[str, str]:
+    """Version/link prefixes NAMESPACED by the output's basename: two
+    streams publishing under one shared parent must never reap each
+    other's live version dirs or dangle the other's symlink (ADVICE r6
+    — the same scoping compact_partitioned applies to its trash)."""
+    import os
+
+    base = os.path.basename(os.path.abspath(output_dir))
+    return f".{kind}-v-{base}-", f".{kind}-ln-{base}-"
+
+
+def _migrate_legacy_dir(output_dir: str, v_prefix: str, ln_prefix: str) -> None:
+    """A REAL directory at ``output_dir`` (published by an earlier
+    non-symlink scheme) becomes version 0 behind the link — one rename;
+    without this the publish rename would fail against an existing
+    directory and kill the stream."""
+    import os
+    import uuid as _uuid
+
+    if os.path.isdir(output_dir) and not os.path.islink(output_dir):
+        parent = os.path.dirname(os.path.abspath(output_dir))
+        legacy = os.path.join(parent, f"{v_prefix}{_uuid.uuid4().hex[:8]}")
+        os.rename(output_dir, legacy)
+        lnk = os.path.join(parent, f"{ln_prefix}{_uuid.uuid4().hex[:8]}")
+        os.symlink(legacy, lnk)
+        os.rename(lnk, output_dir)
+
+
+def _publish_version(
+    out: DataFrame,
+    output_dir: str,
+    v_prefix: str,
+    ln_prefix: str,
+    grace: float,
+) -> None:
+    """Crash-atomic publish: write a fresh version dir, then flip the
+    published SYMLINK in one rename — there is no window with no live
+    table (a two-rename directory swap has one: a crash between renames
+    strands the data in a trash dir). Superseded versions and crashed-
+    attempt strandings carrying this output's prefix go through the
+    shared mark-then-reap with a grace period, so a reader that
+    resolved the old target mid-scan survives the flip (VERDICT r6 #5);
+    stray tmp links are unlinked immediately (single-writer-per-output
+    contract: any ln-prefixed entry left after our flip is ours and
+    dead)."""
+    import os
+    import uuid as _uuid
+
+    from mevi_spark.plans.staging import reap_stale
+
+    parent = os.path.dirname(os.path.abspath(output_dir))
+    os.makedirs(parent, exist_ok=True)
+    version = os.path.join(parent, f"{v_prefix}{_uuid.uuid4().hex[:8]}")
+    out.write.mode("overwrite").parquet(version)
+    tmp_link = os.path.join(parent, f"{ln_prefix}{_uuid.uuid4().hex[:8]}")
+    os.symlink(version, tmp_link)
+    os.rename(tmp_link, output_dir)  # atomic link replacement
+    stale = []
+    for entry in os.listdir(parent):
+        full = os.path.join(parent, entry)
+        if entry.startswith(ln_prefix):
+            try:
+                os.unlink(full)
+            except OSError:
+                pass
+        elif entry.startswith(v_prefix) and full != version:
+            stale.append(full)
+    reap_stale(stale, grace=grace)
+
+
 def incremental_topk(
     stream_df: DataFrame,
     queries: DataFrame,
@@ -116,24 +186,14 @@ def incremental_topk(
     queries); the corpus side streams unboundedly.
     """
     import os
-    import shutil
-    import uuid as _uuid
 
     from mevi_spark.functions.vector import dot
     from mevi_spark.operators.topk import topk_per_group
-    from mevi_spark.plans.staging import reap_stale
 
     q = queries.select(
         F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
     )
-    # version/link prefixes are NAMESPACED by the output's basename:
-    # two incremental_topk streams publishing under one shared parent
-    # must never reap each other's live version dirs or dangle the
-    # other's symlink (ADVICE r6 — the same scoping compact_partitioned
-    # applies to its trash)
-    _base = os.path.basename(os.path.abspath(output_dir))
-    v_prefix = f".topk-v-{_base}-"
-    ln_prefix = f".topk-ln-{_base}-"
+    v_prefix, ln_prefix = _link_prefixes(output_dir, "topk")
 
     def _grace() -> float:
         # superseded versions linger this long after being MARKED stale
@@ -144,19 +204,7 @@ def incremental_topk(
 
     def sink(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
-        # migrate a layout published by an earlier non-symlink scheme:
-        # a REAL directory at output_dir becomes version 0 behind the
-        # link (one rename; without this the publish rename below would
-        # fail against an existing directory and kill the stream)
-        if os.path.isdir(output_dir) and not os.path.islink(output_dir):
-            parent0 = os.path.dirname(os.path.abspath(output_dir))
-            legacy = os.path.join(
-                parent0, f"{v_prefix}{_uuid.uuid4().hex[:8]}"
-            )
-            os.rename(output_dir, legacy)
-            lnk = os.path.join(parent0, f"{ln_prefix}{_uuid.uuid4().hex[:8]}")
-            os.symlink(legacy, lnk)
-            os.rename(lnk, output_dir)
+        _migrate_legacy_dir(output_dir, v_prefix, ln_prefix)
         scored = (
             batch.select(id_col, vec_col)
             .crossJoin(F.broadcast(q))
@@ -180,42 +228,75 @@ def incremental_topk(
         # deterministic per pair, so dedup loses nothing)
         merged = merged.dropDuplicates([query_id, id_col])
         out = topk_per_group(merged, [query_id], "score", k, [id_col])
-        # crash-atomic publish: write a fresh version dir, then flip the
-        # published SYMLINK in one rename — there is no window with no
-        # live table (a two-rename directory swap has one: a crash
-        # between renames strands the data in a trash dir). The batch's
-        # offsets commit only after this sink returns, so a crash
-        # anywhere here replays the batch against the still-live old
-        # version — and the merge is replay-idempotent.
-        parent = os.path.dirname(os.path.abspath(output_dir))
-        os.makedirs(parent, exist_ok=True)
-        version = os.path.join(parent, f"{v_prefix}{_uuid.uuid4().hex[:8]}")
-        out.write.mode("overwrite").parquet(version)
-        tmp_link = os.path.join(parent, f"{ln_prefix}{_uuid.uuid4().hex[:8]}")
-        os.symlink(version, tmp_link)
-        os.rename(tmp_link, output_dir)  # atomic link replacement
-        # reap THIS OUTPUT's superseded versions and publish orphans:
-        # every non-live version dir carrying our prefix (the one just
-        # superseded, plus crashed-attempt strandings) goes through the
-        # shared mark-then-reap — deleted only after a grace period so a
-        # reader that resolved the old target mid-scan survives the flip
-        # (VERDICT r6 #5). Stray tmp links are unlinked immediately: the
-        # single-writer-per-output contract means any ln-prefixed entry
-        # left after our flip is ours and dead.
-        stale = []
-        for entry in os.listdir(parent):
-            full = os.path.join(parent, entry)
-            if entry.startswith(ln_prefix):
-                try:
-                    os.unlink(full)
-                except OSError:
-                    pass
-            elif entry.startswith(v_prefix) and full != version:
-                stale.append(full)
-        reap_stale(stale, grace=_grace())
+        # the batch's offsets commit only after this sink returns, so a
+        # crash anywhere here replays the batch against the still-live
+        # old version — and the merge is replay-idempotent
+        _publish_version(out, output_dir, v_prefix, ln_prefix, _grace())
 
     return (
         stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def incremental_merge(
+    change_stream: DataFrame,
+    base: DataFrame,
+    key_cols: list[str],
+    output_dir: str,
+    checkpoint_dir: str,
+    version_col: str = "_version",
+    op_col: str = "_op",
+):
+    """Streaming CDC apply: maintain a table under a stream of keyed
+    upserts/deletes — the ingestion half of a lakehouse MERGE pipeline.
+
+    Per micro-batch the current published state (the ``base`` snapshot
+    until the first publish) merges with the batch's changes through
+    :func:`mevi_spark.sources.upsert.apply_changes` with versions
+    RETAINED in the published table, then publishes by the same atomic
+    symlink flip as :func:`incremental_topk` — readers always see a
+    complete state, crashes replay the uncommitted batch, and because
+    versions persist the re-merge reproduces the identical state
+    (replay-idempotent: max-version-wins is insensitive to re-applying
+    rows the state already absorbed). State is the table itself — no
+    state store; per batch ONE keyed shuffle over |table|+|batch| rows.
+    """
+    import os
+
+    from mevi_spark.sources.upsert import apply_changes
+
+    v_prefix, ln_prefix = _link_prefixes(output_dir, "merge")
+
+    def _grace() -> float:
+        return float(os.environ.get("SPARK_GRAFT_TOPK_GRACE", "60"))
+
+    b0 = base.select(
+        "*", F.lit(0).cast("long").alias(version_col)
+    )
+
+    def sink(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        _migrate_legacy_dir(output_dir, v_prefix, ln_prefix)
+        if os.path.exists(os.path.join(output_dir, "_SUCCESS")):
+            cur = spark.read.parquet(output_dir)
+        else:
+            cur = b0
+        out = apply_changes(
+            cur,
+            batch,
+            key_cols,
+            version_col=version_col,
+            op_col=op_col,
+            base_version_col=version_col,
+            keep_version=True,
+        )
+        _publish_version(out, output_dir, v_prefix, ln_prefix, _grace())
+
+    return (
+        change_stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

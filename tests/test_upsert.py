@@ -113,3 +113,29 @@ def test_merge_agrees_with_dict_replay(spark, changes):
     ) if changes else spark.createDataFrame([], schema)
     got = {r.k: r.val for r in apply_changes(base, ch, ["k"]).collect()}
     assert got == state
+
+
+def test_versioned_merge_is_replay_idempotent(spark):
+    """The streaming contract: re-applying an already-absorbed batch to
+    a version-retaining state reproduces the identical state (a crashed
+    micro-batch replays against the post-publish table only if the
+    publish happened but the offset commit did not — rare but real)."""
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0)], "k long, val string, _version long"
+    )
+    batch = spark.createDataFrame(
+        [(1, "a2", "U", 2), (2, None, "D", 2), (3, "c", "U", 2)],
+        "k long, val string, _op string, _version long",
+    )
+
+    def merge(cur):
+        return apply_changes(
+            cur, batch, ["k"],
+            base_version_col="_version", keep_version=True,
+        )
+
+    once = merge(base)
+    twice = merge(once)
+    want = {(1, "a2", 2), (3, "c", 2)}
+    assert {(r.k, r.val, r._version) for r in once.collect()} == want
+    assert {(r.k, r.val, r._version) for r in twice.collect()} == want
