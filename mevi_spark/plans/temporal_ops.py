@@ -190,3 +190,122 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("_s", 6).alias("sum_value"),
     )
+
+
+_WEEK_US = 7 * _DAY_US
+
+
+@register(
+    "events_funnel_stages",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+  GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            WHEN v.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS stage,
+       v.t_view, c.t_click, p.t_purchase
+FROM u LEFT JOIN v USING (user_id)
+       LEFT JOIN c USING (user_id)
+       LEFT JOIN p USING (user_id)
+""",
+)
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: per user, the earliest view, the earliest click
+    AFTER that view, and the earliest purchase AFTER that click —
+    stage = how far the user progressed, in order (a click before any
+    view does not count). The sequential-dependency pattern product
+    analytics engines special-case; here it is three conditional-min
+    aggregations chained through user-keyed joins — each a
+    partial-aggregated shuffle on ``user_id``, state one row per user,
+    and Catalyst reuses the keyed exchange across the chain."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("user_id", "event_type", epoch_us(ev, "ts").alias("us"))
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("us").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("us").alias("t_purchase"))
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", stage.alias("stage"),
+            "t_view", "t_click", "t_purchase",
+        )
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle=f"""
+WITH first AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) // {_WEEK_US} AS cohort_week
+  FROM events GROUP BY user_id)
+SELECT CAST(f.cohort_week AS BIGINT) AS cohort_week,
+       CAST(epoch_us(e.ts) // {_WEEK_US} - f.cohort_week AS BIGINT)
+         AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN first f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by the epoch-week of their first
+    event; for every (cohort, weeks-since-cohort) the count of distinct
+    users still active — the product-analytics retention triangle. Two
+    user-keyed partial-aggregated shuffles (first-event, then the
+    cohort join) and one (cohort, offset)-keyed distinct count; at
+    100 TB the distinct count is the shuffle to watch — swap in
+    approx_count_distinct (HLL partials) for the corpus-wide variant,
+    same plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("user_id", epoch_us(ev, "ts").alias("us"))
+    first = ev.groupBy("user_id").agg(
+        F.expr(f"min(us) div {_WEEK_US}").alias("cohort_week")
+    )
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.expr(f"us div {_WEEK_US}") - F.col("cohort_week")).alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

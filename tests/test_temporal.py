@@ -152,3 +152,51 @@ def test_hypertable_rollup_is_single_scan(spark):
     )
     assert plan.count("Scan parquet") == 1
     assert plan.count("Expand") >= 1
+
+
+def test_funnel_stages_match_python(spark):
+    from mevi_spark.plans.temporal_ops import events_funnel_stages
+
+    ev = _events(SF)
+    want = {}
+    for uid, grp in ev.groupby("user_id"):
+        views = sorted(grp[grp.event_type == "view"].ts_us)
+        t_view = views[0] if views else None
+        t_click = t_purchase = None
+        if t_view is not None:
+            clicks = sorted(
+                t for t in grp[grp.event_type == "click"].ts_us if t > t_view
+            )
+            t_click = clicks[0] if clicks else None
+        if t_click is not None:
+            buys = sorted(
+                t for t in grp[grp.event_type == "purchase"].ts_us if t > t_click
+            )
+            t_purchase = buys[0] if buys else None
+        stage = 3 if t_purchase else 2 if t_click else 1 if t_view else 0
+        want[uid] = (stage, t_view, t_click, t_purchase)
+
+    got = {
+        r.user_id: (r.stage, r.t_view, r.t_click, r.t_purchase)
+        for r in events_funnel_stages(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_cohort_retention_matches_python(spark):
+    from mevi_spark.plans.temporal_ops import _WEEK_US, events_cohort_retention
+
+    ev = _events(SF)
+    first = ev.groupby("user_id").ts_us.min() // _WEEK_US
+    want = {}
+    for r in ev.itertuples():
+        cohort = int(first[r.user_id])
+        offset = int(r.ts_us // _WEEK_US - cohort)
+        want.setdefault((cohort, offset), set()).add(r.user_id)
+    want = {k: len(v) for k, v in want.items()}
+
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in events_cohort_retention(spark, SF).collect()
+    }
+    assert got == want
