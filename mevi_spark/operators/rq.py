@@ -153,17 +153,17 @@ def _level_centroids_arrow(
     )
 
 
-def centroid_entries(centroids: DataFrame) -> list[tuple[int, list[float], float]]:
-    """Collect a K-row codebook to ``[(code, centroid, ‖c‖²)]`` sorted by
-    code — the literal artifact behind the ``expr`` assignment path.
-
-    ‖c‖² is folded left-to-right in Python float64, which is the same
-    IEEE op sequence as the engine-side ``dot(c, c)`` fold (and DuckDB's
-    ``list_dot_product``), so precomputing it driver-side changes no bit
-    of any distance.
-    """
+def entries_from_rows(rows) -> list[tuple[int, list[float], float]]:
+    """``[(code, centroid, ‖c‖²)]`` sorted by code, from collected rows
+    carrying ``code`` and ``centroid`` — THE canonical fold: ‖c‖² is
+    accumulated left-to-right in Python float64, the same IEEE op
+    sequence as the engine-side ``dot(c, c)`` fold (and DuckDB's
+    ``list_dot_product``), so precomputing it driver-side changes no
+    bit of any distance. Every consumer that turns codebook rows into
+    literal entries (the seeded chain, the staged-codebook rebuild)
+    must go through this one function so the fold can never diverge."""
     entries = []
-    for r in centroids.select("code", "centroid").collect():
+    for r in rows:
         cent = [float(v) for v in r["centroid"]]
         cc = 0.0
         for v in cent:
@@ -171,6 +171,13 @@ def centroid_entries(centroids: DataFrame) -> list[tuple[int, list[float], float
         entries.append((int(r["code"]), cent, cc))
     entries.sort()
     return entries
+
+
+def centroid_entries(centroids: DataFrame) -> list[tuple[int, list[float], float]]:
+    """Collect a K-row codebook to ``[(code, centroid, ‖c‖²)]`` sorted by
+    code — the literal artifact behind the ``expr`` assignment path
+    (fold semantics in :func:`entries_from_rows`)."""
+    return entries_from_rows(centroids.select("code", "centroid").collect())
 
 
 def assign_nearest(

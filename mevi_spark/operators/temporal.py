@@ -48,6 +48,12 @@ def asof_join(
     the max tiebreak).
     """
     lt, rt = F.col(left_time), F.col(right_time)
+    # a NULL right time has no place on the as-of axis: left unfiltered
+    # it sorts FIRST under the window ordering and last(ignorenulls)
+    # hands its value to left rows that have no true predecessor — a
+    # phantom match with a NULL matched-time (DuckDB ASOF and pandas
+    # merge_asof both return no match for such rows)
+    right = right.filter(rt.isNotNull())
     tb = (
         F.col(right_tiebreak)
         if right_tiebreak is not None

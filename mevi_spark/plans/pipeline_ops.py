@@ -925,7 +925,7 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.select(
             "event_type",
             "n",
-            F.posexplode(F.arrays_zip(labels.alias("p"), F.col("qs").alias("v"))),
+            F.explode(F.arrays_zip(labels.alias("p"), F.col("qs").alias("v"))),
         )
         .select(
             "event_type",

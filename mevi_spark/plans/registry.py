@@ -80,16 +80,21 @@ _LOADED = False
 #   tier 2 — round-6-new queries whose implementation CHANGED this
 #            round (incremental_topk publish path, compaction budget
 #            path, skew salt + scaled-long merge) so the driver
-#            re-evidences the changed code, plus the three round-7-new
-#            queries (tfidf, quantiles, canonicalize — zero rows);
+#            re-evidences the changed code, plus the SEVEN round-7-new
+#            in-window queries (tfidf, quantiles, canonicalize,
+#            decontaminate, repetition, domain mix, sequence pack —
+#            zero rows; seven more r7 queries register AFTER the
+#            window and rotate in next round);
 #   tier 3 — the 13 bench headliners, kept in-window for regression
 #            coverage regardless of row count.
 #
-# Rotated out to make room for the r7-new five: ann_adc_topk,
+# Rotated out to make room for the r7-new seven: ann_adc_topk,
 # streaming_dedup_ingest, text_redact_pii (each fresh-green in r6 and
 # textually unchanged this round; ADC's upstream RQ-chain changes are
 # re-evidenced through the in-window rq/beam/coarse headliners that
-# share the chain) plus tsv_queries_roundtrip and tsv_run_roundtrip
+# share the chain), streaming_topk_maintenance and compaction_roundtrip
+# (r6-green; their r7 publish/budget changes carry dedicated pytest
+# races), plus tsv_queries_roundtrip and tsv_run_roundtrip
 # (trivial deterministic IO roundtrips, pytest-covered and gated
 # locally every round — the least informative driver rows; the TSV
 # family keeps tsv_corpus_roundtrip in-window as its representative).

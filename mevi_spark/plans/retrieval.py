@@ -390,9 +390,21 @@ _CHAIN_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 # Python data, session-independent by construction
 _ENTRIES_CACHE: dict[str, list] = {}
 
-# staged layout paths whose build-time DPP assertion already passed in
-# this process (the plan shape is deterministic per layout)
-_DPP_OK: set[str] = set()
+# (staged layout path, planning-relevant conf) pairs whose build-time
+# DPP assertion already passed in this process — the plan shape is
+# deterministic per layout ONLY under fixed planner configuration, so
+# a session with e.g. DPP disabled or a different broadcast threshold
+# re-asserts rather than inheriting a stale pass
+_DPP_OK: set[tuple] = set()
+
+
+def _dpp_conf_key(spark: SparkSession) -> tuple:
+    get = spark.conf.get
+    return (
+        get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true"),
+        get("spark.sql.adaptive.enabled", "true"),
+        get("spark.sql.autoBroadcastJoinThreshold", ""),
+    )
 
 
 def _codebook2(spark: SparkSession, sf_dir: str):
@@ -420,11 +432,21 @@ def _codebook2(spark: SparkSession, sf_dir: str):
     from mevi_spark.plans.staging import ensure_staged
 
     def _write(path: str) -> None:
+        # persist_levels: without it each level's centroid frame would
+        # be aggregated once for the chain's literal entries and AGAIN
+        # when the codebook union materializes in the write below —
+        # double the training jobs on the one-time staging build
+        level_frames: list = []
         _, cb = rq_encode_seeded(
             _emb(spark, sf_dir), seed_code="label", id_col="vec_id",
-            vec_col="embedding", levels=2,
+            vec_col="embedding", levels=2, persist_levels=True,
+            persisted_out=level_frames,
         )
-        cb.coalesce(1).write.mode("overwrite").parquet(path)
+        try:
+            cb.coalesce(1).write.mode("overwrite").parquet(path)
+        finally:
+            for df in level_frames:
+                df.unpersist()
 
     staged = ensure_staged("codebook2", sf_dir, _write)
     codebook = spark.read.parquet(staged).persist()
@@ -435,16 +457,18 @@ def _codebook2(spark: SparkSession, sf_dir: str):
     # the tiny staged-read job
     level_entries = _ENTRIES_CACHE.get(staged)
     if level_entries is None:
+        from mevi_spark.operators.rq import entries_from_rows
+
+        rows = codebook.select("level", "code", "centroid").collect()
         by_level: dict[int, list] = {}
-        for r in codebook.select("level", "code", "centroid").collect():
-            cent = [float(v) for v in r["centroid"]]
-            cc = 0.0
-            for v in cent:
-                cc += v * v
-            by_level.setdefault(int(r["level"]), []).append(
-                (int(r["code"]), cent, cc)
-            )
-        level_entries = [sorted(by_level[lvl]) for lvl in sorted(by_level)]
+        for r in rows:
+            by_level.setdefault(int(r["level"]), []).append(r)
+        # the canonical ||c||^2 fold lives in entries_from_rows — the
+        # staged rebuild MUST share it with the seeded chain or the
+        # bit-identical-mapping guarantee silently breaks
+        level_entries = [
+            entries_from_rows(by_level[lvl]) for lvl in sorted(by_level)
+        ]
         while len(_ENTRIES_CACHE) >= 8:  # a few MB bound; FIFO evict
             _ENTRIES_CACHE.pop(next(iter(_ENTRIES_CACHE)))
         _ENTRIES_CACHE[staged] = level_entries
@@ -635,15 +659,16 @@ def _fine_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             _queries(spark, sf_dir), _coarse1(spark, sf_dir), part, k=10
         )
         # the DPP property is a function of the plan SHAPE, identical
-        # for every build over the same staged layout in this process —
-        # assert it once per layout path instead of re-analyzing the
-        # physical plan (≈0.2 s of py4j) on every rebuild
-        if path not in _DPP_OK and not has_dpp(fine):
+        # for every build over the same staged layout under the same
+        # planner conf — assert it once per (layout, conf) instead of
+        # re-analyzing the physical plan (≈0.2 s of py4j) per rebuild
+        key = (path, _dpp_conf_key(spark))
+        if key not in _DPP_OK and not has_dpp(fine):
             raise RuntimeError(
                 "coarse-to-fine expansion join did not plan dynamic "
                 "partition pruning over the staged cluster-keyed layout"
             )
-        _DPP_OK.add(path)
+        _DPP_OK.add(key)
         return fine
 
     return _cached_run(spark, sf_dir, "fine10", build)

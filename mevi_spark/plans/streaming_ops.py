@@ -533,8 +533,6 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (keys, prices, winning versions) must equal the one-shot batch
     merge, which the oracle states in closed form — keys divisible by
     221 exercise the update-then-delete sequence across slices."""
-    import shutil
-
     from mevi_spark.streaming import incremental_merge
 
     base_dir = _tmp("cdc")

@@ -113,6 +113,21 @@ def _migrate_legacy_dir(output_dir: str, v_prefix: str, ln_prefix: str) -> None:
         os.rename(lnk, output_dir)
 
 
+def _publish_grace() -> float:
+    """Seconds a superseded published version lingers after being MARKED
+    stale, so a reader that resolved the old target mid-scan finishes
+    (VERDICT r6 #5). Published results are artifact-sized, so a few
+    graced copies are cheap. ``SPARK_GRAFT_PUBLISH_GRACE`` governs every
+    atomic-publish stream; ``SPARK_GRAFT_TOPK_GRACE`` is honored as the
+    legacy alias (tests and deployments predating incremental_merge)."""
+    import os
+
+    v = os.environ.get("SPARK_GRAFT_PUBLISH_GRACE")
+    if v is None:
+        v = os.environ.get("SPARK_GRAFT_TOPK_GRACE", "60")
+    return float(v)
+
+
 def _publish_version(
     out: DataFrame,
     output_dir: str,
@@ -195,13 +210,6 @@ def incremental_topk(
     )
     v_prefix, ln_prefix = _link_prefixes(output_dir, "topk")
 
-    def _grace() -> float:
-        # superseded versions linger this long after being MARKED stale
-        # so a reader that resolved the old target mid-scan finishes
-        # (VERDICT r6 #5); the result table is k×|queries| rows, so a
-        # few graced copies are artifact-sized, not corpus-sized
-        return float(os.environ.get("SPARK_GRAFT_TOPK_GRACE", "60"))
-
     def sink(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
         _migrate_legacy_dir(output_dir, v_prefix, ln_prefix)
@@ -231,7 +239,9 @@ def incremental_topk(
         # the batch's offsets commit only after this sink returns, so a
         # crash anywhere here replays the batch against the still-live
         # old version — and the merge is replay-idempotent
-        _publish_version(out, output_dir, v_prefix, ln_prefix, _grace())
+        _publish_version(
+            out, output_dir, v_prefix, ln_prefix, _publish_grace()
+        )
 
     return (
         stream_df.writeStream.foreachBatch(sink)
@@ -270,9 +280,6 @@ def incremental_merge(
 
     v_prefix, ln_prefix = _link_prefixes(output_dir, "merge")
 
-    def _grace() -> float:
-        return float(os.environ.get("SPARK_GRAFT_TOPK_GRACE", "60"))
-
     b0 = base.select(
         "*", F.lit(0).cast("long").alias(version_col)
     )
@@ -293,7 +300,9 @@ def incremental_merge(
             base_version_col=version_col,
             keep_version=True,
         )
-        _publish_version(out, output_dir, v_prefix, ln_prefix, _grace())
+        _publish_version(
+            out, output_dir, v_prefix, ln_prefix, _publish_grace()
+        )
 
     return (
         change_stream.writeStream.foreachBatch(sink)

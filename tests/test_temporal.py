@@ -200,3 +200,29 @@ def test_cohort_retention_matches_python(spark):
         for r in events_cohort_retention(spark, SF).collect()
     }
     assert got == want
+
+
+def test_asof_ignores_null_right_times(spark):
+    """A right row with a NULL time must not produce a phantom match
+    (review finding: it sorted first in the window and leaked its value
+    into left rows that have no true predecessor)."""
+    left = spark.createDataFrame([(1, 100, "a")], "k long, t long, tag string")
+    right = spark.createDataFrame(
+        [(1, None, 42.0, 1), (1, 90, 7.0, 2)],
+        "k long, t long, v double, rid long",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_time="t", right_time="t",
+        right_vals=["v"], right_tiebreak="rid",
+    ).collect()
+    assert len(out) == 1 and out[0].v_asof == 7.0 and out[0].t_asof == 90
+
+    # with ONLY a null-time right row: no match at all
+    right2 = spark.createDataFrame(
+        [(1, None, 42.0, 1)], "k long, t long, v double, rid long"
+    )
+    out2 = asof_join(
+        left, right2, on=["k"], left_time="t", right_time="t",
+        right_vals=["v"],
+    ).collect()
+    assert len(out2) == 1 and out2[0].v_asof is None and out2[0].t_asof is None
