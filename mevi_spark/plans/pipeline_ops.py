@@ -1325,3 +1325,112 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(c + n_tok - 1) div {_SEQ_LEN}").alias("end_seq"),
         )
     )
+
+
+@register(
+    "bm25_search",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+dl AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+stats AS (SELECT COUNT(*) AS n, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+q AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(t[1:5])) AS term
+  FROM dl WHERE doc_id % 50 = 0),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)) AS c
+  FROM q JOIN tf USING (term)
+         JOIN dfreq ON dfreq.term = q.term
+         JOIN dl d ON d.doc_id = tf.doc_id
+         CROSS JOIN stats s),
+scored AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS score
+  FROM contrib GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, ROUND(score, 6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored)
+SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+""",
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 sparse retrieval (Okapi, k1=1.2, b=0.75, Lucene idf
+    smoothing): every 50th document's first five distinct tokens act as
+    the query set (the same eval density the dense tier samples), each
+    query scored against the whole corpus, top-5 per query. The lexical
+    baseline the reference's dense/generative retrieval is normally
+    ensembled against in IR practice.
+
+    Cross-engine determinism: per-term contributions are summed through
+    the decimal-stabilized path (scaled-long == the oracle's
+    DECIMAL(18,6) accumulation) and ranking orders by the ROUNDED
+    score + doc_id, so a last-ulp difference in ``ln`` can never flip
+    ranks. 100 TB plan: query terms broadcast (eval-sized), postings
+    term-keyed partial-aggregated shuffles, per-query window over
+    candidate docs only (docs sharing ≥1 query term)."""
+    from mevi_spark.functions.agg import scaled_long
+    from mevi_spark.functions.text import normalize_text as _n, tokens
+    from mevi_spark.operators.topk import topk_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", tokens(_n("text")).alias("t")).select(
+        "doc_id", "t", F.size("t").alias("dl")
+    )
+    n, avgdl = toks.agg(
+        F.count("*"), F.sum("dl").cast("double") / F.count("*")
+    ).first()
+    tf = toks.select("doc_id", "dl", F.explode("t").alias("term")).groupBy(
+        "doc_id", "dl", "term"
+    ).agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    q = (
+        toks.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(F.slice("t", 1, 5))).alias("term"),
+        )
+    )
+    contrib = (
+        q.join(tf, "term")
+        .join(dfreq, "term")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.log(
+                    (F.lit(float(n)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.lit(float(avgdl)))
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        (F.sum(scaled_long("c")).cast("double") / F.lit(1e6)).alias("score")
+    )
+    ranked = topk_per_group(
+        scored.withColumn("score", F.round("score", 6)),
+        ["query_id"], "score", 5, ["doc_id"], rank_col="rnk",
+    )
+    return ranked.select(
+        "query_id", "doc_id", "score", F.col("rnk").cast("int").alias("rnk")
+    )

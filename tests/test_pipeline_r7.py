@@ -280,3 +280,48 @@ def test_approx_quantiles_track_exact(spark, sf_dir):
         for label, got in zip(("p25", "p50", "p75", "p95"), r.qs):
             want = exact[(r.event_type, label)]
             assert abs(got - want) <= 0.02 * spread, (r.event_type, label)
+
+
+def test_bm25_matches_python_recompute(spark, sf_dir):
+    from mevi_spark.plans.pipeline_ops import bm25_search
+
+    toks = _doc_tokens(spark, sf_dir)
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df: dict[str, int] = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+
+    def scaled(x):  # the scaled-long/decimal(18,6) accumulation
+        return int(abs(x) * 1e6 + 0.5) * (1 if x >= 0 else -1)
+
+    expected = {}
+    for qid, qt in toks.items():
+        if qid % 50 != 0:
+            continue
+        qterms = set(qt[:5])
+        scores: dict[int, int] = {}
+        for doc_id, t in toks.items():
+            s = 0
+            for term in qterms:
+                tf = t.count(term)
+                if tf == 0:
+                    continue
+                idf = math.log((n - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
+                c = idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len(t) / avgdl))
+                s += scaled(c)
+            if s:
+                scores[doc_id] = round(s / 1e6, 6)
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        expected[qid] = [(d, s, r + 1) for r, (d, s) in enumerate(top)]
+
+    got: dict[int, list] = {}
+    for r in bm25_search(spark, sf_dir).collect():
+        got.setdefault(r.query_id, []).append((r.doc_id, r.score, r.rnk))
+    for qid in got:
+        got[qid].sort(key=lambda x: x[2])
+    assert got == expected  # exact equality incl. scores and ranks
+    # (no self-retrieval assertion: the synthetic corpus's first-five-
+    # token queries are common words, so the source doc has no BM25
+    # advantage — measured 1/10 self-in-top5 at sf0.001)
