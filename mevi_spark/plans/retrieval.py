@@ -399,11 +399,14 @@ _DPP_OK: set[tuple] = set()
 
 
 def _dpp_conf_key(spark: SparkSession) -> tuple:
+    # conf.get validates even the FALLBACK against the conf's type on a
+    # vanilla session (the driver's), so the byte-typed threshold must
+    # fall back to its real default, never a sentinel like ''
     get = spark.conf.get
     return (
         get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true"),
         get("spark.sql.adaptive.enabled", "true"),
-        get("spark.sql.autoBroadcastJoinThreshold", ""),
+        get("spark.sql.autoBroadcastJoinThreshold", "10MB"),
     )
 
 

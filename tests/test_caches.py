@@ -63,3 +63,24 @@ def test_caches_are_per_session_maps(spark, sf_dir):
     assert set(R._CHAIN_CACHE[spark]) == {sf_dir}
     for key in R._RUN_CACHE.get(spark, {}):
         assert isinstance(key, tuple) and key[0] == sf_dir
+
+
+def test_dpp_conf_key_works_on_default_confs(spark):
+    """The driver runs a VANILLA session where none of the planner confs
+    are explicitly set; conf.get validates even the fallback value
+    against the conf's type, so the key builder must never pass a
+    sentinel that fails validation (round-7 regression: '' for the
+    byte-typed broadcast threshold broke entry() on vanilla sessions
+    while every configured-session check stayed green)."""
+    fresh = spark.newSession()
+    for key in (
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ):
+        try:
+            fresh.conf.unset(key)
+        except Exception:
+            pass
+    key = R._dpp_conf_key(fresh)
+    assert len(key) == 3 and all(v for v in key)
