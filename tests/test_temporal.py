@@ -226,3 +226,93 @@ def test_asof_ignores_null_right_times(spark):
         right_vals=["v"],
     ).collect()
     assert len(out2) == 1 and out2[0].v_asof is None and out2[0].t_asof is None
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_row = st.tuples(
+    st.integers(min_value=0, max_value=3),      # key
+    st.integers(min_value=0, max_value=400),    # time
+    st.integers(min_value=0, max_value=99),     # payload
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(_row, min_size=1, max_size=10),
+    st.lists(_row, min_size=0, max_size=10, unique_by=lambda r: (r[0], r[1])),
+)
+def test_asof_join_matches_brute_force(spark, lrows, rrows):
+    """asof_join == per-row brute force: the max-time right row with
+    time <= left time per key (right (key, time) unique, so tie rules
+    don't enter)."""
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t, _) in enumerate(lrows)],
+        "k long, t long, lid long",
+    )
+    schema = "k long, t long, v long"
+    right = (
+        spark.createDataFrame([(k, t, v) for k, t, v in rrows], schema)
+        if rrows else spark.createDataFrame([], schema)
+    )
+    got = {
+        r.lid: (r.v_asof, r.t_asof)
+        for r in asof_join(
+            left, right, on=["k"], left_time="t", right_time="t",
+            right_vals=["v"],
+        ).collect()
+    }
+    for i, (k, t, _) in enumerate(lrows):
+        cands = [(rt, v) for rk, rt, v in rrows if rk == k and rt <= t]
+        want = max(cands) if cands else None
+        if want is None:
+            assert got[i] == (None, None)
+        else:
+            assert got[i] == (want[1], want[0])
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(_row, min_size=1, max_size=8),
+    st.lists(_row, min_size=0, max_size=8),
+    st.integers(min_value=-200, max_value=100),  # lower (may be negative)
+    st.integers(min_value=1, max_value=300),     # width
+)
+def test_range_join_matches_brute_force(spark, lrows, rrows, lower, width):
+    """range_join_binned == brute-force interval check, including
+    negative lower bounds (windows reaching back in time) — the bin
+    arithmetic a fixed dataset never stresses."""
+    upper = lower + width
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t, _) in enumerate(lrows)],
+        "k long, lt long, lid long",
+    )
+    schema = "k long, rt long, rid long"
+    right = (
+        spark.createDataFrame(
+            [(k, t, 1000 + j) for j, (k, t, _) in enumerate(rrows)], schema
+        )
+        if rrows else spark.createDataFrame([], schema)
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in range_join_binned(
+            left, right, on=["k"], left_time="lt", right_time="rt",
+            lower_us=lower, upper_us=upper,
+        ).collect()
+    }
+    want = {
+        (i, 1000 + j)
+        for i, (lk, lt, _) in enumerate(lrows)
+        for j, (rk, rt, _) in enumerate(rrows)
+        if lk == rk and lt + lower <= rt <= lt + upper
+    }
+    assert got == want
