@@ -312,3 +312,80 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "events_rolling_stats",
+    oracle=f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       COUNT(*) OVER w AS n_1h,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6)
+         AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_HOUR_US} PRECEDING AND CURRENT ROW)
+""",
+)
+def events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling time-based features: per event, the count and exact sum
+    of the same user's values over the trailing hour — a RANGE-framed
+    window (value-based bounds, peer-inclusive, so the frame is
+    deterministic even under timestamp ties), the feature-engineering
+    staple rows-based frames cannot express. One keyed shuffle + sort;
+    frame state is bounded by events-per-user-per-hour. Sums are
+    scaled-long, bit-equal to the oracle's decimal accumulation."""
+    from pyspark.sql import Window
+
+    from mevi_spark.functions.agg import scaled_long
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_id", "user_id", "value", epoch_us(ev, "ts").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_HOUR_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(
+            F.sum(scaled_long("value")).over(w).cast("double") / F.lit(1e6), 6
+        ).alias("sum_1h"),
+    )
+
+
+@register(
+    "events_type_pivot",
+    oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click')    AS click,
+       COUNT(*) FILTER (event_type = 'error')    AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (event_type = 'view')     AS view,
+       COUNT(*) AS total
+FROM events GROUP BY user_id
+""",
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts widened to one column per event
+    type (+ total) — the reshape step of every feature table. The
+    pivot values are passed EXPLICITLY, which matters at scale: an
+    unvalued ``pivot()`` first runs a distinct-scan job over the pivot
+    column and inlines whatever it finds (unbounded width, schema
+    drift); the valued form is a single partial-aggregated shuffle
+    with a fixed schema. Absent combinations come back 0, matching the
+    oracle's FILTER form."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    wide = ev.groupBy("user_id").pivot("event_type", types).count()
+    total = None
+    for t in types:
+        c = F.coalesce(F.col(t), F.lit(0)).cast("long")
+        total = c if total is None else total + c
+        wide = wide.withColumn(t, c)
+    return wide.select("user_id", *types, total.alias("total"))

@@ -316,3 +316,39 @@ def test_range_join_matches_brute_force(spark, lrows, rrows, lower, width):
         if lk == rk and lt + lower <= rt <= lt + upper
     }
     assert got == want
+
+
+def test_rolling_stats_match_python(spark):
+    from mevi_spark.plans.temporal_ops import events_rolling_stats
+
+    ev = _events(SF)
+    got = {
+        r.event_id: (r.n_1h, r.sum_1h)
+        for r in events_rolling_stats(spark, SF).collect()
+    }
+    assert len(got) == len(ev)
+    for uid, grp in ev.groupby("user_id"):
+        rows = list(grp.itertuples())
+        for r in rows:
+            in_frame = [
+                x for x in rows if r.ts_us - _HOUR_US <= x.ts_us <= r.ts_us
+            ]
+            s = sum(
+                int(abs(x.value) * 1e6 + 0.5) * (1 if x.value >= 0 else -1)
+                for x in in_frame
+            )
+            assert got[r.event_id] == (len(in_frame), round(s / 1e6, 6))
+
+
+def test_type_pivot_matches_python(spark):
+    from mevi_spark.plans.temporal_ops import events_type_pivot
+
+    ev = _events(SF)
+    got = {r.user_id: r.asDict() for r in events_type_pivot(spark, SF).collect()}
+    assert set(got) == set(ev.user_id)
+    for uid, grp in ev.groupby("user_id"):
+        counts = grp.event_type.value_counts().to_dict()
+        row = got[uid]
+        for t in ("click", "error", "purchase", "signup", "view"):
+            assert row[t] == counts.get(t, 0)
+        assert row["total"] == len(grp)
