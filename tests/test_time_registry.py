@@ -32,6 +32,46 @@ def test_epoch_us_ltz_arm(spark):
     assert got == 1704067201_000000
 
 
+R7_NEW = [
+    "text_tfidf_topterms",
+    "events_value_quantiles",
+    "dedup_canonicalize",
+    "decontaminate_eval",
+    "text_repetition_stats",
+    "domain_mix_sample",
+    "sequence_pack",
+    "orders_merge_upsert",
+    "bm25_search",
+    "streaming_cdc_apply",
+    "events_asof_attribution",
+    "events_range_pairs",
+    "events_hypertable_rollup",
+    "events_funnel_stages",
+    "events_cohort_retention",
+    "events_rolling_stats",
+    "events_type_pivot",
+]
+
+
+def test_driver_window_invariants():
+    """The driver's correctness evidence covers exactly the first 50
+    registered queries, so the priority window must (a) hold exactly 50
+    names, (b) name only registered queries, (c) contain every query
+    that has never received a driver row — this round, the 17 r7-new
+    ones. A drifted window silently starves new queries of evidence."""
+    REG._ensure_loaded()
+    assert len(REG._PRIORITY_ORDER) == 50
+    assert len(set(REG._PRIORITY_ORDER)) == 50
+    window = list(REG.get_queries())[:50]
+    assert set(window) == set(REG._PRIORITY_ORDER)
+    missing = [n for n in R7_NEW if n not in window]
+    assert not missing, f"zero-evidence queries outside the window: {missing}"
+    # every windowed query must also carry an oracle (strict row, not
+    # rows-only) unless deliberately registered without one
+    no_oracle = [n for n in window if n not in REG.get_oracles()]
+    assert not no_oracle, no_oracle
+
+
 def test_registry_reorders_on_equal_count_swap():
     """Replacing one registered query with another (same total count)
     must still trigger a reorder — the staleness key is the name SET,
