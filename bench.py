@@ -14,11 +14,18 @@ Two passes, both reported (VERDICT r6 #3):
   query at the bench SF after a small-SF shape warmup. Includes the
   first-run-at-this-scale JIT/page-cache costs a single-shot job pays.
 * **warm** — the same per-query protocol run a second time in the same
-  JVM with all session artifact caches cleared (every query re-does its
-  real work; only JVM/JIT/page-cache state carries over). This is the
-  steady state of a long-lived cluster, and the like-for-like number
-  against tools/bench_compare.py's DuckDB column, which itself times a
-  second, explicitly-warmed run of each oracle.
+  JVM after ``clear_session_caches`` (cached DataFrame blocks and
+  session-scoped artifacts are dropped; every query re-runs its Spark
+  jobs). Carried into the warm pass beyond JVM/JIT/page-cache state:
+  three PROCESS-WIDE artifact caches — ``retrieval._ENTRIES_CACHE``
+  (the collected K-row codebook entries; skips one small read+collect),
+  ``io._TABLE_CACHE`` (scan-frame construction, plan-side only), and
+  the ``_DPP_OK`` plan-assertion memo (skips a plan .explain, no job).
+  All three are keyed on immutable on-disk artifacts and are exactly
+  what a long-lived cluster session would hold pinned, which is the
+  steady state this pass models — the like-for-like number against
+  tools/bench_compare.py's DuckDB column, which itself times a second,
+  explicitly-warmed run of each oracle.
 
 ``value`` stays the cold total so round-over-round deltas in
 BENCH_r{N}.json compare the same protocol; ``warm_total`` /

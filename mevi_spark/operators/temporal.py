@@ -60,26 +60,34 @@ def asof_join(
         else F.lit(0).cast("long")
     )
     matched_t = f"{left_time}{suffix}"
+    # the matched right row rides as ONE struct (values + matched time):
+    # the struct is non-null for every right row even when a member
+    # value is NULL, so a single last(ignorenulls) can never skip a
+    # legitimately-NULL value and fall through to an older right row
+    # (per-value last() did exactly that — the value came from row t=50
+    # while the matched time said t=90)
+    rrow = F.struct(
+        *[F.col(v).alias(f"v_{v}") for v in right_vals],
+        rt.cast("long").alias("rts"),
+    )
+    rrow_t = right.select(rrow.alias("_s")).schema["_s"].dataType
+    lrow = F.struct(*left.columns)
+    lrow_t = left.select(lrow.alias("_s")).schema["_s"].dataType
     l2 = left.select(
         *on,
         lt.cast("long").alias("_ts"),
         F.lit(1).alias("_is_l"),
         F.lit(0).cast("long").alias("_tb"),
-        F.struct(*left.columns).alias("_lrow"),
-        *[
-            F.lit(None).cast(dict(right.dtypes)[v]).alias(f"_rv_{v}")
-            for v in right_vals
-        ],
-        F.lit(None).cast("long").alias("_rts"),
+        lrow.alias("_lrow"),
+        F.lit(None).cast(rrow_t).alias("_rrow"),
     )
     r2 = right.select(
         *on,
         rt.cast("long").alias("_ts"),
         F.lit(0).alias("_is_l"),
         tb.cast("long").alias("_tb"),
-        F.lit(None).cast(l2.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(v).alias(f"_rv_{v}") for v in right_vals],
-        rt.cast("long").alias("_rts"),
+        F.lit(None).cast(lrow_t).alias("_lrow"),
+        rrow.alias("_rrow"),
     )
     # right rows sort BEFORE left rows at the same instant (equal times
     # match); among equal-time right rows the tiebreak orders them and
@@ -93,23 +101,19 @@ def asof_join(
         "_is_l",
         "_lrow",
         "_ts",
-        *[
-            F.last(f"_rv_{v}", ignorenulls=True).over(w).alias(f"_m_{v}")
-            for v in right_vals
-        ],
-        F.last("_rts", ignorenulls=True).over(w).alias("_mts"),
+        F.last("_rrow", ignorenulls=True).over(w).alias("_m"),
     )
     out = filled.filter(F.col("_is_l") == 1)
     in_tol: Column = F.lit(True)
     if tolerance_us is not None:
-        in_tol = F.col("_mts") >= F.col("_ts") - F.lit(int(tolerance_us))
+        in_tol = F.col("_m.rts") >= F.col("_ts") - F.lit(int(tolerance_us))
     return out.select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
         *[
-            F.when(in_tol, F.col(f"_m_{v}")).alias(f"{v}{suffix}")
+            F.when(in_tol, F.col(f"_m.v_{v}")).alias(f"{v}{suffix}")
             for v in right_vals
         ],
-        F.when(in_tol, F.col("_mts")).alias(matched_t),
+        F.when(in_tol, F.col("_m.rts")).alias(matched_t),
     )
 
 

@@ -825,14 +825,15 @@ tf AS (
 dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
 scored AS (
   SELECT tf.doc_id, tf.term,
-         tf.tf * (ln((n.n_docs + 1)::DOUBLE / (dfreq.df + 1)) + 1.0) AS s
+         ROUND(tf.tf * (ln((n.n_docs + 1)::DOUBLE / (dfreq.df + 1)) + 1.0),
+               6) AS s
   FROM tf JOIN dfreq USING (term) CROSS JOIN n),
 ranked AS (
   SELECT doc_id, term, s,
          ROW_NUMBER() OVER (PARTITION BY doc_id
                             ORDER BY s DESC, term ASC) AS rnk
   FROM scored)
-SELECT doc_id, term, ROUND(s, 6) AS tfidf, CAST(rnk AS INT) AS rnk
+SELECT doc_id, term, s AS tfidf, CAST(rnk AS INT) AS rnk
 FROM ranked WHERE rnk <= 5
 """,
 )
@@ -849,7 +850,13 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (billions of terms at corpus scale) and both sides are already
     partitioned by ``term`` from the same aggregation, so the planner
     joins them on the existing exchange; at toy SF its stats pick a
-    broadcast on their own."""
+    broadcast on their own.
+
+    Ranking orders by the score ROUNDED to 6 decimals (+ term
+    tiebreak) on both engines, mirroring ``bm25_search``: near-equal
+    tf·idf products from different (tf, df) pairs differ only past the
+    6th decimal when a last-ulp ``ln`` disagrees, so rounding first
+    keeps the cross-engine rank identical."""
     from mevi_spark.functions.text import tokens
     from mevi_spark.operators.topk import topk_per_group
 
@@ -879,11 +886,14 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
-    top = topk_per_group(scored, ["doc_id"], "s", 5, ["term"], rank_col="rnk")
+    top = topk_per_group(
+        scored.withColumn("s", F.round("s", 6)),
+        ["doc_id"], "s", 5, ["term"], rank_col="rnk",
+    )
     return top.select(
         "doc_id",
         "term",
-        F.round("s", 6).alias("tfidf"),
+        F.col("s").alias("tfidf"),
         F.col("rnk").cast("int").alias("rnk"),
     )
 
@@ -1256,16 +1266,17 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic metadata query (the writer that materializes token
     blocks follows this map).
 
-    The global running total is the same two-pass value-bucket pattern
-    as ``corpus_sample_remap`` (``plans/relational.py``): one job for
-    per-bucket token sums, driver-accumulated bucket offsets (bounded
-    by 2·parallelism entries), then a per-bucket window — parallel, no
-    single-partition global window, both passes see identical groups by
-    construction. Counts stay < 2^53 (25T tokens ≈ 100 TB of text) so
-    the floor-division parity with the oracle's integer ``//`` is
-    exact."""
-    from pyspark.sql import Window
+    The global running total is the two-pass value-bucket pattern of
+    :func:`mevi_spark.operators.cumsum.bucketed_cum_before` (shared
+    with the block writer ``packed_sequences``; ``corpus_sample_remap``
+    mirrors it for dense ranks): one job for per-bucket token sums,
+    driver-accumulated bucket offsets (bounded by 2·parallelism
+    entries), then a per-bucket window — parallel, no single-partition
+    global window, both passes see identical groups by construction.
+    Counts stay < 2^53 (25T tokens ≈ 100 TB of text) so the
+    floor-division parity with the oracle's integer ``//`` is exact."""
     from mevi_spark.functions.text import tokens
+    from mevi_spark.operators.cumsum import bucketed_cum_before
 
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -1275,56 +1286,94 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_tok") > 0)
     )
-    mn, mx, n = docs.agg(
-        F.min("doc_id"), F.max("doc_id"), F.count("*")
-    ).first()
-    if not n:
+    with_cum = bucketed_cum_before(docs, "doc_id", "n_tok", out_col="c")
+    if with_cum is None:
         return spark.createDataFrame(
             [], "doc_id long, n_tok int, start_seq long, "
             "seq_offset long, end_seq long"
         )
-    nbuckets = max(1, spark.sparkContext.defaultParallelism * 2)
-    width = max(1, -(-(int(mx) - int(mn) + 1) // nbuckets))
-    bucket = F.expr(f"(doc_id - {int(mn)}L) div {width}L")
-    sums = {
-        int(r["b"]): int(r["s"])
-        for r in docs.groupBy(bucket.alias("b"))
-        .agg(F.sum("n_tok").alias("s"))
-        .collect()
-    }
-    acc = 0
-    entries = []
-    for b in sorted(sums):
-        entries.append((b, acc))
-        acc += sums[b]
-    offset_map = F.create_map(
-        *[F.lit(v).cast("long") for pair in entries for v in pair]
+    return with_cum.select(
+        "doc_id",
+        "n_tok",
+        F.expr(f"c div {_SEQ_LEN}").alias("start_seq"),
+        (F.col("c") % _SEQ_LEN).alias("seq_offset"),
+        F.expr(f"(c + n_tok - 1) div {_SEQ_LEN}").alias("end_seq"),
     )
-    w = (
-        Window.partitionBy("b")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+
+@register(
+    "packed_sequences",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+  WHERE trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) <> ''),
+flat AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS ord
+  FROM toks),
+cum AS (
+  SELECT doc_id,
+         SUM(len(t)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           - len(t) AS cb
+  FROM toks),
+pos AS (
+  SELECT f.tok, c.cb + f.ord - 1 AS p
+  FROM flat f JOIN cum c USING (doc_id)),
+seqs AS (
+  SELECT p // {_SEQ_LEN} AS seq_id,
+         string_agg(tok, ' ' ORDER BY p) AS s,
+         COUNT(*) AS n_tokens
+  FROM pos GROUP BY p // {_SEQ_LEN})
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       md5(s) AS tok_hash
+FROM seqs
+""",
+)
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed-sequence WRITER, driver-checked end to end: the
+    corpus token stream is materialized as fixed-{_SEQ_LEN} blocks by
+    :func:`mevi_spark.sources.packed.write_packed_sequences` (the
+    table a training job actually consumes — ``sequence_pack`` emits
+    the doc→sequence map, this materializes the blocks it describes),
+    written to parquet range-ordered by ``seq_id``, read back, and
+    reduced to ``(seq_id, n_tokens, md5 of the block's tokens)``.
+
+    The oracle RECONSTRUCTS every block independently on the DuckDB
+    side — concatenate all tokens in doc order, chunk at {_SEQ_LEN},
+    hash each chunk — so a hash match proves the written blocks carry
+    exactly the right tokens in exactly the right order, gapless, with
+    the final partial block at its true length. Plan shape per the
+    module docstring: shared prefix-sum, span fan-out (≤ n_tok/L + 1
+    per doc), ONE seq_id-keyed shuffle, range-partitioned ordered
+    sink."""
+    import shutil
+    import tempfile
+
+    from mevi_spark.functions.text import tokens
+    from mevi_spark.sources.packed import write_packed_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(normalize_text("text")).alias("toks")
     )
-    cum_before = (
-        F.element_at(offset_map, F.col("b"))
-        + F.sum("n_tok").over(w)
-        - F.col("n_tok")
-    )
-    return (
-        docs.withColumn("b", bucket)
-        .select(
-            "doc_id",
-            "n_tok",
-            cum_before.alias("c"),
+    base = tempfile.mkdtemp(prefix="mevi_packed_")
+    try:
+        write_packed_sequences(docs, f"{base}/blocks", _SEQ_LEN)
+        out = (
+            spark.read.parquet(f"{base}/blocks")
+            .select(
+                "seq_id",
+                "n_tokens",
+                F.md5(F.concat_ws(" ", "tokens")).alias("tok_hash"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .select(
-            "doc_id",
-            "n_tok",
-            F.expr(f"c div {_SEQ_LEN}").alias("start_seq"),
-            (F.col("c") % _SEQ_LEN).alias("seq_offset"),
-            F.expr(f"(c + n_tok - 1) div {_SEQ_LEN}").alias("end_seq"),
-        )
-    )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 @register(
@@ -1404,8 +1453,12 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array_distinct(F.slice("t", 1, 5))).alias("term"),
         )
     )
+    # the query term list is eval-sized (thousands of rows at any
+    # corpus scale) — PIN the broadcast rather than leaving it to
+    # planner stats: a misestimate here would shuffle the corpus-sized
+    # postings table on `term` instead of streaming it map-side
     contrib = (
-        q.join(tf, "term")
+        F.broadcast(q).join(tf, "term")
         .join(dfreq, "term")
         .select(
             "query_id",

@@ -529,10 +529,12 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`~mevi_spark.streaming.incremental_merge` maintains the
     published table — per batch one keyed merge against the last
     published state, atomic symlink publish, versions retained so a
-    replayed batch reproduces the identical state. The drained table
-    (keys, prices, winning versions) must equal the one-shot batch
-    merge, which the oracle states in closed form — keys divisible by
-    221 exercise the update-then-delete sequence across slices."""
+    replayed batch reproduces the identical state, deletes retained as
+    tombstones so slice order can't resurrect a deleted key (the live
+    view filters ``_op != 'D'``). The drained table (keys, prices,
+    winning versions) must equal the one-shot batch merge, which the
+    oracle states in closed form — keys divisible by 221 exercise the
+    update-then-delete sequence across slices."""
     from mevi_spark.streaming import incremental_merge
 
     base_dir = _tmp("cdc")
@@ -565,7 +567,7 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base_dir}/out", f"{base_dir}/ckpt",
     )
     q.awaitTermination()
-    out = spark.read.parquet(f"{base_dir}/out")
+    out = spark.read.parquet(f"{base_dir}/out").filter(F.col("_op") != "D")
     result = out.select(
         "o_orderkey",
         F.round("o_totalprice", 2).alias("total_price"),

@@ -9,11 +9,11 @@ The join oracles lean on DuckDB's NATIVE forms (``ASOF JOIN``; a plain
 inequality join) — the strongest possible cross-check that the
 Spark-side compositions implement the canonical semantics.
 
-These queries register AFTER the driver's 50-name priority window
-(every in-window slot is spoken for by round-7's earlier additions and
-the stale-rotation contract; they rotate in next round — see the
-verify skill's bookkeeping note); the local gate and the judge's
-replica cover them at sf0.01 like every other registered query.
+Window bookkeeping: all of these rotated INTO the driver's 50-name
+priority window in round 7 (commit 857c4d0, ``registry._PRIORITY_ORDER``
+tier 2) and went green in CORRECTNESS_r07; from round 8 on they rotate
+like any other evidenced query. The local gate and the judge's replica
+cover them at sf0.01 every round regardless of the window.
 """
 
 from __future__ import annotations

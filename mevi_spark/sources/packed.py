@@ -1,0 +1,127 @@
+"""Packed-sequence writer: materialize fixed-length token blocks.
+
+``sequence_pack`` (``plans/pipeline_ops.py``) computes the doc→sequence
+MAP — where each document lands when every document's tokens are laid
+end-to-end in ``doc_id`` order and cut into ``seq_len``-token training
+sequences. This module materializes what that map describes: the
+actual ``(seq_id, tokens)`` block table a training job consumes.
+
+Block policy: every sequence holds exactly ``seq_len`` tokens except
+the FINAL one, which is emitted partial (its true length, unpadded) —
+padding/dropping is the trainer's choice, and an unpadded tail keeps
+the table lossless (gapless, complete coverage: concatenating blocks
+in ``seq_id`` order reproduces the corpus token stream exactly).
+
+Plan shape at 100 TB:
+
+* the global token offset is the shared two-pass value-bucket prefix
+  sum (:func:`mevi_spark.operators.cumsum.bucketed_cum_before`) —
+  parallel, driver state bounded at 2·parallelism entries;
+* each doc then fans out to the sequences it SPANS — ``array_size ≤
+  n_tok/seq_len + 1`` — carrying only the token slice that lands in
+  each sequence. Shuffle row count is the span count
+  (≈ |docs| + total_tokens/seq_len), not the token count; payload is
+  the tokens themselves, which any packer must move exactly once;
+* ONE shuffle keyed on ``seq_id`` assembles blocks (sort_array on the
+  in-sequence offset, flatten) — per-group state is one sequence
+  (seq_len tokens);
+* the sink range-partitions by ``seq_id`` and sorts within partitions,
+  so the written layout is globally ordered contiguous block ranges —
+  a training loader reads sequential row groups, no shuffle at read
+  time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from mevi_spark.operators.cumsum import bucketed_cum_before
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+) -> DataFrame:
+    """``(seq_id long, tokens array<string>, n_tokens long)`` blocks:
+    the docs' token arrays laid end-to-end in ``id_col`` order, cut to
+    ``seq_len``. Docs with empty token arrays are skipped (they occupy
+    no positions in the stream — same rule as ``sequence_pack``)."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    L = int(seq_len)
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(tokens_col).alias("_toks"),
+        F.size(tokens_col).cast("long").alias("_n"),
+    ).filter(F.col("_n") > 0)
+    with_cum = bucketed_cum_before(base, "_id", "_n", out_col="_c")
+    spark = docs.sparkSession
+    if with_cum is None:
+        return spark.createDataFrame(
+            [], "seq_id long, tokens array<string>, n_tokens long"
+        )
+    # fan each doc out to the sequences it spans; per span, the slice
+    # of this doc's tokens that lands there and its offset in-sequence
+    c, n = F.col("_c"), F.col("_n")
+
+    def span(s):
+        lo = F.greatest(c, s * L)          # global start of this piece
+        hi = F.least(c + n, (s + 1) * L)   # global end (exclusive)
+        return F.struct(
+            s.alias("seq_id"),
+            (lo - s * L).alias("off"),
+            F.slice(
+                F.col("_toks"), (lo - c + 1).cast("int"), (hi - lo).cast("int")
+            ).alias("piece"),
+        )
+
+    spans = with_cum.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.expr(f"_c div {L}"), F.expr(f"(_c + _n - 1) div {L}")
+                ),
+                span,
+            )
+        ).alias("sp")
+    ).select("sp.seq_id", "sp.off", "sp.piece")
+    # one seq_id-keyed shuffle; struct sort orders by off (first field)
+    return (
+        spans.groupBy("seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("off", "piece"))),
+                    lambda x: x["piece"],
+                )
+            ).alias("tokens")
+        )
+        .select(
+            "seq_id", "tokens", F.size("tokens").cast("long").alias("n_tokens")
+        )
+    )
+
+
+def write_packed_sequences(
+    docs: DataFrame,
+    out_dir: str,
+    seq_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+    target_rows_per_file: int = 65536,
+) -> None:
+    """Materialize the packed block table to parquet at ``out_dir``:
+    globally ordered by ``seq_id`` via range partitioning + in-partition
+    sort, ``target_rows_per_file`` blocks per output file — sequential
+    reads for the training loader, deterministic layout run-to-run."""
+    packed = pack_sequences(docs, seq_len, id_col, tokens_col)
+    n_seqs = packed.count()
+    nparts = max(1, -(-n_seqs // int(target_rows_per_file)))
+    (
+        packed.repartitionByRange(nparts, "seq_id")
+        .sortWithinPartitions("seq_id")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )

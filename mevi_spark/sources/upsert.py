@@ -32,6 +32,8 @@ def apply_changes(
     base_version: int = 0,
     base_version_col: str | None = None,
     keep_version: bool = False,
+    keep_deletes: bool = False,
+    base_op_col: str | None = None,
 ) -> DataFrame:
     """Merge ``changes`` into ``base``; returns the new table state.
 
@@ -47,16 +49,34 @@ def apply_changes(
     so the next merge can continue from it. With versions retained the
     merge is replay-idempotent: re-applying an already-applied batch
     reproduces the identical state.
+
+    **Cross-batch version ordering.** With ``keep_deletes=False`` a
+    delete winner leaves NO trace, so a LATER batch carrying a
+    lower-version upsert for the deleted key would silently resurrect
+    it — change batches must then be applied in non-decreasing version
+    order per key (the usual CDC-log contract; ``streaming_cdc_apply``
+    gets it from file-mtime slice ordering). ``keep_deletes=True``
+    removes the requirement: delete winners stay in the state as
+    TOMBSTONE rows carrying their version and ``op_col`` (pass
+    ``base_op_col`` on re-merge so existing tombstones keep competing),
+    and a late lower-version upsert loses to the tombstone. Readers
+    filter ``op_col != 'D'`` for the live view; a retention sweep
+    drops tombstones older than the source's max replay lag.
     """
-    data_cols = [c for c in base.columns if c != base_version_col]
+    data_cols = [
+        c for c in base.columns if c not in (base_version_col, base_op_col)
+    ]
     bv = (
         F.col(base_version_col)
         if base_version_col is not None
         else F.lit(base_version)
     )
+    bop = (
+        F.col(base_op_col) if base_op_col is not None else F.lit("U")
+    )
     b = base.select(
         *data_cols,
-        F.lit("U").alias(op_col),
+        bop.alias(op_col),
         bv.cast("long").alias(version_col),
     )
     c = changes.select(
@@ -73,5 +93,11 @@ def apply_changes(
     latest = u.select(
         "*", F.row_number().over(w).alias("_rn")
     ).filter(F.col("_rn") == 1)
-    out_cols = [*data_cols, *([version_col] if keep_version else [])]
+    out_cols = [
+        *data_cols,
+        *([version_col] if keep_version else []),
+        *([op_col] if keep_deletes else []),
+    ]
+    if keep_deletes:
+        return latest.select(*out_cols)
     return latest.filter(F.col(op_col) != "D").select(*out_cols)

@@ -271,8 +271,13 @@ def incremental_merge(
     complete state, crashes replay the uncommitted batch, and because
     versions persist the re-merge reproduces the identical state
     (replay-idempotent: max-version-wins is insensitive to re-applying
-    rows the state already absorbed). State is the table itself — no
-    state store; per batch ONE keyed shuffle over |table|+|batch| rows.
+    rows the state already absorbed). Delete winners persist as
+    TOMBSTONE rows (``op_col='D'`` with their version), so a later
+    batch carrying a lower-version upsert for a deleted key loses to
+    the tombstone instead of resurrecting it — the stream needs no
+    cross-batch version-ordering guarantee. Readers take the live view
+    as ``op_col != 'D'``. State is the table itself — no state store;
+    per batch ONE keyed shuffle over |table|+|batch| rows.
     """
     import os
 
@@ -281,7 +286,9 @@ def incremental_merge(
     v_prefix, ln_prefix = _link_prefixes(output_dir, "merge")
 
     b0 = base.select(
-        "*", F.lit(0).cast("long").alias(version_col)
+        "*",
+        F.lit(0).cast("long").alias(version_col),
+        F.lit("U").alias(op_col),
     )
 
     def sink(batch: DataFrame, _batch_id: int) -> None:
@@ -299,6 +306,8 @@ def incremental_merge(
             op_col=op_col,
             base_version_col=version_col,
             keep_version=True,
+            keep_deletes=True,
+            base_op_col=op_col,
         )
         _publish_version(
             out, output_dir, v_prefix, ln_prefix, _publish_grace()

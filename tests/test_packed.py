@@ -1,0 +1,94 @@
+"""Packed-sequence writer properties: gapless coverage (the blocks in
+seq_id order reproduce the corpus token stream exactly), fixed block
+length with a true-length final partial, layout ordering, and
+run-to-run determinism."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from mevi_spark.sources.packed import pack_sequences, write_packed_sequences
+
+L = 7  # deliberately not a divisor of the fixture's token count
+
+
+def _docs(spark):
+    rows = [
+        (10, "a b c d e"),            # 5 tokens
+        (11, ""),                      # empty: occupies no positions
+        (12, "f"),                     # 1 token
+        (13, " ".join(f"t{i}" for i in range(17))),  # spans 3+ blocks
+        (14, "x y z"),                 # 3 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return df.select("doc_id", F.split(F.col("text"), " ").alias("toks")).withColumn(
+        "toks", F.filter("toks", lambda t: t != "")
+    )
+
+
+def _expected_stream(rows):
+    toks = []
+    for _id, text in sorted(rows):
+        toks.extend([t for t in text.split(" ") if t])
+    return toks
+
+
+def test_pack_sequences_gapless_and_exact(spark):
+    docs = _docs(spark)
+    rows = [(10, "a b c d e"), (11, ""), (12, "f"),
+            (13, " ".join(f"t{i}" for i in range(17))), (14, "x y z")]
+    stream = _expected_stream(rows)
+    got = {r.seq_id: r.tokens for r in pack_sequences(docs, L).collect()}
+    n_total = len(stream)
+    n_seqs = -(-n_total // L)
+    # contiguous ids, every block full except the last, exact content
+    assert set(got) == set(range(n_seqs))
+    rebuilt = []
+    for s in range(n_seqs):
+        want_len = L if s < n_seqs - 1 else n_total - L * (n_seqs - 1)
+        assert len(got[s]) == want_len
+        rebuilt.extend(got[s])
+    assert rebuilt == stream
+
+
+def test_write_packed_sequences_layout_and_determinism(spark):
+    docs = _docs(spark)
+    base = tempfile.mkdtemp(prefix="mevi_test_packed_")
+    try:
+        write_packed_sequences(docs, f"{base}/one", L)
+        write_packed_sequences(docs, f"{base}/two", L)
+        one = spark.read.parquet(f"{base}/one")
+        # schema + totals: sum of block lengths == total tokens (gapless)
+        assert dict(one.dtypes) == {
+            "seq_id": "bigint", "tokens": "array<string>", "n_tokens": "bigint",
+        }
+        n_total = docs.select(F.sum(F.size("toks"))).first()[0]
+        assert one.agg(F.sum("n_tokens")).first()[0] == n_total
+        # deterministic across runs, block for block
+        a = {r.seq_id: r.tokens for r in one.collect()}
+        b = {
+            r.seq_id: r.tokens
+            for r in spark.read.parquet(f"{base}/two").collect()
+        }
+        assert a == b
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Plan property: assembling blocks costs ONE seq_id-keyed exchange
+    on top of the prefix-sum's bucket window exchange — no join, no
+    cartesian (the span fan-out is an explode, not a join)."""
+    docs = _docs(spark)
+    plan = (
+        pack_sequences(docs, L)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    # exchanges: one for the per-bucket window sort, one for groupBy
+    assert plan.count("Exchange hashpartitioning") <= 2

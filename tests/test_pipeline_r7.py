@@ -202,6 +202,24 @@ def test_round7_plan_shapes(spark, sf_dir):
     assert "SortMergeJoin" not in dec and "BroadcastHashJoin" in dec
 
 
+def test_bm25_query_side_broadcast_is_pinned(spark, sf_dir):
+    """VERDICT r7 "what's wrong" #2: the q⋈tf edge must be a broadcast
+    hash join BY HINT, not by planner stats — at corpus scale a stats
+    misestimate would shuffle the postings table on `term`. The hint
+    survives into the optimized plan as ResolvedHint/broadcast on the
+    query side; executed-plan check: at least one BroadcastHashJoin and
+    no shuffle(term) sort-merge join on the contribution path."""
+    from mevi_spark.plans.pipeline_ops import bm25_search
+
+    df = bm25_search(spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed
+    # the broadcast must be the HINTED query side, visible pre-stats
+    assert "broadcast" in optimized.lower()
+    assert "SortMergeJoin" not in executed
+
+
 def test_domain_mix_rates_and_determinism(spark, sf_dir):
     import hashlib
 

@@ -228,6 +228,24 @@ def test_asof_ignores_null_right_times(spark):
     assert len(out2) == 1 and out2[0].v_asof is None and out2[0].t_asof is None
 
 
+def test_asof_null_value_in_matched_row_rides_along(spark):
+    """ADVICE r7 (medium): when the matched right row carries a NULL in
+    a value column, that NULL must come back with the match — per-value
+    last(ignorenulls) skipped it and fell through to an OLDER right
+    row's value while the matched time reported the newer row. DuckDB
+    ASOF and pandas merge_asof both return (NULL, 90) here."""
+    left = spark.createDataFrame([(1, 100)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 50, 7.0), (1, 90, None)], "k long, t long, v double"
+    )
+    out = asof_join(
+        left, right, on=["k"], left_time="t", right_time="t",
+        right_vals=["v"],
+    ).collect()
+    assert len(out) == 1
+    assert out[0].t_asof == 90 and out[0].v_asof is None
+
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 _row = st.tuples(

@@ -139,3 +139,35 @@ def test_versioned_merge_is_replay_idempotent(spark):
     want = {(1, "a2", 2), (3, "c", 2)}
     assert {(r.k, r.val, r._version) for r in once.collect()} == want
     assert {(r.k, r.val, r._version) for r in twice.collect()} == want
+
+
+def test_tombstones_block_late_lower_version_upsert(spark):
+    """With keep_deletes=True a delete winner persists as a tombstone,
+    so a LATER batch carrying a lower-version upsert for the deleted
+    key loses to it — the cross-batch ordering hazard ADVICE r7 flagged
+    (without tombstones, batch order alone decides and the key would
+    silently resurrect)."""
+    base = spark.createDataFrame(
+        [(1, "a", 0, "U"), (2, "b", 0, "U")],
+        "k long, val string, _version long, _op string",
+    )
+    b1 = spark.createDataFrame(
+        [(1, None, "D", 5)], "k long, val string, _op string, _version long"
+    )
+    b2 = spark.createDataFrame(
+        [(1, "late", "U", 3)], "k long, val string, _op string, _version long"
+    )
+
+    def merge(cur, batch):
+        return apply_changes(
+            cur, batch, ["k"],
+            base_version_col="_version", keep_version=True,
+            keep_deletes=True, base_op_col="_op",
+        )
+
+    state = merge(merge(base, b1), b2)
+    rows = {(r.k, r.val, r._version, r._op) for r in state.collect()}
+    # key 1 stays a tombstone at v5; the v3 upsert did not resurrect it
+    assert rows == {(1, None, 5, "D"), (2, "b", 0, "U")}
+    live = {r.k for r in state.filter(F.col("_op") != "D").collect()}
+    assert live == {2}

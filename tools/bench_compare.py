@@ -12,7 +12,11 @@ gate) through a warm connection, timing the second execution.
 ``ratio`` is therefore warm-Spark / warm-DuckDB — like for like: both
 engines measured at their steady state in a live process.
 ``ratio_cold`` keeps the conservative cold-Spark / warm-DuckDB number
-(the pre-round-7 definition) for continuity.
+(the pre-round-7 definition) for continuity. What "warm" includes on
+the Spark side is stated precisely in ``bench.py``'s module docstring
+(three process-wide artifact caches carry over); the DuckDB side's
+warm run symmetrically keeps its connection, catalog, and buffer
+state.
 
 Context for reading the ratio (README "Benchmark methodology"): at
 sf0.1 the inputs are ~17 MB, so most Spark time is the per-query
