@@ -110,23 +110,21 @@ def minhash_signature(
     return F.array(*_km_slots(hs, num_hashes))
 
 
-def lsh_candidate_pairs(
+def banded_keys(
     sigs: DataFrame,
     id_col: str = "doc_id",
     sig_col: str = "sig",
     bands: int = 4,
     sig_len: int | None = None,
 ) -> DataFrame:
-    """LSH banding: split each signature into ``bands`` equal bands, join
-    docs sharing any band verbatim → distinct candidate ``(id_a, id_b)``
-    pairs with ``id_a < id_b``.
-
-    The join key is ``(band_index, band_values_csv)`` — an equi-join, so
-    Spark hash-partitions by band content and never builds n² pairs.
-    """
+    """``(_id, band, key)``: each signature split into ``bands`` equal
+    bands, key = the band's slot values verbatim (csv). The equi-join
+    key both the batch self-join (:func:`lsh_candidate_pairs`) and the
+    incremental batch-vs-index probe (``streaming/incremental.py``)
+    share."""
     n = sig_len if sig_len is not None else sigs.select(F.size(sig_col)).first()[0]
     rows_per_band = n // bands
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.array(
@@ -148,6 +146,23 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("_id", "bk.band", "bk.key")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bands: int = 4,
+    sig_len: int | None = None,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` equal bands, join
+    docs sharing any band verbatim → distinct candidate ``(id_a, id_b)``
+    pairs with ``id_a < id_b``.
+
+    The join key is ``(band_index, band_values_csv)`` — an equi-join, so
+    Spark hash-partitions by band content and never builds n² pairs.
+    """
+    banded = banded_keys(sigs, id_col, sig_col, bands, sig_len)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -231,6 +246,38 @@ def shingle_frame(
     return toks.select("doc_id", sh.alias("shingles"))
 
 
+def minhash_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """``(doc_id, shingles, sig)``: the staged signature frame —
+    shingles built once per row as a real column (see
+    :func:`shingle_frame`), one md5 per shingle feeding all
+    ``num_hashes`` slots via double hashing. The unit both the batch
+    pipeline (:func:`dedup_minhash`) and the incremental index
+    maintainer (``streaming/incremental.py::incremental_neardup``)
+    compute per document exactly once."""
+    from mevi_spark.sources.io import spread_small_scan
+
+    # the signature stage is per-row md5 over every shingle — the one
+    # place a single-row-group input serializes the whole corpus onto
+    # one core (measured 4× at sf0.1); identity when the scan already
+    # plans wide
+    df = spread_small_scan(df.sparkSession, df)
+    shingled = shingle_frame(df, text_col, id_col, shingle_n)
+    hs = shingled.select(
+        "doc_id",
+        "shingles",
+        F.transform("shingles", lambda s: _km_pair(F.md5(s))).alias("_hs"),
+    )
+    return hs.select(
+        "doc_id", "shingles", F.array(*_km_slots("_hs", num_hashes)).alias("sig")
+    )
+
+
 def dedup_minhash(
     df: DataFrame,
     text_col: str = "text",
@@ -260,22 +307,8 @@ def dedup_minhash(
     caller's own action), and ``clear_session_caches`` still frees the
     blocks deterministically in long-lived sessions."""
     from mevi_spark.operators.cache import defer_unpersist
-    from mevi_spark.sources.io import spread_small_scan
 
-    # the signature stage is per-row md5 over every shingle — the one
-    # place a single-row-group input serializes the whole corpus onto
-    # one core (measured 4× at sf0.1); identity when the scan already
-    # plans wide
-    df = spread_small_scan(df.sparkSession, df)
-    shingled = shingle_frame(df, text_col, id_col, shingle_n)
-    hs = shingled.select(
-        "doc_id",
-        "shingles",
-        F.transform("shingles", lambda s: _km_pair(F.md5(s))).alias("_hs"),
-    )
-    base = hs.select(
-        "doc_id", "shingles", F.array(*_km_slots("_hs", num_hashes)).alias("sig")
-    ).persist()
+    base = minhash_frame(df, text_col, id_col, num_hashes, shingle_n).persist()
     cands = lsh_candidate_pairs(
         base.select("doc_id", "sig"), "doc_id", "sig", bands, sig_len=num_hashes
     )

@@ -1376,44 +1376,52 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register(
-    "bm25_search",
-    oracle=r"""
-WITH toks AS (
+# the BM25 run as a reusable oracle CTE chain (ends in `bm25ranked`);
+# shared by bm25_search and the hybrid ensemble's lexical leg
+# (plans/retrieval.py::ensemble_hybrid)
+_SQL_BM25_CTES = r"""
+btoks AS (
   SELECT doc_id,
          string_split(trim(regexp_replace(regexp_replace(lower(text),
            '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
   FROM documents),
-dl AS (SELECT doc_id, t, len(t) AS dl FROM toks),
-stats AS (SELECT COUNT(*) AS n, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM dl),
-tf AS (
+bdl AS (SELECT doc_id, t, len(t) AS dl FROM btoks),
+bstats AS (SELECT COUNT(*) AS n, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM bdl),
+btf AS (
   SELECT doc_id, term, COUNT(*) AS tf
-  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  FROM (SELECT doc_id, unnest(t) AS term FROM btoks)
   GROUP BY doc_id, term),
-dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-q AS (
+bdf AS (SELECT term, COUNT(*) AS df FROM btf GROUP BY term),
+bq AS (
   SELECT doc_id AS query_id, unnest(list_distinct(t[1:5])) AS term
-  FROM dl WHERE doc_id % 50 = 0),
-contrib AS (
-  SELECT q.query_id, tf.doc_id,
-         ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
-           * (tf.tf * 2.2)
-           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)) AS c
-  FROM q JOIN tf USING (term)
-         JOIN dfreq ON dfreq.term = q.term
-         JOIN dl d ON d.doc_id = tf.doc_id
-         CROSS JOIN stats s),
-scored AS (
+  FROM bdl WHERE doc_id % 50 = 0),
+bcontrib AS (
+  SELECT bq.query_id, btf.doc_id,
+         ln((s.n - bdf.df + 0.5) / (bdf.df + 0.5) + 1.0)
+           * (btf.tf * 2.2)
+           / (btf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)) AS c
+  FROM bq JOIN btf USING (term)
+         JOIN bdf ON bdf.term = bq.term
+         JOIN bdl d ON d.doc_id = btf.doc_id
+         CROSS JOIN bstats s),
+bscored AS (
   SELECT query_id, doc_id,
          CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS score
-  FROM contrib GROUP BY query_id, doc_id),
-ranked AS (
+  FROM bcontrib GROUP BY query_id, doc_id),
+bm25ranked AS (
   SELECT query_id, doc_id, ROUND(score, 6) AS score,
          ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, doc_id ASC) AS rnk
-  FROM scored)
+                            ORDER BY ROUND(score, 6) DESC, doc_id ASC) AS rnk
+  FROM bscored)
+"""
+
+
+@register(
+    "bm25_search",
+    oracle=f"""
+WITH {_SQL_BM25_CTES}
 SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rnk
-FROM ranked WHERE rnk <= 5
+FROM bm25ranked WHERE rnk <= 5
 """,
 )
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1431,6 +1439,14 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks. 100 TB plan: query terms broadcast (eval-sized), postings
     term-keyed partial-aggregated shuffles, per-query window over
     candidate docs only (docs sharing ≥1 query term)."""
+    return bm25_run(spark, sf_dir, k=5)
+
+
+def bm25_run(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """The lexical run ``(query_id, doc_id, score, rnk)`` — BM25 top-k
+    per query (see :func:`bm25_search` for scoring + determinism
+    rules). Shared by the registered query (k=5) and the hybrid
+    ensemble's lexical leg (k=10, ``plans/retrieval.py``)."""
     from mevi_spark.functions.agg import scaled_long
     from mevi_spark.functions.text import normalize_text as _n, tokens
     from mevi_spark.operators.topk import topk_per_group
@@ -1482,7 +1498,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = topk_per_group(
         scored.withColumn("score", F.round("score", 6)),
-        ["query_id"], "score", 5, ["doc_id"], rank_col="rnk",
+        ["query_id"], "score", k, ["doc_id"], rank_col="rnk",
     )
     return ranked.select(
         "query_id", "doc_id", "score", F.col("rnk").cast("int").alias("rnk")

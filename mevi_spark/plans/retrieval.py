@@ -804,6 +804,113 @@ def ensemble_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("fused_score", F.round("fused_score", 6))
 
 
+def _sql_hybrid_oracle() -> str:
+    """Composed 3-run oracle: the dense (ann) and generative (fine)
+    legs verbatim from ``ensemble_fuse``'s oracle, the lexical leg from
+    ``bm25_search``'s shared CTE chain, fused by plain RRF."""
+    from mevi_spark.plans.pipeline_ops import _SQL_BM25_CTES
+
+    return f"""
+WITH {_SQL_COARSE1},
+{_SQL_BM25_CTES},
+d AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS dv, label FROM embeddings),
+ann AS (SELECT query_id, doc_id, rank FROM (
+          SELECT q.query_id, d.doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY list_dot_product(q.qv, d.dv) DESC, d.doc_id ASC) AS rank
+          FROM q, d) WHERE rank <= 10),
+cand AS (SELECT c.query_id, d.doc_id, d.dv FROM coarse c JOIN d ON d.label = c.code_flat),
+fine AS (SELECT query_id, doc_id, rank FROM (
+           SELECT s.query_id, s.doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS rank
+           FROM (SELECT cand.query_id, cand.doc_id, MAX(list_dot_product(q.qv, cand.dv)) AS score
+                 FROM cand JOIN q ON q.query_id = cand.query_id
+                 GROUP BY cand.query_id, cand.doc_id) s) WHERE rank <= 10),
+lex AS (SELECT query_id, doc_id, rnk AS rank FROM bm25ranked WHERE rnk <= 10),
+runs AS (
+  SELECT query_id, doc_id, rank, 0 AS leg FROM ann
+  UNION ALL SELECT query_id, doc_id, rank, 1 FROM fine
+  UNION ALL SELECT query_id, doc_id, rank, 2 FROM lex),
+agg AS (
+  SELECT query_id, doc_id,
+         MIN(CASE WHEN leg = 0 THEN rank END) AS rd,
+         MIN(CASE WHEN leg = 1 THEN rank END) AS rg,
+         MIN(CASE WHEN leg = 2 THEN rank END) AS rl,
+         COUNT(*) AS n_runs
+  FROM runs GROUP BY query_id, doc_id),
+fused AS (
+  SELECT query_id, doc_id, n_runs,
+         COALESCE(1.0::DOUBLE / (60 + rd), 0.0)
+           + COALESCE(1.0::DOUBLE / (60 + rg), 0.0)
+           + COALESCE(1.0::DOUBLE / (60 + rl), 0.0) AS s
+  FROM agg),
+fin AS (SELECT query_id, doc_id, s, n_runs,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+        FROM fused)
+SELECT query_id, doc_id, ROUND(s, 6) AS rrf_score,
+       CAST(n_runs AS INT) AS n_runs, CAST(rank AS INT) AS rank
+FROM fin WHERE rank <= 10
+"""
+
+
+@register("ensemble_hybrid", oracle=_sql_hybrid_oracle())
+def ensemble_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid 3-way retrieval ensemble: dense (exact-IP ANN run) +
+    generative (coarse-to-fine run — the reference's seq2seq leg) +
+    lexical (BM25 run), merged full-outer per (query, doc) and fused
+    by plain reciprocal-rank fusion ``Σ 1/(60+rank)`` — the standard
+    hybrid-retrieval shape (the reference ensembles only its two dense
+    legs, ``MEVI/ensemble_marco.py:221-240``; the lexical third leg is
+    what IR practice adds, per ``bm25_search``'s docstring).
+
+    RRF (rank-based) rather than the reference's score+punish formula
+    because the legs' score SCALES are heterogeneous (BM25 sums vs
+    inner products) — fusing ranks needs no calibration. Determinism:
+    the fused score is three double divisions summed in fixed textual
+    order from integer ranks — bit-equal across engines, no rounding
+    hazard; ties (symmetric rank combinations) break on doc_id.
+
+    Plan at 100 TB: all three runs are eval-sized artifacts
+    (|queries|·k rows — the S4 run-cache contract), so the full-outer
+    merges and the fuse are artifact-joins, never corpus-scale; the
+    corpus-scale work happened once per leg upstream."""
+    from mevi_spark.plans.pipeline_ops import bm25_run
+
+    dense = _ann_run(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("rd")
+    )
+    gen = _fine_run(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("rg")
+    )
+    lex = bm25_run(spark, sf_dir, k=10).select(
+        "query_id", "doc_id", F.col("rnk").alias("rl")
+    )
+    keys = ["query_id", "doc_id"]
+    merged = dense.join(gen, keys, "full_outer").join(lex, keys, "full_outer")
+    rrf = (
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rd")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rg")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rl")), F.lit(0.0))
+    )
+    n_runs = (
+        F.col("rd").isNotNull().cast("int")
+        + F.col("rg").isNotNull().cast("int")
+        + F.col("rl").isNotNull().cast("int")
+    )
+    scored = merged.select(
+        "query_id", "doc_id", rrf.alias("s"), n_runs.alias("n_runs")
+    )
+    from mevi_spark.operators.topk import topk_per_group
+
+    top = topk_per_group(scored, ["query_id"], "s", 10, ["doc_id"])
+    return top.select(
+        "query_id",
+        "doc_id",
+        F.round("s", 6).alias("rrf_score"),
+        F.col("n_runs").cast("int").alias("n_runs"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # J8: negative sampling
 

@@ -325,7 +325,127 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drained(out, base, sink)
 
 
-def _flavor_safe_ntz(col: str) -> F.Column:
+def _neardup_oracle() -> str:
+    from mevi_spark.plans.pipeline_ops import (
+        _SQL_CORPUS,
+        _SQL_MINHASH,
+        _SQL_TOKS,
+    )
+
+    return f"""
+WITH {_SQL_CORPUS}, {_SQL_TOKS}, {_SQL_MINHASH}
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM (
+  SELECT c.id_a, c.id_b,
+         CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) = 0 THEN 0.0
+              ELSE len(list_intersect(sa.s, sb.s))::DOUBLE
+                   / len(list_distinct(list_concat(sa.s, sb.s))) END AS jaccard
+  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b)
+WHERE jaccard >= 0.5
+"""
+
+
+@register("streaming_neardup_ingest", oracle=_neardup_oracle())
+def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup maintenance under ingest (the streaming twin of
+    ``dedup_minhash_pairs``, VERDICT r7 next-round #6): the planted
+    corpus arrives in three doc-id-interleaved slices and
+    :func:`~mevi_spark.streaming.incremental_neardup` maintains the
+    banded signature index + verified pair set — each batch's docs
+    probed against the index (batch side broadcast; the index never
+    reshuffles), never a full re-pair. Slicing on ``doc_id % 3``
+    guarantees most planted pairs SPAN batches (original, +100000
+    exact dup and +200000 near dup land in different residue classes),
+    so the cross-batch probe path is what the oracle actually checks:
+    the drained pair set must equal the batch MinHash+LSH+Jaccard
+    pipeline over the full corpus."""
+    from mevi_spark.plans.pipeline_ops import _corpus
+    from mevi_spark.streaming import incremental_neardup
+
+    base = _tmp("ndup")
+    corpus = _corpus(spark, sf_dir)
+    for i in range(3):
+        corpus.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in/s{i:02d}")
+    stream = stream_parquet_source(
+        spark, f"{base}/in/s*", corpus.schema, max_files_per_trigger=1
+    )
+    q = incremental_neardup(
+        stream, f"{base}/out", f"{base}/ckpt",
+        num_hashes=12, bands=4, threshold=0.5,
+    )
+    q.awaitTermination()
+    pairs = spark.read.parquet(f"{base}/out/pairs")
+    return _drained(
+        pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")),
+        base,
+    )
+
+
+@register(
+    "streaming_hypertable_refresh",
+    oracle="""
+WITH b AS (
+  SELECT event_type, value,
+         epoch_us(ts) // 60000000 * 60000000 AS b1m,
+         epoch_us(ts) // 3600000000 * 3600000000 AS b1h,
+         epoch_us(ts) // 86400000000 * 86400000000 AS b1d
+  FROM events),
+g AS (
+  SELECT CASE WHEN GROUPING(b1m) = 0 THEN '1m'
+              WHEN GROUPING(b1h) = 0 THEN '1h'
+              ELSE '1d' END AS resolution,
+         COALESCE(b1m, b1h, b1d) AS bucket_us,
+         event_type,
+         COUNT(*) AS n_events,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS sum_value
+  FROM b
+  GROUP BY GROUPING SETS ((b1m, event_type), (b1h, event_type),
+                          (b1d, event_type)))
+SELECT resolution, CAST(bucket_us AS BIGINT) AS bucket_us, event_type,
+       n_events, sum_value
+FROM g
+""",
+)
+def streaming_hypertable_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hypertable rollup maintained INCREMENTALLY (VERDICT r7
+    next-round #7 — proving ``events_hypertable_rollup``'s "partials
+    are mergeable" claim end to end): events arrive in three
+    time-ordered slices, each micro-batch materializes its GROUPING
+    SETS partials (replay-idempotent per-batch dirs), then
+    ``compact_rollup`` folds them into one published base — after
+    which the state is buckets×types rows in ONE dir regardless of
+    batch count (asserted here: fold count and zero live dirs, the
+    eviction bound). The drained, compacted state must equal the batch
+    rollup — the identical oracle ``events_hypertable_rollup``
+    carries."""
+    from mevi_spark.operators.rollup import finalize_rollup
+    from mevi_spark.streaming import incremental_rollup
+    from mevi_spark.streaming.incremental import (
+        _rollup_parts,
+        compact_rollup,
+        rollup_state,
+    )
+
+    base = _tmp("htref")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    glob = _stage_time_slices(ev, "ts", 3, f"{base}/in")
+    stream = stream_parquet_source(
+        spark, glob, ev.schema, max_files_per_trigger=1
+    )
+    q = incremental_rollup(stream, f"{base}/out", f"{base}/ckpt")
+    q.awaitTermination()
+    folded = compact_rollup(spark, f"{base}/out")
+    if folded < 1:
+        raise AssertionError("compaction folded no batch partials")
+    _, _, live = _rollup_parts(f"{base}/out")
+    if live:
+        raise AssertionError(f"live batch dirs survived compaction: {live}")
+    return _drained(finalize_rollup(rollup_state(spark, f"{base}/out")), base)
     """LTZ → NTZ without a session-timezone dependency (epoch micros
     re-anchored on the NTZ epoch — same trick as windowed counts)."""
     return F.expr(

@@ -157,42 +157,16 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-resolution rollup as a single Spark plan. At 100 TB: one
     scan, a 3× Expand, then ordinary partial-aggregated shuffles whose
     state is bounded by buckets×types, and the partials are mergeable —
-    exactly the shape an incremental refresh maintains. Sums are
-    scaled-long (order-independent, bit-equal to the oracle's decimal
-    accumulation)."""
-    from mevi_spark.functions.agg import scaled_long
+    the shape :func:`mevi_spark.streaming.incremental_rollup` maintains
+    incrementally (``streaming_hypertable_refresh`` proves the two
+    agree against this same oracle). Sums are scaled-long
+    (order-independent, bit-equal to the oracle's decimal
+    accumulation); the partial/finalize split lives in
+    :mod:`mevi_spark.operators.rollup`."""
+    from mevi_spark.operators.rollup import finalize_rollup, rollup_partials
 
     ev = load_table(spark, sf_dir, "events")
-    us = epoch_us(ev, "ts")
-    b = ev.select(
-        "event_type",
-        "value",
-        (us - us % _MIN_US).cast("long").alias("b1m"),
-        (us - us % _HOUR_US).cast("long").alias("b1h"),
-        (us - us % _DAY_US).cast("long").alias("b1d"),
-    )
-    # grouping() is only legal inside the grouped projection, so the
-    # resolution label is computed in agg() alongside the aggregates
-    resolution = (
-        F.when(F.grouping("b1m") == 0, "1m")
-        .when(F.grouping("b1h") == 0, "1h")
-        .otherwise("1d")
-    )
-    g = b.groupingSets(
-        [["b1m", "event_type"], ["b1h", "event_type"], ["b1d", "event_type"]],
-        "b1m", "b1h", "b1d", "event_type",
-    ).agg(
-        resolution.alias("resolution"),
-        F.count("*").alias("n_events"),
-        (F.sum(scaled_long("value")).cast("double") / F.lit(1e6)).alias("_s"),
-    )
-    return g.select(
-        "resolution",
-        F.coalesce("b1m", "b1h", "b1d").cast("long").alias("bucket_us"),
-        "event_type",
-        "n_events",
-        F.round("_s", 6).alias("sum_value"),
-    )
+    return finalize_rollup(rollup_partials(ev))
 
 
 _WEEK_US = 7 * _DAY_US

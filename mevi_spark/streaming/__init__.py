@@ -20,13 +20,22 @@ arriving corpus/event stream.
   delivery (watermark-bounded ``dropDuplicatesWithinWatermark``);
 * :func:`incremental_topk` — running exact top-k maintenance: per-query
   results stay current as the corpus arrives, converging to the batch
-  answer by the running-top-k merge invariant.
+  answer by the running-top-k merge invariant;
+* :func:`incremental_neardup` — MinHash near-dup maintenance: the
+  banded signature index and verified pair set stay current as docs
+  arrive, new docs probed against the existing corpus (never a full
+  re-pair), converging to the batch ``dedup_minhash`` answer;
+* :func:`incremental_rollup` — multi-resolution rollup maintenance:
+  mergeable GROUPING-SETS partials refreshed per micro-batch,
+  converging to the batch hypertable rollup.
 """
 
 from mevi_spark.streaming.incremental import (
     dedup_stream,
     incremental_merge,
+    incremental_neardup,
     incremental_quantize,
+    incremental_rollup,
     incremental_topk,
     sessionize_stream,
     sessionize_stream_window,
@@ -36,7 +45,9 @@ from mevi_spark.streaming.incremental import (
 __all__ = [
     "dedup_stream",
     "incremental_merge",
+    "incremental_neardup",
     "incremental_quantize",
+    "incremental_rollup",
     "incremental_topk",
     "sessionize_stream",
     "sessionize_stream_window",

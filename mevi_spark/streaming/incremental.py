@@ -321,6 +321,240 @@ def incremental_merge(
     )
 
 
+def incremental_neardup(
+    stream_df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+):
+    """Incremental MinHash near-dup maintenance: keep the banded
+    signature index AND the verified near-dup pair set current while
+    the corpus arrives — new documents are checked against the
+    existing corpus without ever recomputing all pairs (the 100 TB
+    operational reality; a nightly full ``dedup_minhash`` re-run over
+    the whole corpus is exactly what an ingest pipeline cannot
+    afford).
+
+    Per micro-batch:
+
+    1. signatures for the BATCH docs only
+       (:func:`~mevi_spark.operators.dedup.minhash_frame` — one md5
+       pass over the arriving text, never the corpus);
+    2. candidates = batch-vs-index probe (the batch's band keys
+       BROADCAST against the partitioned index — map-side, the index
+       never shuffles) ∪ batch-internal LSH self-join;
+    3. exact-Jaccard verification of the candidates against the
+       stored shingle sets;
+    4. publish index ∪ batch and pairs ∪ verified, each by the shared
+       atomic symlink flip.
+
+    Convergence: a qualifying pair (a, b) with b arriving no earlier
+    than a is found exactly when b's batch runs — a is then in the
+    index (or the same batch) — with the identical band keys and
+    Jaccard the batch operator computes, so the drained pair set
+    equals ``dedup_minhash`` over the full corpus. Replay-idempotent:
+    both artifacts dedup on their keys before publish, and a crashed
+    batch's re-run regenerates identical rows (deterministic md5
+    signatures), so any publish/offset-commit interleaving converges.
+
+    State is the two published tables; per batch the probe shuffles
+    only candidate rows (bounded by band-collision counts — the same
+    never-all-pairs discipline as the batch path).
+    """
+    import os
+
+    from mevi_spark.operators.dedup import (
+        banded_keys,
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_frame,
+    )
+
+    idx_dir = os.path.join(output_dir, "index")
+    pairs_dir = os.path.join(output_dir, "pairs")
+    vi, li = _link_prefixes(idx_dir, "ndidx")
+    vp, lp = _link_prefixes(pairs_dir, "ndpair")
+
+    def sink(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        _migrate_legacy_dir(idx_dir, vi, li)
+        _migrate_legacy_dir(pairs_dir, vp, lp)
+        new = minhash_frame(
+            batch, text_col, id_col, num_hashes, shingle_n
+        ).localCheckpoint(eager=True)  # 3 consumers; hash text once
+        if os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
+            idx = spark.read.parquet(idx_dir)
+        else:
+            idx = spark.createDataFrame([], new.schema)
+        nb = banded_keys(new, "doc_id", "sig", bands, sig_len=num_hashes)
+        ib = banded_keys(idx, "doc_id", "sig", bands, sig_len=num_hashes)
+        cross = (
+            ib.join(
+                F.broadcast(
+                    nb.select(F.col("_id").alias("_bid"), "band", "key")
+                ),
+                ["band", "key"],
+            )
+            .filter(F.col("_id") != F.col("_bid"))
+            .select(
+                F.least("_id", "_bid").alias("id_a"),
+                F.greatest("_id", "_bid").alias("id_b"),
+            )
+        )
+        internal = lsh_candidate_pairs(
+            new.select("doc_id", "sig"), "doc_id", "sig", bands,
+            sig_len=num_hashes,
+        )
+        cands = cross.unionByName(internal).distinct()
+        shingled = idx.select("doc_id", "shingles").unionByName(
+            new.select("doc_id", "shingles")
+        )
+        verified = jaccard_verify(cands, shingled, threshold)
+        if os.path.exists(os.path.join(pairs_dir, "_SUCCESS")):
+            old = spark.read.parquet(pairs_dir)
+            pairs = old.unionByName(verified).dropDuplicates(["id_a", "id_b"])
+        else:
+            pairs = verified
+        _publish_version(pairs, pairs_dir, vp, lp, _publish_grace())
+        merged_idx = idx.unionByName(new).dropDuplicates(["doc_id"])
+        _publish_version(merged_idx, idx_dir, vi, li, _publish_grace())
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def incremental_rollup(
+    stream_df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Incremental hypertable refresh: maintain the multi-resolution
+    rollup under event ingest by materializing each micro-batch's
+    MERGEABLE partials (``operators/rollup.py``) — the claim the batch
+    query's docstring makes, operationalized.
+
+    Replay-idempotence WITHOUT a merge step in the sink: the unit of
+    state is the per-batch partial directory ``b<batch_id>``, written
+    with deterministic content and ``overwrite`` mode — a crashed
+    batch's replay overwrites its own directory with identical rows,
+    never double-counts. The current rollup is ``rollup_state`` =
+    base ⊎ unfolded batch dirs, merged on read (one keyed shuffle over
+    partial rows, which are buckets×types-sized, not event-sized).
+
+    State growth is bounded by :func:`compact_rollup`: the published
+    BASE (atomic symlink, name-encoded fold watermark) absorbs batch
+    dirs ≤ its watermark; readers ignore absorbed dirs even if a crash
+    interrupts their removal — fold-then-delete is crash-safe because
+    the fold watermark, not the deletion, is what excludes a dir.
+    """
+    from mevi_spark.operators.rollup import rollup_partials
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        part = rollup_partials(batch, ts_col, type_col, value_col)
+        part.write.mode("overwrite").parquet(
+            f"{output_dir}/b{int(batch_id):09d}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+_ROLLUP_BASE = "base"
+_ROLLUP_BASE_V = ".rollbase-v-"
+
+
+def _rollup_parts(output_dir: str) -> tuple[str | None, int, list[str]]:
+    """(base path or None, fold watermark, live batch dirs > watermark)."""
+    import os
+    import re
+
+    base_link = os.path.join(output_dir, _ROLLUP_BASE)
+    upto = -1
+    base = None
+    if os.path.islink(base_link):
+        target = os.path.basename(os.readlink(base_link))
+        m = re.search(r"-upto(\d+)-", target)
+        if m:
+            upto = int(m.group(1))
+        base = base_link
+    live = sorted(
+        os.path.join(output_dir, d)
+        for d in os.listdir(output_dir)
+        if re.fullmatch(r"b\d{9}", d) and int(d[1:]) > upto
+    )
+    return base, upto, live
+
+
+def rollup_state(spark, output_dir: str) -> DataFrame:
+    """The current merged rollup: base (if compacted) ⊎ unfolded batch
+    partial dirs, folded by one keyed sum."""
+    from mevi_spark.operators.rollup import merge_rollup_partials
+
+    base, _, live = _rollup_parts(output_dir)
+    paths = ([base] if base else []) + live
+    if not paths:
+        raise FileNotFoundError(f"no rollup state under {output_dir}")
+    return merge_rollup_partials(spark.read.parquet(*paths))
+
+
+def compact_rollup(spark, output_dir: str) -> int:
+    """Fold every live batch-partial dir (and the previous base) into
+    a new published base; returns the number of batch dirs folded.
+
+    Crash-safety: the new base's symlink target name carries the fold
+    watermark (``-upto<N>-``), and readers exclude batch dirs ≤ the
+    watermark — so the post-publish removals are garbage collection,
+    not correctness. After compaction the state is one dir of
+    buckets×types rows regardless of how many batches arrived."""
+    import os
+    import re
+    import uuid as _uuid
+
+    base_link = os.path.join(output_dir, _ROLLUP_BASE)
+    _, upto, live = _rollup_parts(output_dir)
+    if not live:
+        return 0
+    hi = max(int(os.path.basename(p)[1:]) for p in live)
+    merged = rollup_state(spark, output_dir)
+    version = os.path.join(
+        output_dir, f"{_ROLLUP_BASE_V}upto{hi:09d}-{_uuid.uuid4().hex[:8]}"
+    )
+    merged.write.mode("overwrite").parquet(version)
+    tmp = os.path.join(output_dir, f".rollbase-ln-{_uuid.uuid4().hex[:8]}")
+    os.symlink(version, tmp)
+    os.rename(tmp, base_link)  # atomic flip; readers now fold ≤ hi via name
+    # GC sweep covers EVERY absorbed artifact, not just this call's
+    # fold set — dirs a crashed or graced earlier sweep left behind
+    # re-enter the candidate list until they are actually gone
+    from mevi_spark.plans.staging import reap_stale
+
+    stale = []
+    for entry in os.listdir(output_dir):
+        full = os.path.join(output_dir, entry)
+        if re.fullmatch(r"b\d{9}", entry) and int(entry[1:]) <= hi:
+            stale.append(full)
+        elif entry.startswith(_ROLLUP_BASE_V) and full != version:
+            stale.append(full)
+    reap_stale(stale, grace=_publish_grace())
+    return len(live)
+
+
 def dedup_stream(
     stream_df: DataFrame,
     keys: list[str],

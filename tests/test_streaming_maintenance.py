@@ -1,0 +1,153 @@
+"""Round-8 maintenance operators: incremental near-dup convergence to
+the batch answer, rollup partial replay-idempotence, and the
+compaction state bound (buckets×types rows in one dir, crash-safe
+watermark semantics)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from mevi_spark.operators.rollup import (
+    finalize_rollup,
+    merge_rollup_partials,
+    rollup_partials,
+)
+from mevi_spark.streaming.incremental import (
+    _rollup_parts,
+    compact_rollup,
+    rollup_state,
+)
+
+
+def _events(spark):
+    # two types, timestamps spread over 3 minutes within one hour
+    rows = [
+        (i, 1000 + i % 2, f"t{i % 2}", float(i) / 4) for i in range(24)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("event_id") * 7_000_000 + F.lit(1_000_000_000)))
+    )
+
+
+def test_rollup_partials_merge_equals_whole(spark):
+    """Mergeability, the claim itself: partials over disjoint halves,
+    merged, equal partials over the union — for counts and exact sums."""
+    ev = _events(spark)
+    a = rollup_partials(ev.filter(F.col("event_id") < 12))
+    b = rollup_partials(ev.filter(F.col("event_id") >= 12))
+    merged = {
+        (r.resolution, r.bucket_us, r.event_type): (r.n_events, r.sum_e6)
+        for r in merge_rollup_partials(a.unionByName(b)).collect()
+    }
+    whole = {
+        (r.resolution, r.bucket_us, r.event_type): (r.n_events, r.sum_e6)
+        for r in rollup_partials(ev).collect()
+    }
+    assert merged == whole
+
+
+def test_rollup_state_compaction_bound_and_idempotent_replay(spark):
+    ev = _events(spark)
+    base = tempfile.mkdtemp(prefix="mevi_test_rollup_")
+    out = f"{base}/out"
+    os.makedirs(out)
+    # three "micro-batches" as per-batch partial dirs
+    for i in range(3):
+        part = rollup_partials(
+            ev.filter(F.col("event_id") % 3 == i)
+        )
+        part.write.mode("overwrite").parquet(f"{out}/b{i:09d}")
+    want = {
+        (r.resolution, r.bucket_us, r.event_type): (r.n_events, r.sum_e6)
+        for r in rollup_partials(ev).collect()
+    }
+
+    def state():
+        return {
+            (r.resolution, r.bucket_us, r.event_type): (r.n_events, r.sum_e6)
+            for r in rollup_state(spark, out).collect()
+        }
+
+    assert state() == want
+    # replay-idempotence: a crashed batch re-writes ITS OWN dir with
+    # identical content — state unchanged (no double counting)
+    rollup_partials(ev.filter(F.col("event_id") % 3 == 1)).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/b{1:09d}")
+    assert state() == want
+    # compaction folds all three, state identical, live dirs gone
+    assert compact_rollup(spark, out) == 3
+    _, upto, live = _rollup_parts(out)
+    assert upto == 2 and live == []
+    assert state() == want
+    # the eviction bound: the base holds exactly buckets×types rows
+    n_combo = len(want)
+    assert spark.read.parquet(f"{out}/base").count() == n_combo
+    # a late batch after compaction: only dirs > watermark are live
+    rollup_partials(ev.filter(F.col("event_id") < 6)).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/b{3:09d}")
+    _, _, live = _rollup_parts(out)
+    assert [os.path.basename(p) for p in live] == ["b000000003"]
+    # finalize shape
+    fin = finalize_rollup(rollup_state(spark, out))
+    assert set(fin.columns) == {
+        "resolution", "bucket_us", "event_type", "n_events", "sum_value",
+    }
+
+
+def test_incremental_neardup_converges_to_batch(spark):
+    """Two batches, every near-dup pair SPANNING them: the drained
+    index+pairs state equals the one-shot batch dedup_minhash — the
+    cross-batch probe finds exactly what the self-join would."""
+    from mevi_spark.operators.dedup import dedup_minhash
+    from mevi_spark.streaming.incremental import incremental_neardup
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    docs = [
+        (1, words),
+        (2, words + " kilo"),             # near dup of 1
+        (3, "totally different content here nothing shared at all x y"),
+        (4, words),                        # exact dup of 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in dedup_minhash(df, num_hashes=12, bands=4, threshold=0.5)
+        .collect()
+    }
+    assert want  # fixture must actually contain qualifying pairs
+
+    base = tempfile.mkdtemp(prefix="mevi_test_ndup_")
+    for i, pred in enumerate((F.col("doc_id") <= 2, F.col("doc_id") > 2)):
+        df.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            f"{base}/in/s{i:02d}"
+        )
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in/s*")
+    )
+    q = incremental_neardup(
+        stream, f"{base}/out", f"{base}/ckpt",
+        num_hashes=12, bands=4, threshold=0.5,
+    )
+    q.awaitTermination()
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in spark.read.parquet(f"{base}/out/pairs").collect()
+    }
+    assert got == want
+    # the index carries every ingested doc exactly once
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(f"{base}/out/index").collect()
+    ) == [1, 2, 3, 4]
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
