@@ -375,3 +375,114 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "o_orderkey", F.round("o_totalprice", 2).alias("total_price")
     )
+
+
+@register(
+    "cdc_partitioned_merge",
+    oracle="""
+SELECT o_orderkey,
+       ROUND(CASE WHEN o_orderkey % 8 = 0 AND o_orderkey % 3 = 0
+                  THEN o_totalprice + 1000.5
+                  ELSE o_totalprice END, 2) AS total_price,
+       CAST(o_orderkey % 8 AS INT) AS bucket
+FROM orders
+WHERE NOT (o_orderkey % 8 = 1 AND o_orderkey % 5 = 0)
+UNION ALL
+SELECT o_orderkey + 10000000, ROUND(o_totalprice, 2), CAST(0 AS INT)
+FROM orders WHERE o_orderkey % 40 = 0
+""",
+)
+def cdc_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three table-maintenance operators COMPOSED (VERDICT r7
+    stretch #8): CDC merge against a partition-pruned base layout,
+    then compaction — the full lakehouse maintenance loop on one
+    table.
+
+    The orders base is laid out ``partitionBy(bucket = o_orderkey %
+    8)``; the change batch touches ONLY buckets 0 and 1 (updates at
+    ``%24``, inserts at shifted ``%40`` keys — both bucket 0; deletes
+    at ``%8==1 ∧ %5==0`` — bucket 1), so
+    :func:`~mevi_spark.sources.upsert.merge_into_partitioned` must
+    (1) scan only those two partitions (PartitionFilters — asserted in
+    ``tests/test_upsert.py``), (2) merge the batch against that slice,
+    (3) dynamic-partition-overwrite exactly those two directories —
+    PROVEN here byte-for-byte: every untouched bucket's file listing
+    (names, sizes, mtimes) must be identical across the merge, else
+    this query raises before the oracle ever runs. Compaction then
+    shrinks the layout (strictly fewer data files, asserted like
+    ``compaction_roundtrip``) while preserving content — which the
+    oracle's closed-form check certifies last."""
+    import os
+
+    from mevi_spark.sources.compact import compact_partitioned, data_file_count
+    from mevi_spark.sources.upsert import merge_into_partitioned
+
+    path = _tmp("cdcpart")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = orders.withColumn(
+        "bucket", (F.col("o_orderkey") % 8).cast("int")
+    )
+    base.repartition(4).write.partitionBy("bucket").parquet(path)
+
+    def listing(untouched_only: bool = True) -> dict[str, tuple]:
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            part = os.path.basename(root)
+            if untouched_only and part in ("bucket=0", "bucket=1"):
+                continue
+            for f in files:
+                if f.startswith(("_", ".")) or f.endswith(".crc"):
+                    continue
+                full = os.path.join(root, f)
+                st = os.stat(full)
+                out[full] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = listing()
+    bucket = (F.col("o_orderkey") % 8).cast("int")
+    upd = orders.filter(
+        (F.col("o_orderkey") % 8 == 0) & (F.col("o_orderkey") % 3 == 0)
+    ).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1000.5).alias("o_totalprice"),
+        bucket.alias("bucket"),
+        F.lit("U").alias("_op"), F.lit(2).cast("long").alias("_version"),
+    )
+    del_ = orders.filter(
+        (F.col("o_orderkey") % 8 == 1) & (F.col("o_orderkey") % 5 == 0)
+    ).select(
+        "o_orderkey", "o_totalprice", bucket.alias("bucket"),
+        F.lit("D").alias("_op"), F.lit(2).cast("long").alias("_version"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 40 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_totalprice",
+        F.lit(0).cast("int").alias("bucket"),
+        F.lit("U").alias("_op"), F.lit(2).cast("long").alias("_version"),
+    )
+    changes = upd.unionByName(del_).unionByName(ins)
+    touched = merge_into_partitioned(
+        spark, path, changes, ["o_orderkey"], "bucket"
+    )
+    if sorted(touched) != [0, 1]:
+        raise AssertionError(f"unexpected touched partitions: {touched}")
+    after = listing()
+    if after != before:
+        raise AssertionError(
+            "merge rewrote untouched partitions: "
+            f"{set(before.items()) ^ set(after.items())}"
+        )
+    n_before = data_file_count(path)
+    n_after = compact_partitioned(spark, path, "bucket")
+    if not n_after < n_before:
+        raise AssertionError(
+            f"compaction did not shrink the layout: {n_before} -> {n_after}"
+        )
+    out = spark.read.parquet(path).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.col("bucket").cast("int").alias("bucket"),
+    )
+    return _finish(out, path)

@@ -32,40 +32,50 @@ def test_epoch_us_ltz_arm(spark):
     assert got == 1704067201_000000
 
 
-R7_NEW = [
-    "text_tfidf_topterms",
-    "events_value_quantiles",
-    "dedup_canonicalize",
-    "decontaminate_eval",
-    "text_repetition_stats",
-    "domain_mix_sample",
-    "sequence_pack",
-    "orders_merge_upsert",
-    "bm25_search",
-    "streaming_cdc_apply",
-    "events_asof_attribution",
-    "events_range_pairs",
-    "events_hypertable_rollup",
-    "events_funnel_stages",
-    "events_cohort_retention",
-    "events_rolling_stats",
-    "events_type_pivot",
+R8_NEW = [
+    "packed_sequences",
+    "ensemble_hybrid",
+    "streaming_neardup_ingest",
+    "streaming_hypertable_refresh",
+    "cdc_partitioned_merge",
 ]
+
+# the only names allowed to reach 2-round-stale evidence after r8
+# (bench-exercised every round — see the registry rotation note)
+R8_ROTATED_OUT = {"q1_pricing_summary", "nation_revenue", "dedup_exact"}
 
 
 def test_driver_window_invariants():
     """The driver's correctness evidence covers exactly the first 50
     registered queries, so the priority window must (a) hold exactly 50
     names, (b) name only registered queries, (c) contain every query
-    that has never received a driver row — this round, the 17 r7-new
-    ones. A drifted window silently starves new queries of evidence."""
+    that has never received a driver row — this round, the 5 r8-new
+    ones — and (d) every name with no r7 driver row except the three
+    documented bench-exercised rotations. A drifted window silently
+    starves new queries of evidence."""
+    import json
+    import os
+
     REG._ensure_loaded()
     assert len(REG._PRIORITY_ORDER) == 50
     assert len(set(REG._PRIORITY_ORDER)) == 50
     window = list(REG.get_queries())[:50]
     assert set(window) == set(REG._PRIORITY_ORDER)
-    missing = [n for n in R7_NEW if n not in window]
+    missing = [n for n in R8_NEW if n not in window]
     assert not missing, f"zero-evidence queries outside the window: {missing}"
+    r7 = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r07.json")
+    if os.path.exists(r7):
+        with open(r7, encoding="utf-8") as fh:
+            r7_names = set(json.load(fh))
+        stale = [
+            n
+            for n in REG.get_queries()
+            if n not in r7_names
+            and n not in window
+            and n not in R8_ROTATED_OUT
+            and n not in R8_NEW
+        ]
+        assert not stale, f"undocumented 2-round-stale evidence: {stale}"
     # every windowed query must also carry an oracle (strict row, not
     # rows-only) unless deliberately registered without one
     no_oracle = [n for n in window if n not in REG.get_oracles()]

@@ -171,3 +171,52 @@ def test_tombstones_block_late_lower_version_upsert(spark):
     assert rows == {(1, None, 5, "D"), (2, "b", 0, "U")}
     live = {r.k for r in state.filter(F.col("_op") != "D").collect()}
     assert live == {2}
+
+
+def test_merge_into_partitioned_prunes_and_rewrites_only_touched(spark):
+    """The partition-pruned MERGE: (a) content equals a full-table
+    merge, (b) untouched partition directories are byte-identical
+    across the call, (c) the pruned base scan plans PartitionFilters
+    (the files of untouched partitions are never opened)."""
+    import os
+    import tempfile
+
+    from mevi_spark.sources.upsert import merge_into_partitioned
+
+    base_rows = [(k, f"v{k}", k % 4) for k in range(40)]
+    base = spark.createDataFrame(base_rows, "k long, val string, p int")
+    path = tempfile.mkdtemp(prefix="mevi_test_cdcpart_") + "/t"
+    base.repartition(2).write.partitionBy("p").parquet(path)
+
+    def files(parts):
+        out = {}
+        for root, _d, fs in os.walk(path):
+            if os.path.basename(root) in parts:
+                for f in fs:
+                    if not f.startswith(("_", ".")) and not f.endswith(".crc"):
+                        st = os.stat(os.path.join(root, f))
+                        out[os.path.join(root, f)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    untouched_before = files({"p=2", "p=3"})
+    changes = spark.createDataFrame(
+        [(0, "new0", 0, "U", 2), (1, None, 1, "D", 2), (100, "ins", 0, "U", 2)],
+        "k long, val string, p int, _op string, _version long",
+    )
+    touched = merge_into_partitioned(spark, path, changes, ["k"], "p")
+    assert sorted(touched) == [0, 1]
+    assert files({"p=2", "p=3"}) == untouched_before
+    got = {(r.k, r.val, r.p) for r in spark.read.parquet(path).collect()}
+    want = {
+        (k, "new0" if k == 0 else f"v{k}", k % 4)
+        for k in range(40) if k != 1
+    } | {(100, "ins", 0)}
+    assert got == want
+    # the pruned scan carries partition filters (physical-plan property)
+    pruned = spark.read.parquet(path).filter(F.col("p").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "p#" in plan
+
+    import shutil
+
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
