@@ -48,6 +48,7 @@ def rq_beam_search(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     valid_codes: DataFrame | None = None,
+    entries_by_level: dict[int, list[tuple[int, list[float]]]] | None = None,
 ) -> DataFrame:
     """U3: top-``num_beams`` RQ codes per query with beam probabilities.
 
@@ -67,6 +68,12 @@ def rq_beam_search(
     −inf to already-log_softmaxed scores). ``None`` = every code valid
     at every level (the RQ "share_sons" tree,
     ``MEVI/main_models.py:1700-1706``).
+
+    ``entries_by_level`` supplies the already-collected codebook —
+    ``{level: [(code, centroid), ...]}`` — so callers holding the
+    process-cached entries (``plans/retrieval.py::_chain_state``) skip
+    the K-row collect job this function otherwise runs; the literal
+    expressions built from either source are identical.
     """
     if metric not in _METRICS:
         raise ValueError(f"unknown metric: {metric!r}")
@@ -82,11 +89,14 @@ def rq_beam_search(
     # score, exp-shifted-by-max softmax); the denominator folds the K
     # exps left-to-right in code order — a deterministic order where
     # the window SUM had an engine-chosen one.
-    by_level: dict[int, list[tuple[int, list[float]]]] = {}
-    for r in codebook.select("level", "code", "centroid").collect():
-        by_level.setdefault(int(r["level"]), []).append(
-            (int(r["code"]), [float(v) for v in r["centroid"]])
-        )
+    if entries_by_level is not None:
+        by_level = entries_by_level
+    else:
+        by_level = {}
+        for r in codebook.select("level", "code", "centroid").collect():
+            by_level.setdefault(int(r["level"]), []).append(
+                (int(r["code"]), [float(v) for v in r["centroid"]])
+            )
 
     beam = queries.select(
         F.col(query_id).alias("query_id"),

@@ -121,30 +121,26 @@ def banded_keys(
     bands, key = the band's slot values verbatim (csv). The equi-join
     key both the batch self-join (:func:`lsh_candidate_pairs`) and the
     incremental batch-vs-index probe (``streaming/incremental.py``)
-    share."""
+    share.
+
+    Built as ONE selectExpr of SQL text — the Column-API form cost a
+    py4j round trip per banding sub-expression (the dominant
+    plan-BUILD cost of the dedup family, same finding as the r7 beam
+    fix); the SQL functions are the identical expressions."""
+    from mevi_spark.functions.vector import sql_ident
+
     n = sig_len if sig_len is not None else sigs.select(F.size(sig_col)).first()[0]
-    rows_per_band = n // bands
-    return sigs.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    sig_col, b * rows_per_band + 1, rows_per_band
-                                ),
-                                lambda x: x.cast("string"),
-                            ),
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+    rpb = n // bands
+    sc = sql_ident(sig_col)
+    bands_sql = ", ".join(
+        f"named_struct('band', {b}, 'key',"
+        f" concat_ws(',', transform(slice({sc}, {b * rpb + 1}, {rpb}),"
+        f" x -> CAST(x AS STRING))))"
+        for b in range(bands)
+    )
+    return sigs.selectExpr(
+        f"{sql_ident(id_col)} AS _id",
+        f"explode(array({bands_sql})) AS bk",
     ).select("_id", "bk.band", "bk.key")
 
 
@@ -268,14 +264,25 @@ def minhash_frame(
     # plans wide
     df = spread_small_scan(df.sparkSession, df)
     shingled = shingle_frame(df, text_col, id_col, shingle_n)
-    hs = shingled.select(
-        "doc_id",
-        "shingles",
-        F.transform("shingles", lambda s: _km_pair(F.md5(s))).alias("_hs"),
+    # SQL-text forms of _km_pair/_km_slots: identical expressions, ONE
+    # py4j call per stage instead of one per slot×sub-expression (the
+    # Column-API form cost ~0.6 s of round trips per build — profiled
+    # r8, same class as the r7 beam fix)
+    pair_sql = (
+        "transform(shingles, s -> named_struct("
+        "'h1', CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT),"
+        " 'h2', CAST(conv(substring(md5(s), 15, 14), 16, 10) AS BIGINT)"
+        " | CAST(1 AS BIGINT)))"
     )
-    return hs.select(
-        "doc_id", "shingles", F.array(*_km_slots("_hs", num_hashes)).alias("sig")
+    slots_sql = ", ".join(
+        f"coalesce(array_min(transform(_hs,"
+        f" h -> h.h1 + CAST({i} AS BIGINT) * h.h2)),"
+        f" CAST({MINHASH_SENTINEL} AS BIGINT))"
+        for i in range(num_hashes)
     )
+    return shingled.selectExpr(
+        "doc_id", "shingles", f"{pair_sql} AS _hs"
+    ).selectExpr("doc_id", "shingles", f"array({slots_sql}) AS sig")
 
 
 def dedup_minhash(

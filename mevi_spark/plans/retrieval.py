@@ -306,7 +306,7 @@ def rq_encode_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2 full RQ encode, two levels, label-seeded codebooks — the
     deterministic SQL-expressible residual-quantization path
     (assign → subtract → recurse, ``MEVI/pq.py:281-305``)."""
-    mapping, _ = _codebook2(spark, sf_dir)
+    mapping = _chain_mapping(spark, sf_dir)
     return mapping.select(F.col("id").alias("vec_id"), "code_0", "code_1")
 
 
@@ -427,10 +427,20 @@ def _codebook2(spark: SparkSession, sf_dir: str):
     bit-identical doubles and parquet round-trips them exactly; the
     mtime key rebuilds the artifact whenever the source table changes.
     """
+    return _chain_mapping(spark, sf_dir), _chain_codebook(spark, sf_dir)
+
+
+def _chain_state(spark: SparkSession, sf_dir: str) -> dict:
+    """Per-(session, sf_dir) chain state: the staged codebook frame +
+    collected entries, with the corpus MAPPING built lazily — half the
+    chain's consumers (the coarse beam, constrained beam, all-code
+    enumeration) never touch the mapping, and its literal-expression
+    plan costs ~0.3 s of driver-side construction per build (measured
+    r8), so eager construction taxed every coarse-only rebuild."""
     per_session = _CHAIN_CACHE.setdefault(spark, {})
-    hit = per_session.get(sf_dir)
-    if hit is not None:
-        return hit[0], hit[1]
+    state = per_session.get(sf_dir)
+    if state is not None:
+        return state
 
     from mevi_spark.plans.staging import ensure_staged
 
@@ -475,15 +485,59 @@ def _codebook2(spark: SparkSession, sf_dir: str):
         while len(_ENTRIES_CACHE) >= 8:  # a few MB bound; FIFO evict
             _ENTRIES_CACHE.pop(next(iter(_ENTRIES_CACHE)))
         _ENTRIES_CACHE[staged] = level_entries
-    mapping = rq_encode_from_entries(
-        _emb(spark, sf_dir), level_entries, id_col="vec_id",
-        vec_col="embedding",
-    ).persist()
-    # NOT count()-materialized: the corpus-sized mapping materializes on
-    # its first consumer's action instead of paying one extra full pass
-    # up front (r6 bench: the eager count was a redundant scan)
-    per_session[sf_dir] = (mapping, codebook)
-    return mapping, codebook
+    state = {"codebook": codebook, "entries": level_entries, "mapping": None}
+    per_session[sf_dir] = state
+    return state
+
+
+def _chain_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged 2·K-row codebook frame alone — no mapping plan."""
+    return _chain_state(spark, sf_dir)["codebook"]
+
+
+def _chain_beam_entries(
+    spark: SparkSession, sf_dir: str
+) -> dict[int, list[tuple[int, list[float]]]]:
+    """The process-cached codebook entries in the beam's
+    ``entries_by_level`` shape — skips the K-row collect job each beam
+    build otherwise pays (the ‖c‖² member is dropped; the beam computes
+    scores straight from the centroid)."""
+    entries = _chain_state(spark, sf_dir)["entries"]
+    return {
+        lvl: [(code, cent) for code, cent, _cc in level]
+        for lvl, level in enumerate(entries)
+    }
+
+
+def _chain_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus code mapping, built (and persisted) on first demand."""
+    state = _chain_state(spark, sf_dir)
+    if state["mapping"] is None:
+        state["mapping"] = rq_encode_from_entries(
+            _emb(spark, sf_dir), state["entries"], id_col="vec_id",
+            vec_col="embedding",
+        ).persist()
+        # NOT count()-materialized: the corpus-sized mapping
+        # materializes on its first consumer's action instead of paying
+        # one extra full pass up front (r6 bench: the eager count was a
+        # redundant scan)
+    return state["mapping"]
+
+
+def warm_process_artifacts(spark: SparkSession, sf_dir: str) -> None:
+    """Load the process-wide, session-independent artifacts for
+    ``sf_dir`` ahead of query time: the staged codebook's collected
+    entries (``_ENTRIES_CACHE``) and the fine path's once-per-layout
+    DPP plan assertion (``_DPP_OK``). Ingest-time table management in
+    the same sense as :func:`stage_fine_layout` — a cluster's ingest
+    job (or a service's init) does this once per corpus version, and
+    every later session, bench pass, or driver gate then builds plans
+    against ready artifacts. Does NOT execute any query or leave any
+    session-scoped frame cached: callers still pay full plan
+    construction and execution (``clear_session_caches`` afterwards
+    drops the session frames this warm-up creates)."""
+    _fine_run(spark, sf_dir)  # builds plans; entries + DPP memo persist
+    clear_session_caches(spark)
 
 
 def clear_session_caches(spark: SparkSession) -> None:
@@ -493,8 +547,10 @@ def clear_session_caches(spark: SparkSession) -> None:
     jobs: frees the persisted blocks deterministically instead of at
     session GC. Safe to call on a session with no cached state.
     """
-    for frames in _CHAIN_CACHE.pop(spark, {}).values():
-        for df in frames:
+    for state in _CHAIN_CACHE.pop(spark, {}).values():
+        for df in (state["codebook"], state["mapping"]):
+            if df is None:
+                continue
             try:
                 df.unpersist()
             except Exception:
@@ -524,10 +580,11 @@ def rq_beam_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level label-seeded codebook — beam ≤4 rows/query joined against
     the K-row level codebook, softmax probabilities, product scores.
     Nothing of size K^M is built (round-1 flat-scan fix)."""
-    _, codebook = _codebook2(spark, sf_dir)
+    codebook = _chain_codebook(spark, sf_dir)
     out = rq_beam_search(
         _queries(spark, sf_dir), codebook, levels=2, num_beams=4,
         k_per_level=K_LABELS,
+        entries_by_level=_chain_beam_entries(spark, sf_dir),
     )
     return out.select(
         "query_id", "code_flat",
@@ -569,7 +626,7 @@ def eval_all_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     every two-level code scored, per-query top-10. The diagnostic
     ``eval_all_documents`` mode; the beam (``rq_beam_search``) is the
     production path that prunes the same space."""
-    _, codebook = _codebook2(spark, sf_dir)
+    codebook = _chain_codebook(spark, sf_dir)
     out = enumerate_all_codes(
         _queries(spark, sf_dir), codebook, levels=2, k_per_level=K_LABELS,
         topk=10,
@@ -708,11 +765,12 @@ def _coarse1(spark: SparkSession, sf_dir: str) -> DataFrame:
     one beam execution instead of re-running it per query."""
 
     def build() -> DataFrame:
-        _, codebook = _codebook2(spark, sf_dir)
+        codebook = _chain_codebook(spark, sf_dir)
         cb0 = codebook.filter(F.col("level") == 0)
+        ents = _chain_beam_entries(spark, sf_dir)
         out = rq_beam_search(
             _queries(spark, sf_dir), cb0, levels=1, num_beams=4,
-            k_per_level=K_LABELS,
+            k_per_level=K_LABELS, entries_by_level={0: ents[0]},
         )
         return out.select(
             "query_id", "code_flat", F.col("beam_rank").alias("coarse_rank")
@@ -970,7 +1028,7 @@ def negatives_notclus(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`negative_samples_notclus`)."""
     from mevi_spark.operators.negatives import negative_samples_notclus
 
-    mapping, _ = _codebook2(spark, sf_dir)
+    mapping = _chain_mapping(spark, sf_dir)
     code_map = mapping.select(
         F.col("id").alias("doc_id"),
         F.array("code_0", "code_1").alias("code"),
@@ -1275,7 +1333,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse path generalizes it, ``MEVI/main_models.py:3911-3991``).
     Coarse quantizer = level 0 of the cached RQ chain; the inverted
     list is the ``label`` cluster keying the corpus already carries."""
-    _, codebook = _codebook2(spark, sf_dir)
+    codebook = _chain_codebook(spark, sf_dir)
     cents = codebook.filter(F.col("level") == 0).select("code", "centroid")
     docs = _docs(spark, sf_dir).select(
         "doc_id", "doc_vec", F.col("label").cast("long").alias("code")
@@ -1479,7 +1537,7 @@ def code_prefix_members_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9: tree-node membership at every depth of the 2-level code —
     the prefix-expansion join of ``prepare_origin.py:12-28`` (cluster =
     newid prefix) as a slice-groupBy per depth."""
-    mapping, _ = _codebook2(spark, sf_dir)
+    mapping = _chain_mapping(spark, sf_dir)
     m = mapping.withColumn(
         "code", F.array(F.col("code_0"), F.col("code_1"))
     )
@@ -1537,7 +1595,7 @@ def beam_constrained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     allows every level-0 code but only level-1 codes with
     ``(c0 + c1) % 2 == 0``; matching the reference, the mask applies
     AFTER the softmax (no renormalization over the valid set)."""
-    _, codebook = _codebook2(spark, sf_dir)
+    codebook = _chain_codebook(spark, sf_dir)
     edges = [(0, 0, c) for c in range(K_LABELS)] + [
         (1, c0, c1)
         for c0 in range(K_LABELS)
@@ -1550,6 +1608,7 @@ def beam_constrained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rq_beam_search(
         _queries(spark, sf_dir), codebook, levels=2, num_beams=4,
         k_per_level=K_LABELS, valid_codes=valid,
+        entries_by_level=_chain_beam_entries(spark, sf_dir),
     )
     return out.select(
         "query_id", "code_flat",
@@ -1753,7 +1812,7 @@ def code_token_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     array-output convention."""
     from mevi_spark.functions.vector import code_tokens, tokens_to_code
 
-    mapping, _ = _codebook2(spark, sf_dir)
+    mapping = _chain_mapping(spark, sf_dir)
     m = mapping.select(
         F.col("id").alias("vec_id"),
         F.array(F.col("code_0"), F.col("code_1")).alias("code"),
@@ -1945,7 +2004,7 @@ def cluster_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     coarse = _coarse1(spark, sf_dir)
-    _, codebook = _codebook2(spark, sf_dir)
+    codebook = _chain_codebook(spark, sf_dir)
     cb0 = codebook.filter(F.col("level") == 0).select(
         F.col("code").cast("long").alias("code_flat"),
         F.col("centroid").alias("_cent"),

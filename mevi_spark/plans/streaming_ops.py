@@ -446,6 +446,15 @@ def streaming_hypertable_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     if live:
         raise AssertionError(f"live batch dirs survived compaction: {live}")
     return _drained(finalize_rollup(rollup_state(spark, f"{base}/out")), base)
+
+
+def _flavor_safe_ntz(col: str) -> F.Column:
+    """LTZ → NTZ without a session-timezone dependency (epoch micros
+    re-anchored on the NTZ epoch — same trick as windowed counts)."""
+    return F.expr(
+        f"timestampadd(MICROSECOND, unix_micros({col}),"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    ).alias(col)
     """LTZ → NTZ without a session-timezone dependency (epoch micros
     re-anchored on the NTZ epoch — same trick as windowed counts)."""
     return F.expr(
