@@ -78,6 +78,43 @@ def test_write_packed_sequences_layout_and_determinism(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_doc = st.tuples(
+    st.integers(min_value=0, max_value=500),        # doc_id (unique-by)
+    st.integers(min_value=0, max_value=23),         # token count
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(_doc, min_size=1, max_size=12, unique_by=lambda d: d[0]),
+    st.integers(min_value=1, max_value=9),
+)
+def test_pack_sequences_property_gapless(spark, docs, seq_len):
+    """For ANY doc set and block length: ids contiguous from 0, every
+    block full except the last, and the concatenation in seq_id order
+    reproduces the token stream in doc_id order exactly."""
+    rows = [
+        (did, [f"d{did}t{i}" for i in range(n)]) for did, n in docs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    stream = [t for _, ts in sorted(rows) for t in ts]
+    got = {r.seq_id: r.tokens for r in pack_sequences(df, seq_len).collect()}
+    if not stream:
+        assert got == {}
+        return
+    n_seqs = -(-len(stream) // seq_len)
+    assert set(got) == set(range(n_seqs))
+    rebuilt = [t for s in range(n_seqs) for t in got[s]]
+    assert rebuilt == stream
+    assert all(len(got[s]) == seq_len for s in range(n_seqs - 1))
+
+
 def test_pack_sequences_single_shuffle(spark):
     """Plan property: assembling blocks costs ONE seq_id-keyed exchange
     on top of the prefix-sum's bucket window exchange — no join, no
