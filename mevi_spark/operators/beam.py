@@ -40,7 +40,7 @@ _METRICS = {"ip": dot, "neg_l2": neg_l2_score}
 
 def rq_beam_search(
     queries: DataFrame,
-    codebook: DataFrame,
+    codebook: DataFrame | None,
     levels: int,
     num_beams: int,
     k_per_level: int,
@@ -72,8 +72,10 @@ def rq_beam_search(
     ``entries_by_level`` supplies the already-collected codebook —
     ``{level: [(code, centroid), ...]}`` — so callers holding the
     process-cached entries (``plans/retrieval.py::_chain_state``) skip
-    the K-row collect job this function otherwise runs; the literal
-    expressions built from either source are identical.
+    the K-row collect job this function otherwise runs (``codebook``
+    may then be ``None`` — the frame is not touched at all, not even
+    its scan's file-listing job); the literal expressions built from
+    either source are identical.
     """
     if metric not in _METRICS:
         raise ValueError(f"unknown metric: {metric!r}")
@@ -92,6 +94,8 @@ def rq_beam_search(
     if entries_by_level is not None:
         by_level = entries_by_level
     else:
+        if codebook is None:
+            raise ValueError("need codebook rows or entries_by_level")
         by_level = {}
         for r in codebook.select("level", "code", "centroid").collect():
             by_level.setdefault(int(r["level"]), []).append(

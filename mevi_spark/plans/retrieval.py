@@ -80,21 +80,28 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from weakref import WeakKeyDictionary as _WKD
-
-_DIM_CACHE: _WKD = _WKD()
+# process-wide, keyed by the parquet file's (path, mtime): the probed
+# value is pure catalog metadata of an immutable artifact — the same
+# basis as _ENTRIES_CACHE — so session churn (bench passes, services)
+# never re-pays the one-row probe job (VERDICT r5 #6; made
+# session-independent in r8)
+_DIM_CACHE: dict[tuple, int] = {}
 
 
 def _dim(spark: SparkSession, sf_dir: str) -> int:
-    """Embedding dimensionality, probed once per (session, sf_dir) —
-    catalog metadata a managed corpus would carry; memoizing keeps the
-    one-row probe out of every ANN call's job count (VERDICT r5 #6)."""
-    per_session = _DIM_CACHE.setdefault(spark, {})
-    if sf_dir not in per_session:
-        per_session[sf_dir] = len(
+    """Embedding dimensionality — catalog metadata a managed corpus
+    would carry; probed once per corpus version."""
+    import os
+
+    f = os.path.join(sf_dir, "embeddings.parquet")
+    key = (os.path.abspath(f), os.stat(f).st_mtime_ns)
+    if key not in _DIM_CACHE:
+        while len(_DIM_CACHE) >= 32:
+            _DIM_CACHE.pop(next(iter(_DIM_CACHE)))
+        _DIM_CACHE[key] = len(
             _emb(spark, sf_dir).select("embedding").first()[0]
         )
-    return per_session[sf_dir]
+    return _DIM_CACHE[key]
 
 
 # SQL fragments shared by oracles -------------------------------------------
@@ -462,16 +469,21 @@ def _chain_state(spark: SparkSession, sf_dir: str) -> dict:
                 df.unpersist()
 
     staged = ensure_staged("codebook2", sf_dir, _write)
-    codebook = spark.read.parquet(staged).persist()
+    state = {
+        "staged": staged, "codebook": None, "entries": None, "mapping": None,
+    }
     # entries are immutable for a given staged path (the path embeds
     # the source mtime), so cache the collected Python-side artifact
     # process-wide: rebuilding the chain after clear_session_caches —
     # the bench's warm pass, services churning sessions — skips even
-    # the tiny staged-read job
+    # the tiny staged-read job (and, with the frame lazy below, the
+    # scan's file-listing job too when no consumer needs frame rows)
     level_entries = _ENTRIES_CACHE.get(staged)
     if level_entries is None:
         from mevi_spark.operators.rq import entries_from_rows
 
+        codebook = spark.read.parquet(staged).persist()
+        state["codebook"] = codebook
         rows = codebook.select("level", "code", "centroid").collect()
         by_level: dict[int, list] = {}
         for r in rows:
@@ -485,14 +497,19 @@ def _chain_state(spark: SparkSession, sf_dir: str) -> dict:
         while len(_ENTRIES_CACHE) >= 8:  # a few MB bound; FIFO evict
             _ENTRIES_CACHE.pop(next(iter(_ENTRIES_CACHE)))
         _ENTRIES_CACHE[staged] = level_entries
-    state = {"codebook": codebook, "entries": level_entries, "mapping": None}
+    state["entries"] = level_entries
     per_session[sf_dir] = state
     return state
 
 
 def _chain_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The staged 2·K-row codebook frame alone — no mapping plan."""
-    return _chain_state(spark, sf_dir)["codebook"]
+    """The staged 2·K-row codebook frame alone — no mapping plan; the
+    frame itself builds on first demand (entries-only consumers never
+    pay its scan)."""
+    state = _chain_state(spark, sf_dir)
+    if state["codebook"] is None:
+        state["codebook"] = spark.read.parquet(state["staged"]).persist()
+    return state["codebook"]
 
 
 def _chain_beam_entries(
@@ -560,7 +577,10 @@ def clear_session_caches(spark: SparkSession) -> None:
             df.unpersist()
         except Exception:
             pass
-    _DIM_CACHE.pop(spark, None)
+    # _DIM_CACHE is deliberately NOT cleared: process-wide catalog
+    # metadata keyed on the artifact's (path, mtime), like
+    # _ENTRIES_CACHE/_DPP_OK — see the bench docstring's carried-cache
+    # list
     from mevi_spark.operators.cache import release
 
     release(spark)
@@ -580,9 +600,8 @@ def rq_beam_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level label-seeded codebook — beam ≤4 rows/query joined against
     the K-row level codebook, softmax probabilities, product scores.
     Nothing of size K^M is built (round-1 flat-scan fix)."""
-    codebook = _chain_codebook(spark, sf_dir)
     out = rq_beam_search(
-        _queries(spark, sf_dir), codebook, levels=2, num_beams=4,
+        _queries(spark, sf_dir), None, levels=2, num_beams=4,
         k_per_level=K_LABELS,
         entries_by_level=_chain_beam_entries(spark, sf_dir),
     )
@@ -765,11 +784,9 @@ def _coarse1(spark: SparkSession, sf_dir: str) -> DataFrame:
     one beam execution instead of re-running it per query."""
 
     def build() -> DataFrame:
-        codebook = _chain_codebook(spark, sf_dir)
-        cb0 = codebook.filter(F.col("level") == 0)
         ents = _chain_beam_entries(spark, sf_dir)
         out = rq_beam_search(
-            _queries(spark, sf_dir), cb0, levels=1, num_beams=4,
+            _queries(spark, sf_dir), None, levels=1, num_beams=4,
             k_per_level=K_LABELS, entries_by_level={0: ents[0]},
         )
         return out.select(
@@ -1595,7 +1612,6 @@ def beam_constrained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     allows every level-0 code but only level-1 codes with
     ``(c0 + c1) % 2 == 0``; matching the reference, the mask applies
     AFTER the softmax (no renormalization over the valid set)."""
-    codebook = _chain_codebook(spark, sf_dir)
     edges = [(0, 0, c) for c in range(K_LABELS)] + [
         (1, c0, c1)
         for c0 in range(K_LABELS)
@@ -1606,7 +1622,7 @@ def beam_constrained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, "level int, parent_flat long, code int"
     )
     out = rq_beam_search(
-        _queries(spark, sf_dir), codebook, levels=2, num_beams=4,
+        _queries(spark, sf_dir), None, levels=2, num_beams=4,
         k_per_level=K_LABELS, valid_codes=valid,
         entries_by_level=_chain_beam_entries(spark, sf_dir),
     )
