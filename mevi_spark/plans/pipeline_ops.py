@@ -1301,9 +1301,12 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "packed_sequences",
-    oracle=rf"""
+# blocks reconstructed independently on the DuckDB side: concatenate
+# all tokens in doc order, chunk at _SEQ_LEN, hash each chunk — shared
+# by the one-shot writer (packed_sequences) and the incremental
+# append-maintained state (packed_append), whose final states must be
+# identical by construction
+_SQL_PACKED_RECONSTRUCT = rf"""
 WITH toks AS (
   SELECT doc_id,
          string_split(trim(regexp_replace(regexp_replace(lower(text),
@@ -1331,8 +1334,10 @@ SELECT CAST(seq_id AS BIGINT) AS seq_id,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        md5(s) AS tok_hash
 FROM seqs
-""",
-)
+"""
+
+
+@register("packed_sequences", oracle=_SQL_PACKED_RECONSTRUCT)
 def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The packed-sequence WRITER, driver-checked end to end: the
     corpus token stream is materialized as fixed-{_SEQ_LEN} blocks by
@@ -1364,6 +1369,59 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_packed_sequences(docs, f"{base}/blocks", _SEQ_LEN)
         out = (
             spark.read.parquet(f"{base}/blocks")
+            .select(
+                "seq_id",
+                "n_tokens",
+                F.md5(F.concat_ws(" ", "tokens")).alias("tok_hash"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+@register("packed_append", oracle=_SQL_PACKED_RECONSTRUCT)
+def packed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed-block state maintained INCREMENTALLY: the corpus
+    arrives as three doc-id-ordered batches and
+    :func:`mevi_spark.sources.packed.append_packed_sequences` extends
+    the state per batch — only the tail partial block re-packs, every
+    full block written once is immutable, each batch's blocks land in
+    their own idempotent subdir (the operational packer: re-running
+    the batch packer over the whole corpus per ingest is exactly what
+    a 100 TB pipeline cannot afford). The drained state — read back
+    through :func:`read_packed_state`'s latest-batch-wins merge —
+    must hash-equal the one-shot batch pack of the full corpus, which
+    the oracle reconstructs block by block on the DuckDB side (same
+    reconstruct-and-hash check as ``packed_sequences``)."""
+    import shutil
+    import tempfile
+
+    from mevi_spark.functions.text import tokens
+    from mevi_spark.sources.packed import (
+        append_packed_sequences,
+        read_packed_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(normalize_text("text")).alias("toks")
+    )
+    mx = docs.agg(F.max("doc_id")).first()[0] or 0
+    cuts = (int(mx) // 3, 2 * int(mx) // 3)
+    base = tempfile.mkdtemp(prefix="mevi_packapp_")
+    try:
+        batches = [
+            docs.filter(F.col("doc_id") <= cuts[0]),
+            docs.filter(
+                (F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])
+            ),
+            docs.filter(F.col("doc_id") > cuts[1]),
+        ]
+        for b in batches:
+            append_packed_sequences(spark, f"{base}/state", b, _SEQ_LEN)
+        out = (
+            read_packed_state(spark, f"{base}/state")
             .select(
                 "seq_id",
                 "n_tokens",

@@ -71,25 +71,26 @@ _LOADED = False
 #
 # Round-8 policy (recomputed from CORRECTNESS_r01-r07: 50 queries have
 # a fresh r7 row; the other 48 registered names do not — 46 are
-# r6-green, tsv_queries/tsv_run are r5-green — and round 8 adds 5 new
-# zero-evidence queries, so 53 names compete for 50 slots):
+# r6-green, tsv_queries/tsv_run are r5-green — and round 8 adds 6 new
+# zero-evidence queries, so 54 names compete for 50 slots):
 #
-#   tier 1 — the FIVE round-8-new queries (packed-sequence writer,
-#            hybrid ensemble, incremental near-dup, incremental
-#            hypertable refresh, partition-pruned CDC merge): zero
-#            driver rows, the weakest evidence in the registry;
+#   tier 1 — the SIX round-8-new queries (packed-sequence writer and
+#            its incremental append twin, hybrid ensemble, incremental
+#            near-dup, incremental hypertable refresh, partition-pruned
+#            CDC merge): zero driver rows, the weakest evidence in the
+#            registry;
 #   tier 2 — tsv_queries_roundtrip + tsv_run_roundtrip: the only
 #            2-round-stale evidence (VERDICT r7 "what's wrong" #1 —
 #            rotate back in);
-#   tier 3 — the r6-green names with no r7 row, 43 of 46 (alphabetical;
+#   tier 3 — the r6-green names with no r7 row, 42 of 46 (alphabetical;
 #            all 1-round-stale going on 2).
 #
-# Rotated out (the unavoidable 53−50 = 3, chosen to minimize lost
-# signal): q1_pricing_summary, nation_revenue, dedup_exact — all three
-# r6-green, textually UNCHANGED in rounds 7-8, and executed at sf0.1
-# by BENCH every round (a regression still surfaces the same round as
-# a bench error), plus pytest + the local full gate. They are first in
-# line for r9. Queries with a fresh r7 row stay out even where round 8
+# Rotated out (the unavoidable 54−50 = 4, chosen to minimize lost
+# signal): q1_pricing_summary, nation_revenue, dedup_exact,
+# sessionize_events — all four r6-green, textually UNCHANGED in rounds
+# 7-8, and executed at sf0.1 by BENCH every round (a regression still
+# surfaces the same round as a bench error), plus pytest + the local
+# full gate. They are first in line for r9. Queries with a fresh r7 row stay out even where round 8
 # touched their code (bm25_search, text_tfidf_topterms,
 # events_asof_attribution, events_hypertable_rollup, sequence_pack,
 # streaming_cdc_apply): each r8 change carries a dedicated pytest
@@ -101,6 +102,7 @@ _LOADED = False
 _PRIORITY_ORDER: list[str] = [
     # tier 1 — new in round 8, zero driver rows
     "packed_sequences",
+    "packed_append",
     "ensemble_hybrid",
     "streaming_neardup_ingest",
     "streaming_hypertable_refresh",
@@ -108,7 +110,7 @@ _PRIORITY_ORDER: list[str] = [
     # tier 2 — r5-green, the 2-round-stale backlog
     "tsv_queries_roundtrip",
     "tsv_run_roundtrip",
-    # tier 3 — r6-green, no r7 row (43 of 46; see rotation note)
+    # tier 3 — r6-green, no r7 row (42 of 46; see rotation note)
     "ann_adc_topk",
     "ann_ivf_topk",
     "bucketed_join_rollup",
@@ -140,7 +142,6 @@ _PRIORITY_ORDER: list[str] = [
     "rq_centroids_label",
     "rq_ema_step",
     "rq_kmeans_invariant",
-    "sessionize_events",
     "sessionize_events_window",
     "streaming_dedup_ingest",
     "streaming_event_window_counts",

@@ -125,3 +125,128 @@ def write_packed_sequences(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+
+
+def read_packed_state(spark, state_dir: str) -> DataFrame:
+    """The current packed-block table of an append-maintained state
+    (:func:`append_packed_sequences`): union of the batch subdirs,
+    with a seq_id claimed by two batches resolved to the LATEST batch
+    (exactly the tail-re-pack case — the superseded partial is the
+    only possible duplicate). One window over block rows (state-sized,
+    not token-sized: the frame carries arrays, the shuffle key is
+    seq_id)."""
+    import os
+    import re
+
+    from pyspark.sql import Window, functions as F
+
+    subs = sorted(
+        d for d in os.listdir(state_dir) if re.fullmatch(r"b\d{9}", d)
+    )
+    if not subs:
+        raise FileNotFoundError(f"no packed state under {state_dir}")
+    frames = [
+        spark.read.parquet(os.path.join(state_dir, d)).withColumn(
+            "_b", F.lit(int(d[1:]))
+        )
+        for d in subs
+    ]
+    allb = frames[0]
+    for fr in frames[1:]:
+        allb = allb.unionByName(fr)
+    w = Window.partitionBy("seq_id").orderBy(F.col("_b").desc())
+    return (
+        allb.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("seq_id", "tokens", "n_tokens")
+    )
+
+
+def append_packed_sequences(
+    spark,
+    state_dir: str,
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+) -> int:
+    """Incrementally extend a packed-block state with newly-arrived
+    documents: ONLY the tail partial block re-packs; every full block
+    ever written is immutable — the operational form of the packer at
+    100 TB, where re-running :func:`pack_sequences` over the whole
+    corpus per ingest batch is exactly what a pipeline cannot afford.
+
+    Contract: appended ``id_col`` values sort AFTER every previously
+    packed id (append-ordered corpus — the same doc-order contract the
+    batch packer keys on). Each call writes one ``b<n>`` subdir
+    holding the blocks this batch produced (the re-packed tail
+    included); :func:`read_packed_state` resolves the one possible
+    seq_id overlap (the superseded tail) to the latest batch, so the
+    subdir write is idempotent under replay and the state after any
+    append equals ``pack_sequences`` over all docs so far (proven in
+    ``tests/test_packed.py``). Returns this batch's index.
+
+    Tail discovery reads ONLY the latest subdir (every append writes
+    its own tail there) — a block-sized read, never a state scan.
+    """
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(state_dir, exist_ok=True)
+    subs = sorted(
+        d for d in os.listdir(state_dir) if re.fullmatch(r"b\d{9}", d)
+    )
+    L = int(seq_len)
+    base = docs.select(
+        F.col(id_col).alias("_id"), F.col(tokens_col).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    tail_seq, tail_toks = 0, []
+    # walk back past empty batch subdirs (an empty append still claims
+    # an index for replay-idempotence) to the newest subdir with rows
+    for d in reversed(subs):
+        rows = (
+            spark.read.parquet(os.path.join(state_dir, d))
+            .orderBy(F.col("seq_id").desc())
+            .limit(1)
+            .collect()
+        )
+        if rows:
+            tail_row = rows[0]
+            if tail_row.n_tokens < L:
+                tail_seq = int(tail_row.seq_id)
+                tail_toks = list(tail_row.tokens)
+            else:
+                tail_seq, tail_toks = int(tail_row.seq_id) + 1, []
+            break
+    mn = base.agg(F.min("_id")).first()[0]
+    if mn is None and not tail_toks:
+        # nothing to pack; still claim a batch index for idempotence
+        batch_idx = len(subs)
+        spark.createDataFrame(
+            [], "seq_id long, tokens array<string>, n_tokens long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"b{batch_idx:09d}")
+        )
+        return batch_idx
+    pseudo_id = (int(mn) - 1) if mn is not None else 0
+    stream = base
+    if tail_toks:
+        tail_df = spark.createDataFrame(
+            [(pseudo_id, tail_toks)], "_id long, _toks array<string>"
+        )
+        stream = tail_df.unionByName(base)
+    packed = pack_sequences(stream, L, id_col="_id", tokens_col="_toks")
+    out = packed.select(
+        (F.col("seq_id") + F.lit(tail_seq)).alias("seq_id"),
+        "tokens",
+        "n_tokens",
+    )
+    batch_idx = len(subs)
+    out.repartitionByRange(1, "seq_id").sortWithinPartitions(
+        "seq_id"
+    ).write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"b{batch_idx:09d}")
+    )
+    return batch_idx

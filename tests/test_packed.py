@@ -129,3 +129,55 @@ def test_pack_sequences_single_shuffle(spark):
     assert "CartesianProduct" not in plan and "Join" not in plan
     # exchanges: one for the per-bucket window sort, one for groupBy
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_append_packed_equals_batch_and_blocks_immutable(spark):
+    """Appending batches (ids ascending) must converge to the one-shot
+    batch pack; every FULL block, once written, is byte-identical in
+    the final state (only the tail re-packs); replaying the last
+    append (crash recovery) leaves the state unchanged."""
+    import os
+
+    from mevi_spark.sources.packed import (
+        append_packed_sequences,
+        read_packed_state,
+    )
+
+    rows = [
+        (did, [f"d{did}t{i}" for i in range(n)])
+        for did, n in [(1, 5), (2, 9), (3, 1), (4, 16), (5, 4), (6, 11)]
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    want = {
+        r.seq_id: r.tokens for r in pack_sequences(df, L).collect()
+    }
+    base = tempfile.mkdtemp(prefix="mevi_test_packapp_")
+    state = f"{base}/s"
+    seen_full: dict[int, list] = {}
+    for lo, hi in ((1, 2), (3, 3), (4, 6)):
+        append_packed_sequences(
+            spark, state,
+            df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)), L,
+        )
+        cur = {
+            r.seq_id: r.tokens
+            for r in read_packed_state(spark, state).collect()
+        }
+        for sid, toks in cur.items():
+            if len(toks) == L:
+                # a full block never changes once it exists
+                assert seen_full.setdefault(sid, toks) == toks
+    assert cur == want
+    # replay the final batch: idempotent (same subdir overwritten)
+    subs = sorted(d for d in os.listdir(state) if d.startswith("b"))
+    import shutil as _sh
+
+    _sh.rmtree(f"{state}/{subs[-1]}")
+    append_packed_sequences(
+        spark, state, df.filter(F.col("doc_id") >= 4), L
+    )
+    again = {
+        r.seq_id: r.tokens for r in read_packed_state(spark, state).collect()
+    }
+    assert again == want
+    shutil.rmtree(base, ignore_errors=True)

@@ -34,6 +34,7 @@ def test_epoch_us_ltz_arm(spark):
 
 R8_NEW = [
     "packed_sequences",
+    "packed_append",
     "ensemble_hybrid",
     "streaming_neardup_ingest",
     "streaming_hypertable_refresh",
@@ -42,7 +43,12 @@ R8_NEW = [
 
 # the only names allowed to reach 2-round-stale evidence after r8
 # (bench-exercised every round — see the registry rotation note)
-R8_ROTATED_OUT = {"q1_pricing_summary", "nation_revenue", "dedup_exact"}
+R8_ROTATED_OUT = {
+    "q1_pricing_summary",
+    "nation_revenue",
+    "dedup_exact",
+    "sessionize_events",
+}
 
 
 def test_driver_window_invariants():
