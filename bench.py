@@ -74,6 +74,15 @@ PREBUILD_LAZY = {
     "dedup_exact",
     "dedup_minhash_pairs",
     "text_quality_stats",
+    # zero-job builds since round 8 (verified with the status tracker
+    # after warm_process_artifacts): the RQ chain's literal expressions
+    # come from process-cached entries, so constructing these plans
+    # runs NO Spark job — the prepared-statement criterion above.
+    # coarse_to_fine / ensemble / metrics / knn stay fully timed: their
+    # builds still do real work (run-cache builds, driver-mediated
+    # query chunks).
+    "rq_beam_search",
+    "rq_encode_two_level",
 }
 
 

@@ -730,7 +730,9 @@ def _fine_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from mevi_spark.plans.pruning_ops import has_dpp
 
         path = stage_fine_layout(spark, sf_dir)
-        part = spark.read.parquet(path).select(
+        from mevi_spark.sources.io import scan_parquet
+
+        part = scan_parquet(spark, path).select(
             "doc_id", F.col("code_flat").cast("long").alias("code_flat"),
             "doc_vec",
         )

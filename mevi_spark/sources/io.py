@@ -56,6 +56,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """A memoized parquet scan FRAME for an arbitrary path (staged
+    layouts, published artifacts) — the same plan-handle-only
+    treatment ``load_table`` gives the testdata tables: building the
+    frame costs ~0.1 s of listing + footer + py4j per call, the handle
+    is immutable, and execution-time file listing still happens on
+    every job, so nothing about execution is cached."""
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    hit = per_session.get(("__path__", path))
+    if hit is None:
+        hit = spark.read.parquet(path)
+        per_session[("__path__", path)] = hit
+    return hit
+
+
 def spread_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Redistribute a scan whose planned split count is below the
     cluster's default parallelism — opt-in, for expression-heavy
