@@ -57,12 +57,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """A memoized parquet scan FRAME for an arbitrary path (staged
-    layouts, published artifacts) — the same plan-handle-only
-    treatment ``load_table`` gives the testdata tables: building the
-    frame costs ~0.1 s of listing + footer + py4j per call, the handle
-    is immutable, and execution-time file listing still happens on
-    every job, so nothing about execution is cached."""
+    """A memoized parquet scan FRAME for an arbitrary path — the same
+    plan-handle-only treatment ``load_table`` gives the testdata
+    tables: building the frame costs ~0.1 s of listing + footer +
+    py4j per call, execution-time file listing still happens on every
+    job, so nothing about execution is cached. Callers must pass
+    VERSIONED paths (the staged layouts, whose names embed the source
+    mtime) or schema-stable append locations — the memo pins the
+    schema read at first call, which is exactly right for immutable
+    artifacts and wrong for a path whose schema can change."""
     per_session = _TABLE_CACHE.setdefault(spark, {})
     hit = per_session.get(("__path__", path))
     if hit is None:

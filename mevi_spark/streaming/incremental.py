@@ -296,6 +296,10 @@ def incremental_merge(
         _migrate_legacy_dir(output_dir, v_prefix, ln_prefix)
         if os.path.exists(os.path.join(output_dir, "_SUCCESS")):
             cur = spark.read.parquet(output_dir)
+            if op_col not in cur.columns:
+                # state published by a pre-tombstone deployment: its
+                # survivors are all live rows — upgrade in place
+                cur = cur.withColumn(op_col, F.lit("U"))
         else:
             cur = b0
         out = apply_changes(
