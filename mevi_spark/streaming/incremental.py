@@ -369,6 +369,21 @@ def incremental_neardup(
     State is the two published tables; per batch the probe shuffles
     only candidate rows (bounded by band-collision counts — the same
     never-all-pairs discipline as the batch path).
+
+    100 TB cost accounting, stated plainly: the index is corpus-scale
+    by nature (it carries each doc's shingle set for exact-Jaccard
+    verification — the corpus's normalized n-gram projection), and
+    the broadcast probe STREAMS it map-side, so each micro-batch costs
+    one index scan with zero index shuffle — already far below the
+    batch path's full re-pair, but still O(corpus) reads per batch.
+    The deployment refinement when that scan dominates: lay the index
+    out bucketed by a hash of the band key (``sources/bucketed.py``)
+    so the probe prunes to the buckets the batch's keys hash into
+    (batch-sized, not corpus-sized), and fetch shingle sets for
+    verification by a candidate-keyed join instead of carrying them
+    through the probe. Same operators, one extra layout decision —
+    deliberately not hard-wired here because the bucket count is a
+    deployment-sizing choice.
     """
     import os
 
