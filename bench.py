@@ -152,8 +152,15 @@ def setup_session():
     # pool, and primes Arrow — the sf0.1 timed loop then measures
     # execution. On a long-lived cluster this is the steady state;
     # single-shot compile cost is a cold-start artifact of toy scale.
+    # sf0.01 (not sf0.001) as the default warm-up SF: codegen compiles
+    # per shape either way, but tiered JIT only promotes the generated
+    # loops to C2 with enough row iterations — at 500-row warmups the
+    # cold pass paid ~0.5-1 s of at-scale compilation that the 5k-row
+    # warmup absorbs (measured r8: cold total 10.3-11.3 s → 9.1-10.0 s,
+    # warm unchanged). Still 1/10 of the bench SF — shape warm-up, not
+    # result warm-up.
     warm_dir = os.environ.get(
-        "SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001"
+        "SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01"
     )
     if not os.path.isdir(warm_dir):
         print(
