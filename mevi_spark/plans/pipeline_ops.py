@@ -18,7 +18,7 @@ averaging (see ``mevi_spark.plans.registry`` docstring).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from mevi_spark.functions import text_analysis as TA
 from mevi_spark.functions.text import normalize_text
@@ -1560,4 +1560,187 @@ def bm25_run(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     )
     return ranked.select(
         "query_id", "doc_id", "score", F.col("rnk").cast("int").alias("rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact stratified sampling (round-8 curation tier extension)
+
+
+_STRAT_N = 8
+
+
+@register(
+    "stratified_sample_exact",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY source, lang
+           ORDER BY {_h60("'strat'", "CAST(doc_id AS VARCHAR)")} ASC,
+                    doc_id ASC) AS rn
+  FROM documents)
+SELECT doc_id, source, lang, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {_STRAT_N}
+""",
+)
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sampling: keep exactly ``min(N, |stratum|)``
+    documents per (source, lang) stratum, chosen by rank of a seedless
+    deterministic hash of the doc id — the fixed-quota twin of the
+    rate-based :func:`domain_mix_sample` (a data-mix step needs both:
+    rates for proportional mixes, quotas for "at most N docs of X").
+    The hash ranking makes the sample reproducible under reruns and
+    stable under corpus growth: a new document only enters a stratum's
+    sample by displacing the current max-hash member, never by
+    reshuffling the whole selection.
+
+    100 TB plan shape: one shuffle keyed on the stratum — and because
+    the per-stratum quota is a row_number over a hash, AQE's skew-join
+    split cannot apply, so a skewed stratum (one source dominating the
+    corpus) is the hazard; the mitigation is the standard two-phase
+    top-k (per-partition quota then final window, exactly
+    ``operators/topk.py:topk_per_group``'s blocked shape) which this
+    composes with when |stratum| >> N."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    w = Window.partitionBy("source", "lang").orderBy(
+        TA.hash60(F.col("doc_id").cast("string"), seed="strat").asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= _STRAT_N)
+        .select("doc_id", "source", "lang", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram language-model quality scoring (CCNet-style perplexity filter)
+
+
+@register(
+    "ngram_lm_quality",
+    oracle=r"""
+WITH ltoks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+occ AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM ltoks WHERE len(t) >= 2),
+docbg AS (SELECT doc_id, bg, COUNT(*) AS occ FROM occ GROUP BY doc_id, bg),
+c2 AS (SELECT bg, COUNT(*) AS c2 FROM occ GROUP BY bg),
+c1 AS (
+  SELECT string_split(bg, ' ')[1] AS w1, SUM(c2) AS c1
+  FROM c2 GROUP BY 1),
+vocab AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM ltoks)),
+model AS (
+  SELECT c2.bg,
+         ROUND(ln((c2.c2 + 1.0) / (c1.c1 + vocab.v)), 6) AS logp
+  FROM c2
+  JOIN c1 ON c1.w1 = string_split(c2.bg, ' ')[1]
+  CROSS JOIN vocab),
+scored AS (
+  SELECT d.doc_id,
+         SUM(d.occ) AS n_bigrams,
+         CAST(SUM(CAST(m.logp * d.occ AS DECIMAL(18,6))) AS DOUBLE)
+           AS logp_sum
+  FROM docbg d JOIN model m USING (bg)
+  GROUP BY d.doc_id)
+SELECT l.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS INT) AS n_bigrams,
+       ROUND(s.logp_sum / s.n_bigrams, 6) AS lm_score
+FROM ltoks l LEFT JOIN scored s USING (doc_id)
+""",
+)
+def ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scoring — the CCNet/LLaMA-style
+    "perplexity against a reference corpus" quality filter, with the
+    corpus itself as the LM training set: per document, the mean add-one
+    log-probability ``ln((c(w1 w2)+1)/(c(w1)+V))`` over its bigram
+    occurrences (V = distinct unigram types). Low scores flag
+    boilerplate/garbled text; the curation tier thresholds on this the
+    same way it thresholds ``text_quality_stats``.
+
+    Cross-engine determinism: each distinct bigram's log-prob is rounded
+    to 6 decimals ONCE in the model table, per-doc accumulation then
+    multiplies by the exact occurrence count and sums through the
+    scaled-long/DECIMAL path — order-independent in both engines, and a
+    last-ulp ``ln`` difference can shift a score by at most 1e-6 per
+    bigram (the same accepted hazard as ``bm25_search``).
+
+    100 TB plan shape: bigram occurrences partial-aggregate per doc
+    map-side, then ONE bigram-keyed shuffle builds c2; c1 is a second
+    aggregation of the (vocabulary-sized, far smaller) c2 table; the
+    per-doc score join is bigram-keyed against the model. At real scale
+    the model table gets the df-cut treatment (drop hapax bigrams —
+    `dedup_ngram_dfcut`'s discipline) before the scoring join; the only
+    driver value is the scalar V."""
+    from mevi_spark.functions.agg import scaled_long
+    from mevi_spark.functions.text import normalize_text as _n, tokens
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(_n("text")).alias("t")
+    )
+    occ = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg"),
+    )
+    docbg = occ.groupBy("doc_id", "bg").agg(F.count("*").alias("occ"))
+    c2 = occ.groupBy("bg").agg(F.count("*").alias("c2"))
+    c1 = (
+        c2.withColumn("w1", F.split("bg", " ").getItem(0))
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    v = (
+        toks.select(F.explode("t").alias("tok"))
+        .agg(F.countDistinct("tok"))
+        .first()[0]
+    )
+    model = (
+        c2.withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(c1, "w1")
+        .select(
+            "bg",
+            F.round(
+                F.log((F.col("c2") + 1.0) / (F.col("c1") + F.lit(float(v)))),
+                6,
+            ).alias("logp"),
+        )
+    )
+    scored = (
+        docbg.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").alias("n_bigrams"),
+            (
+                F.sum(scaled_long(F.col("logp") * F.col("occ"))).cast("double")
+                / F.lit(1e6)
+            ).alias("logp_sum"),
+        )
+    )
+    return (
+        toks.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("int").alias("n_bigrams"),
+            F.round(F.col("logp_sum") / F.col("n_bigrams"), 6).alias(
+                "lm_score"
+            ),
+        )
     )

@@ -39,6 +39,10 @@ R8_NEW = [
     "streaming_neardup_ingest",
     "streaming_hypertable_refresh",
     "cdc_partitioned_merge",
+    # late round-8 additions (curation tier): zero driver rows, so they
+    # displace two more bench-exercised names (see R8_ROTATED_OUT)
+    "stratified_sample_exact",
+    "ngram_lm_quality",
 ]
 
 # the only names allowed to reach 2-round-stale evidence after r8
@@ -48,6 +52,8 @@ R8_ROTATED_OUT = {
     "nation_revenue",
     "dedup_exact",
     "sessionize_events",
+    "q3_shipping_priority",
+    "text_quality_stats",
 }
 
 
