@@ -2054,3 +2054,79 @@ def cluster_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).cast("int").alias("pos"),
         F.round("val", 6).alias("val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (vector-compression family: RQ / ADC / SQ8)
+
+
+@register(
+    "sq8_encode_reconstruct",
+    oracle="""
+WITH sqe AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sqlf AS (
+  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+  FROM sqe),
+sqstats AS (
+  SELECT pos, MIN(val) AS mn, MAX(val) AS mx FROM sqlf GROUP BY pos),
+sqq AS (
+  SELECT vec_id, pos, val, mn, mx,
+         CASE WHEN mx = mn THEN 0
+              ELSE CAST(least(greatest(
+                     round(255.0 * (val - mn) / (mx - mn)), 0.0), 255.0)
+                   AS INT)
+         END AS q
+  FROM sqlf JOIN sqstats USING (pos))
+SELECT vec_id, CAST(pos AS INT) AS pos, q,
+       CAST(ROUND((mn + q * (mx - mn) / 255.0) * 1000000) AS BIGINT)
+         AS rec_e6,
+       CAST(ROUND(abs(val - (mn + q * (mx - mn) / 255.0)) * 1000000)
+         AS BIGINT) AS err_e6
+FROM sqq
+""",
+)
+def sq8_encode_reconstruct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization roundtrip — the int8-per-dimension
+    embedding store (faiss ``SQ8``; the 4× compression drop-in for the
+    reference's raw fp32 memmap store, ``MEVI/tools/build_memmap.py``).
+    Train = one partial-aggregatable min/max agg (no explode, no
+    fan-out); encode + reconstruct are map-only expressions over the
+    ranges inlined as literal arrays (``operators/sq.py``). Long-form
+    output checks every code AND every reconstructed component against
+    the oracle; err_e6 bounds the quantization error the ANN tier
+    inherits when scanning SQ8 codes instead of floats."""
+    from mevi_spark.operators.sq import (
+        sq8_code_expr,
+        sq8_recon_expr,
+        sq8_train,
+    )
+    from mevi_spark.functions.vector import sql_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mins, maxs = sq8_train(emb, "embedding")
+    mn_a, mx_a = (
+        F.expr(sql_double_array(mins)),
+        F.expr(sql_double_array(maxs)),
+    )
+    lf = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "val"
+        ),
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        "val",
+        F.element_at(mn_a, F.col("pos0") + 1).alias("mn"),
+        F.element_at(mx_a, F.col("pos0") + 1).alias("mx"),
+    )
+    q = sq8_code_expr(F.col("val"), F.col("mn"), F.col("mx"))
+    rec = sq8_recon_expr(q, F.col("mn"), F.col("mx"))
+    return lf.select(
+        "vec_id",
+        "pos",
+        q.alias("q"),
+        F.round(rec * 1e6).cast("long").alias("rec_e6"),
+        F.round(F.abs(F.col("val") - rec) * 1e6).cast("long").alias("err_e6"),
+    )

@@ -43,6 +43,7 @@ R8_NEW = [
     # displace two more bench-exercised names (see R8_ROTATED_OUT)
     "stratified_sample_exact",
     "ngram_lm_quality",
+    "sq8_encode_reconstruct",
 ]
 
 # the only names allowed to reach 2-round-stale evidence after r8
@@ -54,6 +55,7 @@ R8_ROTATED_OUT = {
     "sessionize_events",
     "q3_shipping_priority",
     "text_quality_stats",
+    "knn_topk_ip",
 }
 
 
