@@ -132,3 +132,71 @@ def partition_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_partitions long, pruned_partitions long, "
         "static_pruned long, dpp_planned long, rows_in_pruned_scan long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: multi-dimensional data skipping
+
+# box bounds shared by the Spark query and the oracle (UTC micros for
+# 2024-01-10 .. 2024-01-15, the middle of the events table's 30 days)
+_ZB_T1 = 1704844800_000000
+_ZB_T2 = 1705276800_000000
+_ZB_U1, _ZB_U2 = 40, 70
+
+
+@register(
+    "zorder_box_scan",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+WHERE user_id BETWEEN {_ZB_U1} AND {_ZB_U2}
+  AND epoch_us(ts) >= {_ZB_T1} AND epoch_us(ts) < {_ZB_T2}
+GROUP BY event_type
+""",
+)
+def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box query over the Z-ordered events layout
+    (:func:`mevi_spark.sources.zorder.write_zordered`): events
+    clustered by the Morton key of (user_id, epoch-us), then filtered
+    on BOTH dimensions and aggregated. The oracle checks the layout
+    loses no rows; the data-skipping benefit itself — every file
+    carries a bounded range in EACH dimension, so parquet min-max
+    stats prune the 2-D box to intersecting files only, where a
+    time-sorted layout prunes only on time — is asserted from the
+    parquet footers in ``tests/test_zorder.py``.
+
+    100 TB plan shape: the layout costs one range shuffle at write
+    time (amortized over every subsequent box query); the read side is
+    a plain scan whose ``PushedFilters`` consume the stats with no
+    reader code at all. Aggregation is decimal-stabilized per the
+    registry float rule."""
+    from mevi_spark.functions.agg import scaled_long
+    from mevi_spark.functions.time import epoch_us
+    from mevi_spark.sources.zorder import write_zordered
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def write(p: str) -> None:
+        write_zordered(
+            ev, p, F.col("user_id"), epoch_us(ev, "ts"), n_files=24
+        )
+
+    path = ensure_staged("zorder_events", sf_dir, write, table="events")
+    z = spark.read.parquet(path)
+    return (
+        z.filter(
+            (F.col("user_id") >= _ZB_U1)
+            & (F.col("user_id") <= _ZB_U2)
+            & (epoch_us(z, "ts") >= _ZB_T1)
+            & (epoch_us(z, "ts") < _ZB_T2)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(scaled_long("value")).cast("double") / F.lit(1e6)).alias(
+                "sum_value"
+            ),
+        )
+    )

@@ -44,6 +44,7 @@ R8_NEW = [
     "stratified_sample_exact",
     "ngram_lm_quality",
     "sq8_encode_reconstruct",
+    "zorder_box_scan",
 ]
 
 # the only names allowed to reach 2-round-stale evidence after r8
@@ -56,6 +57,7 @@ R8_ROTATED_OUT = {
     "q3_shipping_priority",
     "text_quality_stats",
     "knn_topk_ip",
+    "retrieval_eval_metrics",
 }
 
 
