@@ -1744,3 +1744,69 @@ def ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+
+
+_WSAMP_K = 100
+
+
+@register(
+    "weighted_sample_topk",
+    oracle=f"""
+WITH wk AS (
+  SELECT doc_id, source,
+         greatest(n_chars, 1) AS w,
+         ROUND(
+           -ln(({_h60("'wsamp'", "CAST(doc_id AS VARCHAR)")} + 1)
+               / 1152921504606846976.0)
+           / greatest(n_chars, 1), 6) AS key
+  FROM documents),
+rk AS (
+  SELECT doc_id, source, w, key,
+         ROW_NUMBER() OVER (ORDER BY key ASC, doc_id ASC) AS rn
+  FROM wk)
+SELECT doc_id, source, CAST(w AS BIGINT) AS w, key, CAST(rn AS INT) AS rn
+FROM rk WHERE rn <= {_WSAMP_K}
+""",
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
+    A-ES: each doc draws ``key = -ln(u)/w`` from a hash-derived
+    uniform ``u`` and the K smallest keys form an exact weighted
+    sample (here w = doc length, the quality-weighted pick a curation
+    pass uses when long documents should survive sampling more often
+    than stubs). Deterministic end to end: u comes from the seedless
+    md5 hash, so the sample is reproducible and — like the stratified
+    and rate-based samplers — stable under corpus growth (a new doc
+    only displaces the current worst key).
+
+    Cross-engine determinism: keys are rounded to 6 decimals BEFORE
+    ranking with a doc_id tiebreak (the ``bm25_search`` discipline —
+    a last-ulp ``ln`` difference cannot flip ranks).
+
+    100 TB plan shape: map-only key computation, then a global top-K
+    via ``orderBy().limit(K)`` — TakeOrderedAndProject, per-partition
+    top-K merged at the driver, never a full sort shuffle; the rank
+    window runs over the already-selected K rows only (K rows, one
+    bounded partition)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    u = (
+        TA.hash60(F.col("doc_id").cast("string"), seed="wsamp") + 1
+    ).cast("double") / F.lit(float(1 << 60))
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        w.cast("long").alias("w"),
+        F.round(-F.log(u) / w, 6).alias("key"),
+    )
+    top = keyed.orderBy(F.col("key").asc(), F.col("doc_id").asc()).limit(
+        _WSAMP_K
+    )
+    wdw = Window.orderBy(F.col("key").asc(), F.col("doc_id").asc())
+    return top.withColumn("rn", F.row_number().over(wdw).cast("int"))

@@ -141,3 +141,46 @@ def test_ngram_lm_scores_are_negative_logprobs(spark, sf_dir):
     # the synthetic corpus has shared phrases, so scores must spread
     scores = [r.lm_score for r in out if r.n_bigrams > 0]
     assert max(scores) - min(scores) > 0.1
+
+
+def test_weighted_sample_matches_bruteforce(spark, sf_dir):
+    import math
+
+    from mevi_spark.plans.pipeline_ops import _WSAMP_K, weighted_sample_topk
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    keyed = []
+    for r in rows:
+        w = max(r.n_chars, 1)
+        u = (_h60("wsamp", str(r.doc_id)) + 1) / 2**60
+        keyed.append((round(-math.log(u) / w, 6), r.doc_id, w))
+    keyed.sort()
+    expected = {
+        d: (w, k, i + 1) for i, (k, d, w) in enumerate(keyed[:_WSAMP_K])
+    }
+
+    got = {
+        r.doc_id: (r.w, r.key, r.rn)
+        for r in weighted_sample_topk(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for d, (w, k, rn) in expected.items():
+        assert got[d][0] == w and got[d][2] == rn, d
+        assert got[d][1] == pytest.approx(k, abs=2e-6), d
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """The E-S property that makes it a WEIGHTED sample: selection is
+    biased toward large weights (here doc length)."""
+    from mevi_spark.plans.pipeline_ops import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    med = sorted(r.n_chars for r in docs.collect())
+    med = med[len(med) // 2]
+    sel = weighted_sample_topk(spark, sf_dir).collect()
+    heavy = sum(1 for r in sel if r.w > med)
+    assert heavy > len(sel) * 0.6, (heavy, len(sel))

@@ -45,6 +45,7 @@ R8_NEW = [
     "ngram_lm_quality",
     "sq8_encode_reconstruct",
     "zorder_box_scan",
+    "weighted_sample_topk",
 ]
 
 # the only names allowed to reach 2-round-stale evidence after r8
@@ -58,6 +59,7 @@ R8_ROTATED_OUT = {
     "text_quality_stats",
     "knn_topk_ip",
     "retrieval_eval_metrics",
+    "ensemble_fuse",
 }
 
 
