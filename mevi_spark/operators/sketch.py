@@ -1,0 +1,109 @@
+"""Frequent items (heavy hitters) with bounded memory.
+
+The corpus-scale "what are the dominant tokens/domains/URLs" question.
+A plain ``groupBy(term).count()`` shuffles the FULL term universe —
+at 100 TB that's billions of distinct keys moving for an answer that
+only names the few hundred items above a support threshold. The
+classic fix is two passes, neither of which shuffles the term space:
+
+1. **candidate pass** — a Misra-Gries summary per partition
+   (``mapInPandas``; dict capped at ``capacity`` entries, batch-merged
+   Arrow-side). MG's guarantee: an item's stored count undercounts its
+   true partition count by at most ``n_p/(capacity+1)``, so any item
+   with GLOBAL count > N/(capacity+1) exceeds that slack in at least
+   one partition (pigeonhole over the partition sums) and survives
+   into some partition's summary. The union of summaries — at most
+   ``capacity × n_partitions`` rows, thousands not billions — is the
+   complete candidate set for every item above support
+   ``1/(capacity+1)``.
+2. **exact pass** — re-scan with the candidate set BROADCAST as a
+   map-side semi filter; only candidate rows reach the (tiny) count
+   aggregation, which is exact. With ``min_support ≥ 1/(capacity+1)``
+   the result equals the full group-by — exact counts, exact
+   membership — with shuffle volume proportional to the answer, not
+   the vocabulary.
+
+No reference counterpart (the reference has no frequency analytics);
+this is the standard distributed Misra-Gries construction
+(Misra & Gries 1982; summary merge per Agarwal et al., "Mergeable
+Summaries", PODS 2012).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+def misra_gries_candidates(
+    df: DataFrame, col: str, capacity: int
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries, unioned and deduplicated.
+
+    Returns a 1-column DataFrame (``col``) containing every item whose
+    global frequency exceeds ``N/(capacity+1)`` (plus false positives,
+    never false negatives — the completeness half of MG; the exact
+    pass removes the false positives). Shuffle-free except the final
+    bounded ``distinct`` over ≤ capacity·n_partitions rows.
+    """
+    schema = StructType([StructField(col, StringType())])
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            # batch-merge: vectorized per-batch counts, then one
+            # decrement round if over capacity (each round subtracts
+            # an equal amount from >capacity items, preserving the
+            # MG slack bound n_p/(capacity+1))
+            for term, c in pdf[col].value_counts().items():
+                counters[term] = counters.get(term, 0) + int(c)
+            while len(counters) > capacity:
+                d = min(counters.values())
+                counters = {
+                    t: c - d for t, c in counters.items() if c - d > 0
+                }
+        yield pd.DataFrame({col: list(counters.keys())}, dtype=object)
+
+    return df.select(col).mapInPandas(summarize, schema).distinct()
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    min_support_num: int,
+    min_support_den: int,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Exact heavy hitters: every ``col`` value with frequency ≥
+    ``min_support_num/min_support_den`` of the row count, with its
+    exact count — two scans, candidate-bounded shuffle (module
+    docstring). Support is a rational so the threshold
+    ``ceil(num·N/den)`` is computed in exact integer arithmetic
+    (bit-identical to a SQL ``CEIL(decimal × N)``).
+
+    ``capacity`` defaults to the smallest value that makes the
+    candidate pass complete for the requested support
+    (``den/num`` rounded up); pass a larger one to trade memory for
+    fewer false positives reaching the exact pass.
+    """
+    if capacity is None:
+        capacity = math.ceil(min_support_den / min_support_num)
+    if capacity + 1 < min_support_den / min_support_num:
+        raise ValueError(
+            f"capacity {capacity} cannot capture support "
+            f"{min_support_num}/{min_support_den}: need ≥ "
+            f"{min_support_den / min_support_num - 1:.0f}"
+        )
+    total = df.count()
+    thresh = (min_support_num * total + min_support_den - 1) // min_support_den
+    cands = misra_gries_candidates(df, col, capacity)
+    return (
+        df.join(F.broadcast(cands), col)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(thresh))
+    )

@@ -287,30 +287,38 @@ def embed_determinism(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "jsonl_roundtrip",
     oracle="""
-SELECT doc_id, source, strlen(text)::BIGINT AS content_len
+SELECT doc_id, source, md5(text) AS text_md5
 FROM documents
 """,
 )
 def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink → scan → checksum: the de-facto interchange
     format between corpus-pipeline stages (every row one JSON object,
-    shard-parallel on both sides). Written with Spark's native sharded
-    JSON sink, read back with an EXPLICIT schema — inference would be a
-    full extra pass at scale and can mistype empty shards. The length
-    checksum proves text content survives JSON escaping round-trip."""
+    shard-parallel on both sides). Written with
+    :func:`~mevi_spark.sources.io.write_corpus_jsonl` (Spark's native
+    sharded JSON sink), read back with
+    :func:`~mevi_spark.sources.io.read_corpus_jsonl`'s EXPLICIT schema
+    — inference would be a full extra pass at scale and can mistype
+    empty shards. The md5-of-text checksum proves BYTE-exact text
+    survival through JSON escaping — the strongest roundtrip check in
+    the interop tier (the TSV queries settle for lengths because TSV
+    cannot carry tabs); the hostile-character cases (tabs, newlines,
+    quotes, unicode) are pinned in ``tests/test_jsonl.py``."""
+    from mevi_spark.sources.io import read_corpus_jsonl, write_corpus_jsonl
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
     path = _tmp("jsonl")
-    docs.write.mode("overwrite").json(path)
-    back = spark.read.schema("doc_id long, source string, text string").json(
-        path
+    write_corpus_jsonl(docs, path)
+    back = read_corpus_jsonl(
+        spark, path, "doc_id long, source string, text string"
     )
     return _finish(
         back.select(
             "doc_id",
             "source",
-            F.length("text").cast("long").alias("content_len"),
+            F.md5("text").alias("text_md5"),
         ),
         path,
     )
@@ -486,3 +494,89 @@ def cdc_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("int").alias("bucket"),
     )
     return _finish(out, path)
+
+
+@register(
+    "cdc_time_travel",
+    oracle="""
+WITH ch AS (
+  SELECT o_orderkey, o_totalprice, 'U' AS op, 1 AS ver FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 1000.5, 'U', 2
+  FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 'D', 2
+  FROM orders WHERE o_orderkey % 17 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 7.25, 'U', 3
+  FROM orders WHERE o_orderkey % 9 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 0.75, 'U', 3
+  FROM orders WHERE o_orderkey % 34 = 0 AND o_orderkey % 9 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 'D', 4
+  FROM orders WHERE o_orderkey % 23 = 0),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_orderkey
+    ORDER BY ver DESC, CASE WHEN op = 'D' THEN 0 ELSE 1 END) AS rn
+  FROM ch WHERE ver <= 3)
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price
+FROM r WHERE rn = 1 AND op <> 'D'
+""",
+)
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read (Delta ``VERSION AS OF`` / Iceberg snapshot
+    semantics, ``sources/upsert.py::snapshot_asof``) over a 4-version
+    CDC log, served through a CHECKPOINT — the way an actual lakehouse
+    reader works: materialize the retained-tombstone state at v2 with
+    ``apply_changes(keep_version, keep_deletes)``, then replay only the
+    v3 tail against it; v4 rows must be version-pruned out.
+
+    The log exercises every resolution rule on the way to ``AS OF 3``:
+    v2 updates (``%13``) and deletes (``%17``), v3 updates (``%9`` —
+    keys in ``%9 ∩ %17`` resurrect over the v2 tombstone) and explicit
+    re-upserts of deleted keys (``%34 ⊂ %17``, minus ``%9`` which
+    already resurrects — one upsert per key per version is the
+    caller contract), and v4 deletes
+    (``%23``) that must NOT appear at as-of 3. The checkpoint+tail
+    result is exactly the full-log replay (the module's replay-
+    idempotence contract); the oracle replays the whole log closed-form
+    with one window."""
+    from mevi_spark.sources.upsert import apply_changes, snapshot_asof
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+    def batch(pred_mod, delta, op, ver):
+        src = base.filter(F.col("o_orderkey") % pred_mod == 0)
+        return src.select(
+            "o_orderkey",
+            (F.col("o_totalprice") + delta).alias("o_totalprice"),
+            F.lit(op).alias("_op"),
+            F.lit(ver).cast("long").alias("_version"),
+        )
+
+    v2 = batch(13, 1000.5, "U", 2).unionByName(batch(17, 0.0, "D", 2))
+    # the %34 re-upserts exclude %9 keys: those already resurrect via
+    # the %9 update, and TWO upserts for one key at one version would
+    # violate apply_changes' caller contract (ties are only defined
+    # across ops, not within them)
+    reups = batch(34, 0.75, "U", 3).filter(F.col("o_orderkey") % 9 != 0)
+    tail = batch(9, 7.25, "U", 3).unionByName(reups).unionByName(
+        batch(23, 0.0, "D", 4)
+    )
+    ckpt = apply_changes(
+        base,
+        v2,
+        ["o_orderkey"],
+        base_version=1,
+        keep_version=True,
+        keep_deletes=True,
+    )
+    snap = snapshot_asof(tail, ["o_orderkey"], 3, checkpoint=ckpt)
+    return snap.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("total_price")
+    )
+

@@ -1810,3 +1810,39 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wdw = Window.orderBy(F.col("key").asc(), F.col("doc_id").asc())
     return top.withColumn("rn", F.row_number().over(wdw).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# frequent items: Misra-Gries candidates + exact recount
+
+
+@register(
+    "heavy_hitters_terms",
+    oracle=r"""
+WITH toks AS (
+  SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents),
+t AS (SELECT term FROM toks WHERE term <> '')
+SELECT term, COUNT(*) AS cnt
+FROM t GROUP BY term
+HAVING COUNT(*) >= CEIL(0.005 * (SELECT COUNT(*) FROM t))
+""",
+)
+def heavy_hitters_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (every token at ≥0.5% support, with
+    its exact count) via the two-pass Misra-Gries construction
+    (``operators/sketch.py``): a shuffle-free bounded-memory candidate
+    summary per partition, then an exact recount gated by the
+    BROADCAST candidate set — shuffle volume scales with the answer,
+    not the vocabulary (the module docstring carries the pigeonhole
+    completeness argument). The oracle is the full group-by the
+    construction provably equals at this support."""
+    from mevi_spark.functions.text import normalize_text, tokens
+    from mevi_spark.operators.sketch import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens(normalize_text("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    return heavy_hitters(toks, "term", 5, 1000)

@@ -200,3 +200,30 @@ def write_run_tsv(run: DataFrame, path: str) -> None:
         F.concat_ws(",", F.col("scores").cast("array<string>")).alias("scores_csv"),
     )
     out.write.mode("overwrite").csv(path, sep="\t")
+
+
+# ---------------------------------------------------------------------------
+# JSONL corpus sink/scan — the lingua franca format of LLM training
+# corpora (one JSON object per line, gzip-splittable when uncompressed,
+# schema carried per record). Not a reference format (the reference is
+# TSV-only, MEVI/main_utils.py:188-213); added because a pipeline that
+# exchanges corpora with the outside world speaks JSONL first.
+
+
+def write_corpus_jsonl(df: DataFrame, path: str) -> None:
+    """Executor-side sharded JSONL write (Spark's native json sink —
+    one file per partition, no driver merge; at 100 TB the sink scales
+    with parallelism like every other sink here)."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_corpus_jsonl(
+    spark: SparkSession, path: str, schema: str
+) -> DataFrame:
+    """Scan a JSONL directory with an EXPLICIT schema — schema
+    inference is a full extra pass over the data (at 100 TB, a full
+    extra 100 TB read), so the scan takes the DDL string and goes
+    straight to parsing. Corrupt lines land in no column and the row
+    drops (mode FAILFAST would be the strict variant; PERMISSIVE with
+    explicit schema is the standard corpus-ingest posture)."""
+    return spark.read.schema(schema).json(path)

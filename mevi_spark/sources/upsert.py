@@ -103,6 +103,63 @@ def apply_changes(
     return latest.filter(F.col(op_col) != "D").select(*out_cols)
 
 
+def snapshot_asof(
+    changes: DataFrame,
+    key_cols: list[str],
+    asof_version: int,
+    version_col: str = VERSION_COL,
+    op_col: str = OP_COL,
+    checkpoint: DataFrame | None = None,
+) -> DataFrame:
+    """Time-travel read: the table state AS OF ``asof_version`` —
+    Delta ``VERSION AS OF`` / Iceberg snapshot-id semantics over a CDC
+    change log (rows of data columns + ``op_col`` + ``version_col``).
+
+    Replays every change with ``version <= asof_version`` and keeps
+    the per-key winner under the same resolution rule as
+    :func:`apply_changes` (highest version; delete beats upsert at
+    ties), then drops delete winners. ONE keyed shuffle over the
+    replayed slice.
+
+    At 100 TB nobody replays the full log per read: pass
+    ``checkpoint`` — a retained-tombstone state table produced by
+    ``apply_changes(..., keep_version=True, keep_deletes=True)`` at
+    some version ``C <= asof_version`` — and only the log TAIL
+    (``C < version <= asof_version``) is replayed against it, so the
+    keyed shuffle is sized by checkpoint + tail, not the log. The
+    checkpoint's tombstones keep competing (``base_op_col``), so a key
+    deleted before ``C`` stays deleted unless the tail re-upserts it.
+    Rows above ``asof_version`` are filtered from BOTH inputs, so a
+    too-new checkpoint is rejected by construction rather than
+    silently read. The version filter prunes at the scan for a
+    version-partitioned log layout (PartitionFilters).
+    """
+    tail = changes.filter(F.col(version_col) <= F.lit(asof_version))
+    if checkpoint is not None:
+        base = checkpoint.filter(
+            F.col(version_col) <= F.lit(asof_version)
+        )
+        return apply_changes(
+            base,
+            tail,
+            key_cols,
+            version_col=version_col,
+            op_col=op_col,
+            base_version_col=version_col,
+            base_op_col=op_col,
+        )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(),
+        F.when(F.col(op_col) == "D", 0).otherwise(1).asc(),
+    )
+    data_cols = [c for c in changes.columns if c not in (op_col, version_col)]
+    return (
+        tail.select("*", F.row_number().over(w).alias("_rn"))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != "D"))
+        .select(*data_cols)
+    )
+
+
 def merge_into_partitioned(
     spark,
     base_dir: str,

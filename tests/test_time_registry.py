@@ -46,6 +46,8 @@ R8_NEW = [
     "sq8_encode_reconstruct",
     "zorder_box_scan",
     "weighted_sample_topk",
+    "cdc_time_travel",
+    "heavy_hitters_terms",
 ]
 
 # the only names allowed to reach 2-round-stale evidence after r8
@@ -60,6 +62,8 @@ R8_ROTATED_OUT = {
     "knn_topk_ip",
     "retrieval_eval_metrics",
     "ensemble_fuse",
+    "dedup_minhash_pairs",
+    "knn_topk_cosine",
 }
 
 

@@ -220,3 +220,93 @@ def test_merge_into_partitioned_prunes_and_rewrites_only_touched(spark):
     import shutil
 
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# time travel (snapshot_asof)
+
+
+def _log_df(spark, rows):
+    schema = "k long, val string, _op string, _version long"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows, schema)
+
+
+def test_snapshot_asof_basics(spark):
+    from mevi_spark.sources.upsert import snapshot_asof
+
+    log = _log_df(
+        spark,
+        [
+            (1, "a", "U", 1),
+            (2, "b", "U", 1),
+            (1, "a2", "U", 2),
+            (2, None, "D", 3),
+            (3, "c", "U", 4),
+        ],
+    )
+    snap = lambda v: {  # noqa: E731
+        r.k: r.val for r in snapshot_asof(log, ["k"], v).collect()
+    }
+    assert snap(1) == {1: "a", 2: "b"}
+    assert snap(2) == {1: "a2", 2: "b"}
+    assert snap(3) == {1: "a2"}          # delete visible at 3
+    assert snap(4) == {1: "a2", 3: "c"}  # insert visible at 4
+    assert snap(0) == {}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(_change, max_size=12, unique_by=lambda c: (c[0], c[1], c[2])))
+def test_snapshot_asof_checkpoint_equals_full_replay(spark, changes):
+    """snapshot_asof served through a retained-tombstone CHECKPOINT at
+    version C must equal both the full-log replay and a sequential
+    dict replay truncated at the as-of version — for every (C, as-of)
+    cut of the log. The checkpoint path is what a 100 TB reader runs;
+    the full replay is its definition."""
+    from mevi_spark.sources.upsert import apply_changes, snapshot_asof
+
+    log_rows = [(k, f"b{k}", "U", 0) for k in (0, 1, 2)] + [
+        (k, f"p{p}", "U" if op == "U" else "D", v) for k, v, op, p in changes
+    ]
+    log = _log_df(spark, log_rows)
+    empty = spark.createDataFrame([], "k long, val string")
+    for asof in (2, 4):
+        state: dict[int, str] = {}
+        for v in sorted({r[3] for r in log_rows}):
+            if v > asof:
+                continue
+            for k, val, op, ver in log_rows:
+                if ver == v and op == "U":
+                    state[k] = val
+            for k, _val, op, ver in log_rows:
+                if ver == v and op == "D":
+                    state.pop(k, None)
+        full = {
+            r.k: r.val for r in snapshot_asof(log, ["k"], asof).collect()
+        }
+        assert full == state, f"full replay at asof={asof}"
+        for c in (0, 2):
+            if c > asof:
+                continue
+            ckpt = apply_changes(
+                empty,
+                log.filter(F.col("_version") <= c),
+                ["k"],
+                keep_version=True,
+                keep_deletes=True,
+            )
+            via_ckpt = {
+                r.k: r.val
+                for r in snapshot_asof(
+                    log.filter(F.col("_version") > c),
+                    ["k"],
+                    asof,
+                    checkpoint=ckpt,
+                ).collect()
+            }
+            assert via_ckpt == state, f"checkpoint C={c} asof={asof}"
