@@ -669,3 +669,62 @@ def connected_components(
         if n_changed == 0:
             break
     return labels
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate removal (CCNet / RefinedWeb recipe)
+
+
+def strip_frequent_lines(
+    lines: DataFrame,
+    df_threshold: int,
+    doc_col: str = "doc_id",
+    ord_col: str = "line_no",
+    line_col: str = "line",
+) -> DataFrame:
+    """Corpus-frequency line dedup: drop every line that occurs in more
+    than ``df_threshold`` DISTINCT documents (headers, footers, nav
+    bars, cookie banners — the CCNet §4.1 / RefinedWeb recipe), then
+    reassemble each document from its surviving lines in order.
+
+    Returns ``(doc_col, clean_text, n_kept, n_dropped)``.
+
+    100 TB shape: the doc-frequency count runs on ``hash60(line)`` —
+    two line-hash-keyed shuffles of 8-byte keys (per-doc dedup, then
+    the count), never of line text; the drop set (lines ABOVE the
+    threshold — by construction a handful of very frequent strings) is
+    BROADCAST back, so the marking pass and the reassembly's single
+    doc-keyed shuffle never move the boilerplate decision. Same
+    discipline as the shingle df-cut in :func:`ngram_jaccard_pairs`.
+    """
+    from mevi_spark.functions.text_analysis import hash60
+
+    h = hash60(F.col(line_col), "bl")
+    dfc = (
+        lines.select(h.alias("_lh"), doc_col)
+        .distinct()
+        .groupBy("_lh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    boiler = dfc.filter(F.col("_df") > df_threshold).select("_lh")
+    marked = lines.withColumn("_lh", h).join(
+        F.broadcast(boiler.withColumn("_b", F.lit(1))), "_lh", "left"
+    )
+    keep = F.col("_b").isNull()
+    return marked.groupBy(doc_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            keep, F.struct(F.col(ord_col), F.col(line_col))
+                        )
+                    )
+                ),
+                lambda s: s[line_col],
+            ),
+        ).alias("clean_text"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.sum(F.col("_b").isNotNull().cast("long")).alias("n_dropped"),
+    )

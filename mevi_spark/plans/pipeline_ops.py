@@ -1846,3 +1846,74 @@ def heavy_hitters_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens(normalize_text("text"))).alias("term")
     ).filter(F.col("term") != "")
     return heavy_hitters(toks, "term", 5, 1000)
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate removal (CCNet / RefinedWeb)
+
+
+@register(
+    "line_boilerplate_strip",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+lines AS (
+  SELECT doc_id,
+         ['corpus header boilerplate line'] ||
+         list_transform(range(0, GREATEST(1, CAST((len(t)+7)//8 AS INT))),
+           i -> array_to_string(list_slice(t, i*8+1, i*8+8), ' ')) ||
+         ['corpus footer boilerplate line'] AS ls
+  FROM toks),
+ex AS (SELECT doc_id, unnest(ls) AS line,
+              generate_subscripts(ls, 1) AS line_no
+       FROM lines),
+dfc AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY line),
+boiler AS (SELECT line FROM dfc
+           WHERE df > (SELECT COUNT(*) // 5 FROM documents))
+SELECT e.doc_id,
+       COALESCE(string_agg(e.line, chr(10) ORDER BY e.line_no)
+                FILTER (WHERE b.line IS NULL), '') AS clean_text,
+       COUNT(*) FILTER (WHERE b.line IS NULL) AS n_kept,
+       COUNT(*) FILTER (WHERE b.line IS NOT NULL) AS n_dropped
+FROM ex e LEFT JOIN boiler b USING (line)
+GROUP BY e.doc_id
+""",
+)
+def line_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (CCNet §4.1 / RefinedWeb line-
+    wise filtering; ``operators/dedup.py::strip_frequent_lines``): any
+    line occurring in >20% of documents is corpus boilerplate and is
+    stripped; each document is reassembled from its surviving lines in
+    order, with kept/dropped counts.
+
+    The testdata corpus is single-line, so the line STRUCTURE is
+    planted deterministically on both engines: tokens chunked into
+    8-token lines, wrapped in a shared header and footer line — the
+    header/footer hit df = 100% and must be the exact drop set. The
+    frequency pass counts on ``hash60(line)`` (8-byte shuffle keys);
+    the drop set is broadcast; reassembly is the one doc-keyed
+    shuffle."""
+    from mevi_spark.functions.text import normalize_text, tokens
+    from mevi_spark.operators.dedup import strip_frequent_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    t = docs.select("doc_id", tokens(normalize_text("text")).alias("_t"))
+    n_lines = F.greatest(
+        F.lit(1), F.floor((F.size("_t") + 7) / 8).cast("int")
+    )
+    body = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(F.col("_t"), i * 8 + 1, 8), " "),
+    )
+    ls = F.concat(
+        F.array(F.lit("corpus header boilerplate line")),
+        body,
+        F.array(F.lit("corpus footer boilerplate line")),
+    )
+    lines = t.select(
+        "doc_id", F.posexplode(ls).alias("line_no", "line")
+    )
+    return strip_frequent_lines(lines, n_docs // 5)

@@ -200,3 +200,28 @@ def test_simhash_chunk_skew_guard(spark):
     # without the guard the flood pairs all come back (completeness)
     full = D.simhash_pairs(df).collect()
     assert len(full) == 50 * 49 // 2 + 1
+
+
+def test_strip_frequent_lines_semantics(spark):
+    """Boilerplate (df > threshold) drops everywhere, unique lines
+    survive in original order, an all-boilerplate doc reassembles to
+    the empty string, and the threshold is strict (> not >=)."""
+    rows = []
+    for d in range(4):
+        rows.append((d, 0, "shared header"))          # df=4 → dropped
+        rows.append((d, 1, f"body {d} first"))        # df=1 → kept
+        rows.append((d, 2, f"body {d} second"))
+        rows.append((d, 3, "shared footer"))          # df=4 → dropped
+    rows.append((9, 0, "shared header"))              # all-boilerplate doc
+    rows.append((9, 1, "shared footer"))
+    rows += [(10, 0, "pair line"), (11, 0, "pair line")]  # df=2 == thr → kept
+    lines = spark.createDataFrame(rows, "doc_id long, line_no int, line string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in D.strip_frequent_lines(lines, df_threshold=2).collect()
+    }
+    for d in range(4):
+        assert got[d] == (f"body {d} first\nbody {d} second", 2, 2)
+    assert got[9] == ("", 0, 2)
+    assert got[10] == ("pair line", 1, 0)
+    assert got[11] == ("pair line", 1, 0)

@@ -48,6 +48,7 @@ R8_NEW = [
     "weighted_sample_topk",
     "cdc_time_travel",
     "heavy_hitters_terms",
+    "line_boilerplate_strip",
 ]
 
 # the only names allowed to reach 2-round-stale evidence after r8
@@ -64,6 +65,7 @@ R8_ROTATED_OUT = {
     "ensemble_fuse",
     "dedup_minhash_pairs",
     "knn_topk_cosine",
+    "dedup_simhash",
 }
 
 
