@@ -71,42 +71,46 @@ _LOADED = False
 #
 # Round-8 policy (recomputed from CORRECTNESS_r01-r07: 50 queries have
 # a fresh r7 row; the other 48 registered names do not — 46 are
-# r6-green, tsv_queries/tsv_run are r5-green — and round 8 adds 14 new
-# zero-evidence queries, so 62 names compete for 50 slots):
+# r6-green, tsv_queries/tsv_run are r5-green — and round 8 adds 16 new
+# zero-evidence queries, so 64 names compete for 50 slots):
 #
-#   tier 1 — the FOURTEEN round-8-new queries (packed-sequence writer
+#   tier 1 — the SIXTEEN round-8-new queries (packed-sequence writer
 #            and its incremental append twin, hybrid ensemble,
 #            incremental near-dup, incremental hypertable refresh,
 #            partition-pruned CDC merge, plus the late additions: exact
 #            stratified sampling, bigram-LM quality, SQ8 quantization,
 #            z-order box scan, weighted sampling, CDC time-travel,
-#            Misra-Gries heavy hitters, line-boilerplate strip): zero
-#            driver rows, the weakest evidence in the registry;
+#            Misra-Gries heavy hitters, line-boilerplate strip, PQ
+#            encode + PQ-ADC top-k): zero driver rows, the weakest
+#            evidence in the registry;
 #   tier 2 — tsv_queries_roundtrip + tsv_run_roundtrip: the only
 #            2-round-stale evidence (VERDICT r7 "what's wrong" #1 —
 #            rotate back in);
-#   tier 3 — the r6-green names with no r7 row, 34 of 46 (alphabetical;
+#   tier 3 — the r6-green names with no r7 row, 32 of 46 (alphabetical;
 #            all 1-round-stale going on 2).
 #
-# Rotated out (the unavoidable 62−50 = 12, chosen to minimize lost
+# Rotated out (the unavoidable 64−50 = 14, chosen to minimize lost
 # signal): q1_pricing_summary, nation_revenue, dedup_exact,
 # sessionize_events, q3_shipping_priority, text_quality_stats,
 # knn_topk_ip, retrieval_eval_metrics, ensemble_fuse,
-# dedup_minhash_pairs, knn_topk_cosine, dedup_simhash — all twelve
-# r6-green, textually UNCHANGED in rounds 7-8; ten are executed at
-# sf0.1 by BENCH every round (a regression still surfaces the same
-# round as a bench error); knn_topk_cosine shares its scorer and
-# dispatch path with the bench-exercised knn_topk_ip plus a direct
-# pytest parametrization (tests/test_topk.py); dedup_simhash has BOTH
-# registered-query coverage (tests/test_plans.py) and operator-level
-# property coverage (tests/test_dedup.py). All covered by pytest + the
-# local full gate; first in line for r9. (q3/text_quality/knn_topk_ip/
-# retrieval_eval_metrics/ensemble_fuse left the window when the LATE
-# round-8 queries — stratified_sample_exact, ngram_lm_quality,
-# sq8_encode_reconstruct, zorder_box_scan, weighted_sample_topk —
-# joined tier 1; dedup_minhash_pairs/knn_topk_cosine/dedup_simhash
-# when cdc_time_travel, heavy_hitters_terms and line_boilerplate_strip
-# did.)
+# dedup_minhash_pairs, knn_topk_cosine, dedup_simhash, ann_ivf_topk,
+# dedup_ngram_jaccard — all fourteen r6-green, textually UNCHANGED in
+# rounds 7-8; ten are executed at sf0.1 by BENCH every round (a
+# regression still surfaces the same round as a bench error);
+# knn_topk_cosine shares its scorer and dispatch path with the
+# bench-exercised knn_topk_ip plus a direct pytest parametrization
+# (tests/test_topk.py); dedup_simhash, dedup_ngram_jaccard and
+# ann_ivf_topk have BOTH registered-query coverage
+# (tests/test_plans.py) and operator-level property coverage
+# (tests/test_dedup.py / tests/test_ann.py). All covered by pytest +
+# the local full gate; first in line for r9.
+# (q3/text_quality/knn_topk_ip/retrieval_eval_metrics/ensemble_fuse
+# left the window when the LATE round-8 queries —
+# stratified_sample_exact, ngram_lm_quality, sq8_encode_reconstruct,
+# zorder_box_scan, weighted_sample_topk — joined tier 1;
+# dedup_minhash_pairs/knn_topk_cosine/dedup_simhash when
+# cdc_time_travel, heavy_hitters_terms and line_boilerplate_strip did;
+# ann_ivf_topk/dedup_ngram_jaccard when the PQ pair did.)
 # Queries with a fresh r7 row stay out even where round 8
 # touched their code (bm25_search, text_tfidf_topterms,
 # events_asof_attribution, events_hypertable_rollup, sequence_pack,
@@ -132,12 +136,13 @@ _PRIORITY_ORDER: list[str] = [
     "cdc_time_travel",
     "heavy_hitters_terms",
     "line_boilerplate_strip",
+    "pq_encode_reconstruct",
+    "pq_adc_topk",
     # tier 2 — r5-green, the 2-round-stale backlog
     "tsv_queries_roundtrip",
     "tsv_run_roundtrip",
-    # tier 3 — r6-green, no r7 row (37 of 46; see rotation note)
+    # tier 3 — r6-green, no r7 row (34 of 46; see rotation note)
     "ann_adc_topk",
-    "ann_ivf_topk",
     "bucketed_join_rollup",
     "cluster_projection",
     "compaction_roundtrip",
@@ -146,7 +151,6 @@ _PRIORITY_ORDER: list[str] = [
     "dataset_split",
     "dedup_components",
     "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
     "doc_query_sets",
     "image_resize",
     "inverse_answer_index",

@@ -2130,3 +2130,119 @@ def sq8_encode_reconstruct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rec * 1e6).cast("long").alias("rec_e6"),
         F.round(F.abs(F.col("val") - rec) * 1e6).cast("long").alias("err_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ product quantization (vector-compression family: RQ / ADC / SQ8 / PQ)
+
+_SQL_PQ_SUB = f"""
+  SELECT CAST(s.m AS INT) AS m, cent.code,
+         list_slice(cent.centroid, s.m * 16 + 1, s.m * 16 + 16) AS c
+  FROM ({_SQL_CENT_LIST}) cent, (SELECT unnest(range(0, 4)) AS m) s
+"""
+
+_SQL_PQ_CODES = """
+  SELECT vec_id, m, code,
+         CAST(ROUND((vv + d) * 1000000) AS BIGINT) AS err_e6
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn
+    FROM (
+      SELECT v.vec_id, v.m, s.code,
+             list_dot_product(s.c, s.c)
+               - 2 * list_dot_product(v.sub, s.c) AS d,
+             list_dot_product(v.sub, v.sub) AS vv
+      FROM (SELECT e.vec_id, s2.m,
+                   list_slice(e.embedding::DOUBLE[],
+                              s2.m * 16 + 1, s2.m * 16 + 16) AS sub
+            FROM embeddings e,
+                 (SELECT CAST(unnest(range(0, 4)) AS INT) AS m) s2) v
+      JOIN sub s USING (m)))
+  WHERE rn = 1
+"""
+
+
+@register(
+    "pq_encode_reconstruct",
+    oracle=f"""
+WITH sub AS ({_SQL_PQ_SUB}),
+codes AS ({_SQL_PQ_CODES})
+SELECT vec_id, m, code, err_e6 FROM codes
+""",
+)
+def pq_encode_reconstruct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode (``operators/pq.py``; Jégou et al.
+    2011, the faiss ``PQ4x...`` layout — the subspace-split sibling of
+    the reference's residual levels, ``MEVI/pq.py:281-305``): dim 64
+    split into M=4 × 16-dim subspaces, each assigned to its nearest
+    slice of the deterministic label-mean codebook. One broadcast join
+    + one (vec, m)-keyed argmin aggregation; ``err_e6`` is the rounded
+    squared subspace residual, so the row certifies BOTH the code
+    assignment and the reconstruction quality against the oracle."""
+    from mevi_spark.operators.pq import (
+        pq_codebook_from_centroids,
+        pq_encode,
+        split_subvectors,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = rq_level_centroids(emb, code_col="label", vec_col="embedding")
+    cb = pq_codebook_from_centroids(cents, 4, 16)
+    return pq_encode(split_subvectors(emb, 4, 16), cb)
+
+
+@register(
+    "pq_adc_topk",
+    oracle=f"""
+WITH sub AS ({_SQL_PQ_SUB}),
+codes AS ({_SQL_PQ_CODES}),
+q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 50 = 0),
+lut AS (
+  SELECT q.qid, s.m, s.code,
+         CAST(ROUND(list_dot_product(
+           list_slice(q.qv, s.m * 16 + 1, s.m * 16 + 16), s.c)
+           * 1000000) AS BIGINT) AS p_e6
+  FROM q, sub s),
+sc AS (
+  SELECT l.qid, c.vec_id, CAST(SUM(l.p_e6) AS BIGINT) AS score_e6
+  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+  GROUP BY l.qid, c.vec_id)
+SELECT qid, vec_id, score_e6, CAST(rn AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY score_e6 DESC, vec_id ASC) AS rn
+  FROM sc)
+WHERE rn <= 10
+""",
+)
+def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (the faiss IVF-PQ scan's scoring
+    half): every 50th vector queries the corpus through its PQ codes
+    ONLY — the scan reads (vec_id, m, code) int rows and a broadcast
+    per-query M×K lookup table, never a document vector. LUT partials
+    are e6-rounded integers BEFORE the M-way sum, so both engines rank
+    on exact integer scores (``operators/pq.py`` docstring); at scale
+    this composes with IVF probe pruning (``ann_ivf_topk``) exactly as
+    faiss IVF-PQ does."""
+    from mevi_spark.operators.pq import (
+        adc_lut,
+        adc_scan_scores,
+        pq_codebook_from_centroids,
+        pq_encode,
+        split_subvectors,
+    )
+    from mevi_spark.operators.topk import topk_per_group
+
+    emb = _emb(spark, sf_dir)
+    cents = rq_level_centroids(emb, code_col="label", vec_col="embedding")
+    cb = pq_codebook_from_centroids(cents, 4, 16)
+    codes = pq_encode(split_subvectors(emb, 4, 16), cb).drop("err_e6")
+    qs = split_subvectors(
+        emb.filter(F.col("vec_id") % 50 == 0), 4, 16
+    ).withColumnRenamed("vec_id", "qid")
+    lut = adc_lut(qs, cb)
+    scores = adc_scan_scores(codes, lut)
+    return topk_per_group(
+        scores, ["qid"], "score_e6", 10, tiebreak_cols=["vec_id"]
+    )

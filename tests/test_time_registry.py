@@ -49,6 +49,8 @@ R8_NEW = [
     "cdc_time_travel",
     "heavy_hitters_terms",
     "line_boilerplate_strip",
+    "pq_encode_reconstruct",
+    "pq_adc_topk",
 ]
 
 # the only names allowed to reach 2-round-stale evidence after r8
@@ -66,6 +68,8 @@ R8_ROTATED_OUT = {
     "dedup_minhash_pairs",
     "knn_topk_cosine",
     "dedup_simhash",
+    "ann_ivf_topk",
+    "dedup_ngram_jaccard",
 }
 
 
