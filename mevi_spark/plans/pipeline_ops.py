@@ -1816,9 +1816,10 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # frequent items: Misra-Gries candidates + exact recount
 
 
-@register(
-    "heavy_hitters_terms",
-    oracle=r"""
+# shared with streaming_heavy_hitters (plans/streaming_ops.py): the
+# drained incremental summary + exact recount must equal this same
+# full group-by
+HH_TERMS_ORACLE = r"""
 WITH toks AS (
   SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
     '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS term
@@ -1827,8 +1828,10 @@ t AS (SELECT term FROM toks WHERE term <> '')
 SELECT term, COUNT(*) AS cnt
 FROM t GROUP BY term
 HAVING COUNT(*) >= CEIL(0.005 * (SELECT COUNT(*) FROM t))
-""",
-)
+"""
+
+
+@register("heavy_hitters_terms", oracle=HH_TERMS_ORACLE)
 def heavy_hitters_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus heavy hitters (every token at ≥0.5% support, with
     its exact count) via the two-pass Misra-Gries construction

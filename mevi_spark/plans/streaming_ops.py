@@ -703,3 +703,66 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_version").cast("int").alias("version"),
     )
     return _drained(result, base_dir)
+
+
+from mevi_spark.plans.pipeline_ops import HH_TERMS_ORACLE
+
+
+@register("streaming_heavy_hitters", oracle=HH_TERMS_ORACLE)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items maintenance under ingest (the streaming twin of
+    ``heavy_hitters_terms``): the token stream arrives in three
+    doc-id-interleaved slices and
+    :func:`~mevi_spark.streaming.incremental_heavy_hitters` maintains a
+    capacity-bounded Misra-Gries summary (mergeable-summaries merge,
+    batch-id replay guard, atomic version flips). After the drain the
+    summary must (a) hold ≤ capacity rows — asserted here, it is the
+    whole point of the sketch — and (b) still contain every term above
+    the support threshold, certified by running the exact recount
+    gated on the drained candidate set and matching the same full
+    group-by oracle as the batch query. Capacity 250 > den/num = 200,
+    so the cumulative undercount N/251 stays below the 0.5% support
+    threshold across any batching of the ingest."""
+    from mevi_spark.functions.text import normalize_text, tokens
+    from mevi_spark.streaming import incremental_heavy_hitters
+
+    capacity = 250
+    base = _tmp("hh")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in/s{i:02d}")
+    stream = stream_parquet_source(
+        spark, f"{base}/in/s*", docs.schema, max_files_per_trigger=1
+    )
+    terms = stream.select(
+        F.explode(tokens(normalize_text("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    q = incremental_heavy_hitters(
+        terms, f"{base}/out", f"{base}/ckpt", capacity
+    )
+    q.awaitTermination()
+    state = spark.read.parquet(f"{base}/out").select("term")
+    n_state = state.count()
+    if n_state > capacity:
+        raise AssertionError(
+            f"summary exceeded capacity: {n_state} > {capacity}"
+        )
+    # exact recount gated on the drained candidates (pass 2)
+    toks = (
+        spark.read.schema(docs.schema)
+        .parquet(f"{base}/in/s*")
+        .select(F.explode(tokens(normalize_text("text"))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    total = toks.count()
+    thresh = (5 * total + 999) // 1000
+    out = (
+        toks.join(F.broadcast(state), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(thresh))
+    )
+    return _drained(out, base)
+

@@ -27,11 +27,16 @@ arriving corpus/event stream.
   re-pair), converging to the batch ``dedup_minhash`` answer;
 * :func:`incremental_rollup` — multi-resolution rollup maintenance:
   mergeable GROUPING-SETS partials refreshed per micro-batch,
-  converging to the batch hypertable rollup.
+  converging to the batch hypertable rollup;
+* :func:`incremental_heavy_hitters` — Misra-Gries frequent-items
+  summary maintenance (mergeable-summaries merge): the bounded
+  candidate set stays complete above the support threshold as the
+  corpus arrives; the exact recount runs on demand.
 """
 
 from mevi_spark.streaming.incremental import (
     dedup_stream,
+    incremental_heavy_hitters,
     incremental_merge,
     incremental_neardup,
     incremental_quantize,
@@ -44,6 +49,7 @@ from mevi_spark.streaming.incremental import (
 
 __all__ = [
     "dedup_stream",
+    "incremental_heavy_hitters",
     "incremental_merge",
     "incremental_neardup",
     "incremental_quantize",

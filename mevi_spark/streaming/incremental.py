@@ -821,3 +821,73 @@ def sessionize_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def incremental_heavy_hitters(
+    stream_df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    capacity: int,
+    col: str = "term",
+):
+    """Frequent-items maintenance under ingest — the streaming twin of
+    the Misra-Gries candidate pass (``operators/sketch.py``), using the
+    mergeable-summaries merge (Agarwal et al., PODS 2012): per
+    micro-batch, SUM the batch's term counts into the maintained
+    summary; if the summary then exceeds ``capacity`` entries, subtract
+    the (capacity+1)-th largest counter from every entry and drop the
+    non-positive (one trim bounds the size — items at or below the
+    cutoff cannot stay positive). The cumulative undercount over any
+    number of batches stays ≤ N/(capacity+1), so the summary's keys are
+    at EVERY point in the ingest a complete candidate set for items
+    above that support; the exact recount (``heavy_hitters``' second
+    pass) runs over the accumulated corpus whenever an answer is
+    needed.
+
+    State is the published summary itself (≤ capacity rows, atomic
+    version flip — the ``incremental_topk`` pattern); no state store.
+    Counter merges are NOT naturally idempotent (a replayed batch would
+    double-count), so every published row carries the last absorbed
+    batch id and the sink skips a batch the state already absorbed —
+    crash-anywhere replay-safe.
+    """
+    import os
+
+    v_prefix, ln_prefix = _link_prefixes(output_dir, "hh")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        cur = None
+        if os.path.exists(os.path.join(output_dir, "_SUCCESS")):
+            cur = spark.read.parquet(output_dir)
+            if cur.agg(F.max("last_bid")).first()[0] >= batch_id:
+                return  # replayed batch: state already includes it
+        local = batch.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        merged = (
+            cur.select(col, "cnt").unionByName(local)
+            .groupBy(col)
+            .agg(F.sum("cnt").alias("cnt"))
+            if cur is not None
+            else local
+        )
+        top = (
+            merged.orderBy(F.col("cnt").desc(), F.col(col).asc())
+            .limit(capacity + 1)
+            .collect()
+        )
+        if len(top) > capacity:
+            cutoff = top[-1]["cnt"]
+            merged = merged.select(
+                col, (F.col("cnt") - F.lit(cutoff)).alias("cnt")
+            ).filter(F.col("cnt") > 0)
+        out = merged.withColumn("last_bid", F.lit(batch_id).cast("long"))
+        _publish_version(
+            out, output_dir, v_prefix, ln_prefix, _publish_grace()
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -151,3 +151,63 @@ def test_incremental_neardup_converges_to_batch(spark):
     import shutil
 
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_incremental_heavy_hitters_complete_and_replay_safe(spark):
+    """The maintained MG summary (a) never exceeds capacity, (b) keeps
+    every term above N/(capacity+1) across multi-batch ingest with a
+    skewed vocabulary larger than capacity, and (c) re-running the
+    drained stream against the SAME checkpoint absorbs nothing twice
+    (the batch-id replay guard)."""
+    import shutil
+
+    from collections import Counter
+
+    from mevi_spark.streaming import incremental_heavy_hitters
+    from mevi_spark.streaming.incremental import stream_parquet_source
+
+    import random
+
+    data = []
+    for i in range(4):
+        data += [f"h{i}"] * (120 + 40 * i)
+    for j in range(120):
+        data += [f"t{j}"] * (1 + j % 2)
+    random.Random(3).shuffle(data)
+    cnt, n, cap = Counter(data), len(data), 24
+    base = tempfile.mkdtemp(prefix="mevi_hh_t_")
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(data)], "i long, term string"
+    )
+    try:
+        for s in range(3):
+            df.filter(F.col("i") % 3 == s).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{base}/in/s{s:02d}")
+        stream = stream_parquet_source(
+            spark, f"{base}/in/s*", df.schema, max_files_per_trigger=1
+        )
+        terms = stream.select("term")
+
+        def run():
+            q = incremental_heavy_hitters(
+                terms, f"{base}/out", f"{base}/ckpt", cap, col="term"
+            )
+            q.awaitTermination()
+            return {
+                r.term: r.cnt
+                for r in spark.read.parquet(f"{base}/out").collect()
+            }
+
+        state = run()
+        assert len(state) <= cap
+        must = {t for t, c in cnt.items() if c > n / (cap + 1)}
+        assert must <= set(state), must - set(state)
+        # undercount bound: stored ≤ true, deficit ≤ N/(cap+1)
+        for t, c in state.items():
+            assert c <= cnt[t]
+            assert cnt[t] - c <= n / (cap + 1) + 1e-9
+        # replay: same checkpoint, no new files → state unchanged
+        assert run() == state
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -51,6 +51,7 @@ R8_NEW = [
     "line_boilerplate_strip",
     "pq_encode_reconstruct",
     "pq_adc_topk",
+    "streaming_heavy_hitters",
 ]
 
 # the only names allowed to reach 2-round-stale evidence after r8
@@ -70,6 +71,7 @@ R8_ROTATED_OUT = {
     "dedup_simhash",
     "ann_ivf_topk",
     "dedup_ngram_jaccard",
+    "streaming_event_window_counts",
 }
 
 
