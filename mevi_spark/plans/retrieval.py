@@ -2246,3 +2246,95 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_group(
         scores, ["qid"], "score_e6", 10, tiebreak_cols=["vec_id"]
     )
+
+
+@register(
+    "pq_ivf_adc_topk",
+    oracle=f"""
+WITH sub AS ({_SQL_PQ_SUB}),
+codes AS ({_SQL_PQ_CODES}),
+q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 50 = 0),
+coarse AS (
+  SELECT qid, code FROM (
+    SELECT q.qid, c.code, ROW_NUMBER() OVER (
+      PARTITION BY q.qid ORDER BY
+        list_dot_product(c.centroid, c.centroid)
+          - 2 * list_dot_product(q.qv, c.centroid) ASC,
+        c.code ASC) AS rn
+    FROM q, ({_SQL_CENT_LIST}) c) WHERE rn <= 3),
+lut AS (
+  SELECT q.qid, s.m, s.code,
+         CAST(ROUND(list_dot_product(
+           list_slice(q.qv, s.m * 16 + 1, s.m * 16 + 16), s.c)
+           * 1000000) AS BIGINT) AS p_e6
+  FROM q, sub s),
+cand AS (
+  SELECT co.qid, e.vec_id
+  FROM embeddings e JOIN coarse co ON e.label = co.code),
+sc AS (
+  SELECT ca.qid, ca.vec_id, CAST(SUM(l.p_e6) AS BIGINT) AS score_e6
+  FROM cand ca
+  JOIN codes c ON c.vec_id = ca.vec_id
+  JOIN lut l ON l.qid = ca.qid AND l.m = c.m AND l.code = c.code
+  GROUP BY ca.qid, ca.vec_id)
+SELECT qid, vec_id, score_e6, CAST(rn AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY score_e6 DESC, vec_id ASC) AS rn
+  FROM sc)
+WHERE rn <= 10
+""",
+)
+def pq_ivf_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the canonical 100 TB ANN serving layout (faiss
+    ``IVFx,PQy``), composed from the repo's own pieces: each query
+    ranks the 10 coarse centroids (label-mean, the IVF coarse level)
+    map-side against the broadcast centroid table and probes the top
+    nprobe=3; only docs in probed clusters are scored, and the scoring
+    is the PQ-ADC scan (``pq_adc_topk``) — int code tuples against the
+    broadcast per-query LUT, no document vector read. At scale the
+    candidate gather rides the cluster-partitioned corpus layout with
+    dynamic partition pruning exactly as ``coarse_to_fine_retrieval``
+    asserts; here the composition itself (probe → prune → ADC → top-k)
+    is what the oracle certifies."""
+    from mevi_spark.operators.pq import (
+        adc_lut,
+        pq_codebook_from_centroids,
+        pq_encode,
+        split_subvectors,
+    )
+    from mevi_spark.operators.topk import topk_per_group
+
+    emb = _emb(spark, sf_dir)
+    cents = rq_level_centroids(emb, code_col="label", vec_col="embedding")
+    cb = pq_codebook_from_centroids(cents, 4, 16)
+    codes = pq_encode(split_subvectors(emb, 4, 16), cb).drop("err_e6")
+    qf = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    coarse = qf.crossJoin(F.broadcast(cents)).select(
+        "qid",
+        "code",
+        (-(dot("centroid", "centroid") - 2 * dot("qv", "centroid"))).alias(
+            "nd"
+        ),
+    )
+    probes = topk_per_group(coarse, ["qid"], "nd", 3, ["code"]).select(
+        "qid", F.col("code").alias("label")
+    )
+    cand = emb.select("vec_id", "label").join(
+        F.broadcast(probes), "label"
+    ).select("qid", "vec_id")
+    qs = split_subvectors(qf, 4, 16, id_col="qid", vec_col="qv")
+    lut = adc_lut(qs, cb)
+    scores = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["qid", "m", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("p_e6").alias("score_e6"))
+    )
+    return topk_per_group(
+        scores, ["qid"], "score_e6", 10, tiebreak_cols=["vec_id"]
+    )

@@ -89,3 +89,37 @@ def test_pq_encode_plan_broadcasts_codebook(fixture):
     plan = codes._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_ivf_pq_full_probe_equals_exhaustive_adc(fixture):
+    """With nprobe = K (probe every cluster) the IVF-PQ composition
+    must reduce to the exhaustive ADC scan — pruning only ever REMOVES
+    candidates, it never changes a surviving score."""
+    from pyspark.sql import functions as F
+
+    from mevi_spark.operators.topk import topk_per_group
+
+    vecs, cents, emb, cb, codes = fixture
+    q = emb.filter(F.col("vec_id") < 2).withColumnRenamed("vec_id", "qid")
+    lut = adc_lut(split_subvectors(q, M, SUB, id_col="qid"), cb)
+    exhaustive = {
+        (r.qid, r.vec_id, r.rank)
+        for r in topk_per_group(
+            adc_scan_scores(codes.drop("err_e6"), lut),
+            ["qid"], "score_e6", 5, ["vec_id"],
+        ).collect()
+    }
+    # full-probe IVF: every cluster probed → same candidate set as
+    # exhaustive
+    cand = q.select("qid").crossJoin(emb.select("vec_id"))
+    pruned = {
+        (r.qid, r.vec_id, r.rank)
+        for r in topk_per_group(
+            cand.join(codes.drop("err_e6"), "vec_id")
+            .join(F.broadcast(lut), ["qid", "m", "code"])
+            .groupBy("qid", "vec_id")
+            .agg(F.sum("p_e6").alias("score_e6")),
+            ["qid"], "score_e6", 5, ["vec_id"],
+        ).collect()
+    }
+    assert pruned == exhaustive

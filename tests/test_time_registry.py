@@ -52,6 +52,7 @@ R8_NEW = [
     "pq_encode_reconstruct",
     "pq_adc_topk",
     "streaming_heavy_hitters",
+    "pq_ivf_adc_topk",
 ]
 
 # the only names allowed to reach 2-round-stale evidence after r8
@@ -72,6 +73,7 @@ R8_ROTATED_OUT = {
     "ann_ivf_topk",
     "dedup_ngram_jaccard",
     "streaming_event_window_counts",
+    "media_decode_stats",
 }
 
 
