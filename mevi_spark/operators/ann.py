@@ -167,6 +167,40 @@ def lsh_topk_join(
     )
 
 
+def probe_codes_expr(
+    entries: list, query_vec: str, nprobe: int, metric: str = "ip"
+):
+    """Top-``nprobe`` coarse codes per query as ONE map-only literal
+    expression (sorted struct array — zero shuffle, the same K·dim ≲
+    64k expression-size bound as ``assign_nearest``). Shared by
+    ``ivf_topk_join(impl='expr')`` and the PQ-IVF composition
+    (``plans/retrieval.py::pq_ivf_adc_topk``). For cosine, centroids
+    inline UNIT-normalized: dot(q, cent/‖cent‖) ranks identically to
+    cosine(q, cent) (the query norm is constant per query), so the
+    probe agrees with the scoring metric."""
+
+    def _probe_vec(cent):
+        if metric == "ip":
+            return cent
+        nrm = math.sqrt(sum(v * v for v in cent)) or 1.0
+        return [v / nrm for v in cent]
+
+    # SQL text, one parse — not hundreds of Column-API py4j round
+    # trips (see sql_double_array); bit-exact literals
+    cents_sql = ",".join(
+        f"named_struct('cent',{sql_double_array(_probe_vec(cent))},"
+        f"'c',{int(code)}L)"
+        for code, cent, _cc in entries
+    )
+    qv_sql = f"cast({sql_ident(query_vec)} AS array<double>)"
+    return F.expr(
+        f"transform(slice(sort_array(transform(array({cents_sql}),"
+        f" e -> named_struct('ns', -aggregate(zip_with({qv_sql},"
+        f" e.cent, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x),"
+        f"'c', e.c))), 1, {int(nprobe)}), e -> e.c)"
+    )
+
+
 def ivf_topk_join(
     queries: DataFrame,
     docs: DataFrame,
@@ -236,28 +270,7 @@ def ivf_topk_join(
         probed = ranked.select(query_id, query_vec, list_col)
     elif impl == "expr":
         entries = centroid_entries(centroids)
-        # for cosine, inline UNIT centroids: dot(q, cent/||cent||) ranks
-        # identically to cosine(q, cent) (the query norm is constant per
-        # query), so the probe agrees with the scoring metric
-        def _probe_vec(cent):
-            if metric == "ip":
-                return cent
-            nrm = math.sqrt(sum(v * v for v in cent)) or 1.0
-            return [v / nrm for v in cent]
-        # SQL text, one parse — not hundreds of Column-API py4j round
-        # trips (see sql_double_array); bit-exact literals
-        cents_sql = ",".join(
-            f"named_struct('cent',{sql_double_array(_probe_vec(cent))},"
-            f"'c',{int(code)}L)"
-            for code, cent, _cc in entries
-        )
-        qv_sql = f"cast({sql_ident(query_vec)} AS array<double>)"
-        probes = F.expr(
-            f"transform(slice(sort_array(transform(array({cents_sql}),"
-            f" e -> named_struct('ns', -aggregate(zip_with({qv_sql},"
-            f" e.cent, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x),"
-            f"'c', e.c))), 1, {int(nprobe)}), e -> e.c)"
-        )
+        probes = probe_codes_expr(entries, query_vec, nprobe, metric)
         probed = queries.select(
             query_id, query_vec, F.explode(probes).alias(list_col)
         )

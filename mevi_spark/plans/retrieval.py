@@ -2260,8 +2260,7 @@ coarse AS (
   SELECT qid, code FROM (
     SELECT q.qid, c.code, ROW_NUMBER() OVER (
       PARTITION BY q.qid ORDER BY
-        list_dot_product(c.centroid, c.centroid)
-          - 2 * list_dot_product(q.qv, c.centroid) ASC,
+        list_dot_product(q.qv, c.centroid) DESC,
         c.code ASC) AS rn
     FROM q, ({_SQL_CENT_LIST}) c) WHERE rn <= 3),
 lut AS (
@@ -2290,20 +2289,24 @@ def pq_ivf_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ — the canonical 100 TB ANN serving layout (faiss
     ``IVFx,PQy``), composed from the repo's own pieces: each query
     ranks the 10 coarse centroids (label-mean, the IVF coarse level)
-    map-side against the broadcast centroid table and probes the top
-    nprobe=3; only docs in probed clusters are scored, and the scoring
-    is the PQ-ADC scan (``pq_adc_topk``) — int code tuples against the
-    broadcast per-query LUT, no document vector read. At scale the
-    candidate gather rides the cluster-partitioned corpus layout with
-    dynamic partition pruning exactly as ``coarse_to_fine_retrieval``
-    asserts; here the composition itself (probe → prune → ADC → top-k)
-    is what the oracle certifies."""
+    MAP-ONLY via the literal sorted-struct probe expression shared with
+    ``ivf_topk_join`` (``operators/ann.py::probe_codes_expr`` — zero
+    shuffle, probe metric = the ADC scoring metric, IP) and probes the
+    top nprobe=3; only docs in probed clusters are scored, and the
+    scoring is the PQ-ADC scan (``pq_adc_topk``) — int code tuples
+    against the broadcast per-query LUT, no document vector read. At
+    scale the candidate gather rides the cluster-partitioned corpus
+    layout with dynamic partition pruning exactly as
+    ``coarse_to_fine_retrieval`` asserts; here the composition itself
+    (probe → prune → ADC → top-k) is what the oracle certifies."""
+    from mevi_spark.operators.ann import probe_codes_expr
     from mevi_spark.operators.pq import (
         adc_lut,
         pq_codebook_from_centroids,
         pq_encode,
         split_subvectors,
     )
+    from mevi_spark.operators.rq import centroid_entries
     from mevi_spark.operators.topk import topk_per_group
 
     emb = _emb(spark, sf_dir)
@@ -2314,15 +2317,9 @@ def pq_ivf_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"),
         F.col("embedding").cast("array<double>").alias("qv"),
     )
-    coarse = qf.crossJoin(F.broadcast(cents)).select(
-        "qid",
-        "code",
-        (-(dot("centroid", "centroid") - 2 * dot("qv", "centroid"))).alias(
-            "nd"
-        ),
-    )
-    probes = topk_per_group(coarse, ["qid"], "nd", 3, ["code"]).select(
-        "qid", F.col("code").alias("label")
+    probe = probe_codes_expr(centroid_entries(cents), "qv", 3, "ip")
+    probes = qf.select("qid", F.explode(probe).alias("_c")).select(
+        "qid", F.col("_c").cast("int").alias("label")
     )
     cand = emb.select("vec_id", "label").join(
         F.broadcast(probes), "label"
