@@ -35,6 +35,14 @@ _NO_BLOWUP = [
     "dedup_ngram_dfcut",
     "corpus_prep_pipeline",
     "bucketed_join_rollup",
+    # round-8 session additions: the boilerplate drop set, PQ codebook,
+    # ADC LUTs and IVF probes must all stay broadcast/map-only
+    "line_boilerplate_strip",
+    "heavy_hitters_terms",
+    "pq_encode_reconstruct",
+    "pq_adc_topk",
+    "pq_ivf_adc_topk",
+    "cdc_time_travel",
 ]
 # NOT listed: coarse_to_fine_retrieval and the beam/eval queries — their
 # lineage contains the sanctioned broadcast-Cross expansion against the
@@ -155,3 +163,24 @@ def test_corpus_sample_remap_stays_dataframe(spark, sf_dir):
     # dense remap invariants: new_id is 0..n-1 in doc_id order
     got = sorted((r["old_id"], r["new_id"]) for r in rows)
     assert [n for _, n in got] == list(range(len(got)))
+
+
+def test_round8_session_broadcast_shapes(spark, sf_dir):
+    """The session's scale claims as plan regressions: the boilerplate
+    drop set, the MG candidate set, the PQ codebook and the per-query
+    ADC LUTs are all BROADCAST (never a sort-merge shuffle of the
+    corpus against them)."""
+    for name in (
+        "line_boilerplate_strip",
+        "heavy_hitters_terms",
+        "pq_adc_topk",
+    ):
+        plan = _plan(get_queries()[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+    # pq_ivf_adc_topk: probes + LUT broadcast, but the candidate⋈codes
+    # edge is corpus-sized on BOTH sides — that one is SUPPOSED to be a
+    # keyed shuffle join, so only the unbounded strategies are banned
+    # (covered by _NO_BLOWUP) and the broadcasts must still be present
+    plan = _plan(get_queries()["pq_ivf_adc_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
