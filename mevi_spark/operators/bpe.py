@@ -1,0 +1,163 @@
+"""Byte-pair-encoding tokenizer: distributed training, Arrow apply.
+
+The repo's text tier counts tokens with a BPE-ish regex
+(``functions/text_analysis.py::bpe_token_count``); this module is the
+real thing — learn a merge table from the corpus and encode documents
+with it (Sennrich et al., "Neural Machine Translation of Rare Words
+with Subword Units", ACL 2016 — the tokenizer-training shape behind
+GPT-2/SentencePiece-BPE vocabularies).
+
+Scale split (what is distributed vs. what is driver-side, stated
+because it is the design):
+
+* **word counting** — the corpus-sized work — is ONE term-keyed
+  partial-aggregatable shuffle over the token stream; a ``min_freq``
+  cut bounds the surviving word-frequency table (the same df-cut
+  discipline as the shingle index: at web scale the long tail of
+  hapax words carries ~0 merge mass and every production BPE trainer
+  prunes it).
+* **the merge loop** runs on the collected word-frequency table —
+  bounded by the cut, thousands of rows not corpus rows — exactly like
+  the staged RQ codebook training: the ARTIFACT is small even when the
+  corpus is 100 TB, and pair counts are weighted by word frequency so
+  the result equals training over the raw token stream (for every word
+  at or above the cut).
+* **apply** is map-only: the merge table broadcasts via task closure
+  and documents encode in an Arrow ``mapInPandas`` kernel (per-word
+  greedy merge by rank — the standard BPE encoder; pure-Python per
+  word, vectorized per batch hand-off).
+
+Determinism: merges tie-break (max pair count, then lexicographically
+smallest pair), so the merge table is a pure function of the word
+frequencies; the encoder is a pure function of (merges, text). The
+registered query certifies LOSSLESSNESS cross-engine (detokenized
+md5 equals the oracle's md5 of the normalized text); merge semantics
+and compression monotonicity are pinned against an independent
+re-implementation in ``tests/test_bpe.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+EOW = "</w>"  # end-of-word marker; detok = concat → replace(EOW, ' ')
+
+
+def word_frequencies(
+    tokens_df: DataFrame, col: str = "term", min_freq: int = 2
+) -> list[tuple[str, int]]:
+    """The distributed half of training: corpus word counts above the
+    frequency cut, collected as the bounded training artifact (sorted
+    for determinism)."""
+    rows = (
+        tokens_df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_freq)
+        .collect()
+    )
+    return sorted((r[col], int(r["cnt"])) for r in rows)
+
+
+def train_merges(
+    word_freqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Classic BPE merge training over a word-frequency table: start
+    from characters (+ EOW), repeatedly merge the most frequent
+    adjacent symbol pair (ties → lexicographically smallest pair).
+    Driver-side by design over the bounded table (module docstring)."""
+    words: list[tuple[list[str], int]] = [
+        (list(w) + [EOW], c) for w, c in word_freqs
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in words:
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        new_words = []
+        for syms, c in words:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words.append((out, c))
+        words = new_words
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy BPE encode of one word: repeatedly apply the
+    lowest-ranked applicable merge (the standard encoder — equivalent
+    to replaying the merges in training order)."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    toks_col: str = "_toks",
+) -> DataFrame:
+    """Map-only Arrow encode: ``(id_col, tokens array<string>)`` where
+    ``tokens`` is the BPE symbol stream of the whitespace-token array
+    in ``toks_col`` (EOW markers included — ``concat → replace(EOW,
+    ' ') → rtrim`` reconstructs the input exactly; that roundtrip is
+    the oracle contract of ``bpe_roundtrip``)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("tokens", ArrayType(StringType())),
+        ]
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            out = []
+            for toks in pdf[toks_col]:
+                stream: list[str] = []
+                for w in toks if toks is not None else []:
+                    got = cache.get(w)
+                    if got is None:
+                        got = encode_word(w, ranks)
+                        if len(cache) < 65536:  # bounded per-task memo
+                            cache[w] = got
+                    stream.extend(got)
+                out.append(stream)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "tokens": out}
+            )
+
+    return docs.select(id_col, toks_col).mapInPandas(enc, schema)

@@ -1920,3 +1920,56 @@ def line_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(ls).alias("line_no", "line")
     )
     return strip_frequent_lines(lines, n_docs // 5)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer: distributed word-count training + Arrow encode
+
+
+@register(
+    "bpe_roundtrip",
+    oracle=r"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+  FROM documents)
+SELECT doc_id, md5(nt) AS detok_md5, strlen(nt)::BIGINT AS n_chars_norm
+FROM n
+""",
+)
+def bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer end-to-end (``operators/bpe.py``; Sennrich et al.
+    2016): learn 50 merges from the corpus's word frequencies (one
+    term-keyed shuffle + a bounded driver merge loop — the staged-
+    codebook split), encode every document with the map-only Arrow
+    kernel, then DETOKENIZE in-plan (concat → replace(EOW, ' ') →
+    rtrim) and emit the md5 — the oracle recomputes the same md5
+    straight from the normalized source text, so a green row proves
+    the learned tokenizer is LOSSLESS over the whole corpus, the
+    property a training pipeline actually relies on. Merge semantics
+    and compression are pinned against an independent
+    re-implementation in ``tests/test_bpe.py`` (iterative training is
+    not SQL-expressible; losslessness is, and is checked here)."""
+    from mevi_spark.functions.text import normalize_text, tokens
+    from mevi_spark.operators.bpe import (
+        EOW,
+        bpe_encode,
+        train_merges,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(normalize_text("text")).alias("_toks"))
+    stream = t.select(F.explode("_toks").alias("term")).filter(
+        F.col("term") != ""
+    )
+    merges = train_merges(word_frequencies(stream, min_freq=2), 50)
+    enc = bpe_encode(t, merges)
+    detok = F.rtrim(
+        F.regexp_replace(F.array_join("tokens", ""), EOW, " ")
+    )
+    return enc.select(
+        "doc_id",
+        F.md5(detok).alias("detok_md5"),
+        F.length(detok).cast("long").alias("n_chars_norm"),
+    )

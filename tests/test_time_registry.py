@@ -53,6 +53,7 @@ R8_NEW = [
     "pq_adc_topk",
     "streaming_heavy_hitters",
     "pq_ivf_adc_topk",
+    "bpe_roundtrip",
 ]
 
 # the only names allowed to reach 2-round-stale evidence after r8
@@ -74,6 +75,7 @@ R8_ROTATED_OUT = {
     "dedup_ngram_jaccard",
     "streaming_event_window_counts",
     "media_decode_stats",
+    "image_resize",
 }
 
 
