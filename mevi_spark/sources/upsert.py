@@ -129,10 +129,17 @@ def snapshot_asof(
     keyed shuffle is sized by checkpoint + tail, not the log. The
     checkpoint's tombstones keep competing (``base_op_col``), so a key
     deleted before ``C`` stays deleted unless the tail re-upserts it.
-    Rows above ``asof_version`` are filtered from BOTH inputs, so a
-    too-new checkpoint is rejected by construction rather than
-    silently read. The version filter prunes at the scan for a
-    version-partitioned log layout (PartitionFilters).
+
+    **Caller contract: the checkpoint version must satisfy C ≤
+    asof_version.** A checkpoint is a collapsed state — history below
+    it is gone, so time-travel BELOW a checkpoint cannot be served
+    from it (use an earlier checkpoint or the full-log form; Delta
+    keeps a checkpoint ladder for exactly this). The version filter
+    applied to both inputs is defense-in-depth against future-
+    versioned rows leaking in under a correct C, NOT a rescue for a
+    too-new checkpoint: rows a newer checkpoint already collapsed
+    cannot be recovered by filtering. The filter also prunes at the
+    scan for a version-partitioned log layout (PartitionFilters).
     """
     tail = changes.filter(F.col(version_col) <= F.lit(asof_version))
     if checkpoint is not None:
