@@ -225,3 +225,51 @@ def test_strip_frequent_lines_semantics(spark):
     assert got[9] == ("", 0, 2)
     assert got[10] == ("pair line", 1, 0)
     assert got[11] == ("pair line", 1, 0)
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_line_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),    # doc
+        st.integers(min_value=0, max_value=9),    # line ordinal
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_line_rows, st.integers(min_value=1, max_value=4))
+def test_strip_frequent_lines_matches_brute_force(spark, rows, thr):
+    """strip_frequent_lines must equal the definitional brute force —
+    doc-frequency per distinct line, strict > threshold drop, ordered
+    reassembly — for arbitrary line tables and thresholds."""
+    from collections import defaultdict
+
+    docs_lines = defaultdict(dict)
+    for d, o, ln in rows:
+        docs_lines[d][o] = ln
+    df_count = defaultdict(set)
+    for d, o, ln in rows:
+        df_count[ln].add(d)
+    drop = {ln for ln, ds in df_count.items() if len(ds) > thr}
+    want = {}
+    for d, by_ord in docs_lines.items():
+        kept = [ln for o, ln in sorted(by_ord.items()) if ln not in drop]
+        n_drop = len(by_ord) - len(kept)
+        want[d] = ("\n".join(kept), len(kept), n_drop)
+    lines = spark.createDataFrame(
+        list(rows), "doc_id long, line_no int, line string"
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in D.strip_frequent_lines(lines, thr).collect()
+    }
+    assert got == want
