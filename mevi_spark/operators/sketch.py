@@ -17,11 +17,12 @@ classic fix is two passes, neither of which shuffles the term space:
    complete candidate set for every item above support
    ``1/(capacity+1)``.
 2. **exact pass** — re-scan with the candidate set BROADCAST as a
-   map-side semi filter; only candidate rows reach the (tiny) count
-   aggregation, which is exact. With ``min_support ≥ 1/(capacity+1)``
-   the result equals the full group-by — exact counts, exact
-   membership — with shuffle volume proportional to the answer, not
-   the vocabulary.
+   map-side marker; candidate rows count per term while everything
+   else collapses into one null group (so the same aggregation also
+   yields the total N — no separate count action). With
+   ``min_support > 1/(capacity+1)`` STRICTLY the result equals the
+   full group-by — exact counts, exact membership — with shuffle
+   volume proportional to the answer, not the vocabulary.
 
 No reference counterpart (the reference has no frequency analytics);
 this is the standard distributed Misra-Gries construction
@@ -71,6 +72,44 @@ def misra_gries_candidates(
     return df.select(col).mapInPandas(summarize, schema).distinct()
 
 
+def exact_recount(
+    df: DataFrame,
+    col: str,
+    candidates: DataFrame,
+    min_support_num: int,
+    min_support_den: int,
+) -> DataFrame:
+    """The exact second pass, shared by :func:`heavy_hitters` and the
+    streaming twin (``streaming/incremental.py::
+    incremental_heavy_hitters``'s drain): ONE scan that counts the
+    BROADCAST candidates and the total row count together — rows
+    outside the candidate set collapse into a single null group whose
+    count completes the total, so no separate ``df.count()`` action
+    (and no extra corpus scan) is needed. The support threshold
+    ``ceil(num·N/den)`` is exact integer arithmetic (bit-identical to
+    a SQL ``CEIL(decimal × N)``); the tiny (≤ candidates+1 rows)
+    aggregate carries the total via an unpartitioned window, which is
+    fine at that size."""
+    from pyspark.sql import Window
+
+    marked = df.join(
+        F.broadcast(candidates.select(col).withColumn("_isc", F.lit(1))),
+        col,
+        "left",
+    )
+    grouped = marked.groupBy(
+        F.when(F.col("_isc").isNotNull(), F.col(col)).alias(col)
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.sum("cnt").over(Window.partitionBy())
+    num, den = int(min_support_num), int(min_support_den)
+    thresh = F.expr(f"CAST(({num} * _total + {den} - 1) DIV {den} AS BIGINT)")
+    return (
+        grouped.withColumn("_total", total)
+        .filter(F.col(col).isNotNull() & (F.col("cnt") >= thresh))
+        .select(col, "cnt")
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,
@@ -80,30 +119,27 @@ def heavy_hitters(
 ) -> DataFrame:
     """Exact heavy hitters: every ``col`` value with frequency ≥
     ``min_support_num/min_support_den`` of the row count, with its
-    exact count — two scans, candidate-bounded shuffle (module
-    docstring). Support is a rational so the threshold
-    ``ceil(num·N/den)`` is computed in exact integer arithmetic
-    (bit-identical to a SQL ``CEIL(decimal × N)``).
+    exact count — exactly TWO scans of ``df`` (the MG candidate pass,
+    then :func:`exact_recount`, which folds the total-count into the
+    recount aggregation), candidate-bounded shuffle (module
+    docstring).
 
     ``capacity`` defaults to the smallest value that makes the
-    candidate pass complete for the requested support
-    (``den/num`` rounded up); pass a larger one to trade memory for
-    fewer false positives reaching the exact pass.
+    candidate pass complete for the requested support; completeness
+    needs ``(capacity+1)·num > den`` STRICTLY — at equality an item
+    sitting exactly on the support threshold can have count exactly
+    ``N/(capacity+1)``, which MG is allowed to lose. Pass a larger
+    capacity to trade memory for fewer false positives reaching the
+    exact pass.
     """
     if capacity is None:
         capacity = math.ceil(min_support_den / min_support_num)
-    if capacity + 1 < min_support_den / min_support_num:
+    if (capacity + 1) * min_support_num <= min_support_den:
         raise ValueError(
             f"capacity {capacity} cannot capture support "
-            f"{min_support_num}/{min_support_den}: need ≥ "
-            f"{min_support_den / min_support_num - 1:.0f}"
+            f"{min_support_num}/{min_support_den}: need (capacity+1)·"
+            f"{min_support_num} > {min_support_den}, i.e. capacity ≥ "
+            f"{min_support_den // min_support_num}"
         )
-    total = df.count()
-    thresh = (min_support_num * total + min_support_den - 1) // min_support_den
     cands = misra_gries_candidates(df, col, capacity)
-    return (
-        df.join(F.broadcast(cands), col)
-        .groupBy(col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= F.lit(thresh))
-    )
+    return exact_recount(df, col, cands, min_support_num, min_support_den)

@@ -749,20 +749,18 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(
             f"summary exceeded capacity: {n_state} > {capacity}"
         )
-    # exact recount gated on the drained candidates (pass 2)
+    # exact recount gated on the drained candidates — the SAME second
+    # pass as the batch query (operators/sketch.py::exact_recount), so
+    # the support fraction lives in exactly one expression per caller
+    # and both queries provably share the oracle's semantics
+    from mevi_spark.operators.sketch import exact_recount
+
     toks = (
         spark.read.schema(docs.schema)
         .parquet(f"{base}/in/s*")
         .select(F.explode(tokens(normalize_text("text"))).alias("term"))
         .filter(F.col("term") != "")
     )
-    total = toks.count()
-    thresh = (5 * total + 999) // 1000
-    out = (
-        toks.join(F.broadcast(state), "term")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= F.lit(thresh))
-    )
+    out = exact_recount(toks, "term", state, 5, 1000)
     return _drained(out, base)
 

@@ -223,7 +223,13 @@ def read_corpus_jsonl(
     """Scan a JSONL directory with an EXPLICIT schema — schema
     inference is a full extra pass over the data (at 100 TB, a full
     extra 100 TB read), so the scan takes the DDL string and goes
-    straight to parsing. Corrupt lines land in no column and the row
-    drops (mode FAILFAST would be the strict variant; PERMISSIVE with
-    explicit schema is the standard corpus-ingest posture)."""
-    return spark.read.schema(schema).json(path)
+    straight to parsing. Corrupt lines DROP (``DROPMALFORMED`` — the
+    default PERMISSIVE mode would instead emit an all-null row per
+    corrupt line, a phantom-row hazard for downstream counts; FAILFAST
+    is the strict variant when ingest should halt on corruption).
+    Missing fields in well-formed lines still land as nulls."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .json(path)
+    )

@@ -860,7 +860,11 @@ def incremental_heavy_hitters(
         cur = None
         if os.path.exists(os.path.join(output_dir, "_SUCCESS")):
             cur = spark.read.parquet(output_dir)
-            if cur.agg(F.max("last_bid")).first()[0] >= batch_id:
+            # max() is None on a zero-row state (an empty first batch,
+            # or a trim where every counter tied at the cutoff) — that
+            # state absorbed nothing identifiable, so merge normally
+            last = cur.agg(F.max("last_bid")).first()[0]
+            if last is not None and last >= batch_id:
                 return  # replayed batch: state already includes it
         local = batch.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
         merged = (

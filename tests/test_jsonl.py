@@ -43,7 +43,13 @@ def test_jsonl_scan_drops_corrupt_lines(spark):
             fh.write("this is not json\n")
             fh.write('{"doc_id": 2, "text": "also ok"}\n')
         back = read_corpus_jsonl(spark, path, _SCHEMA)
-        got = {(r.doc_id, r.text) for r in back.collect() if r.doc_id}
-        assert got == {(1, "ok"), (2, "also ok")}
+        rows = back.collect()
+        # DROPMALFORMED: the corrupt line yields NO row (not an
+        # all-null phantom row, which is what PERMISSIVE would emit)
+        assert len(rows) == 2
+        assert {(r.doc_id, r.text) for r in rows} == {
+            (1, "ok"),
+            (2, "also ok"),
+        }
     finally:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)

@@ -69,3 +69,14 @@ def test_heavy_hitters_rejects_insufficient_capacity(terms_df):
     df, _ = terms_df
     with pytest.raises(ValueError):
         heavy_hitters(df, "term", 1, 50, capacity=10)
+
+
+def test_capacity_boundary_is_strict(spark):
+    """(capacity+1)·num == den is NOT sufficient (an item exactly on
+    the threshold can sit exactly on MG's loss boundary) — the
+    validator must reject it; capacity = den//num is the minimum."""
+    df = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "term string")
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "term", 1, 4, capacity=3)
+    got = {(r.term, r.cnt) for r in heavy_hitters(df, "term", 1, 4).collect()}
+    assert got == {("a", 1), ("b", 1), ("c", 1), ("d", 1)}
