@@ -52,14 +52,18 @@ def rollup_partials(
         ],
     )
     # grouping() is only legal inside the grouped projection, so the
-    # resolution label is computed in agg() alongside the aggregates
-    resolution = None
-    for lab in labels[:-1]:
-        cond = F.grouping(f"_b_{lab}") == 0
-        resolution = (
-            F.when(cond, lab) if resolution is None else resolution.when(cond, lab)
-        )
-    resolution = resolution.otherwise(labels[-1])
+    # resolution label is computed in agg() alongside the aggregates.
+    # Built nested from the coarsest fallback outward so a
+    # single-resolution dict degenerates to a constant label instead
+    # of crashing (None.otherwise), and earlier labels take precedence
+    # exactly as in the flat when-chain.
+    if not labels:
+        raise ValueError("resolutions must name at least one bucket width")
+    resolution = F.lit(labels[-1])
+    for lab in reversed(labels[:-1]):
+        resolution = F.when(
+            F.grouping(f"_b_{lab}") == 0, lab
+        ).otherwise(resolution)
     g = b.groupingSets(
         [[f"_b_{lab}", "event_type"] for lab in labels],
         *[f"_b_{lab}" for lab in labels],

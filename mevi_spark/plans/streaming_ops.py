@@ -455,12 +455,6 @@ def _flavor_safe_ntz(col: str) -> F.Column:
         f"timestampadd(MICROSECOND, unix_micros({col}),"
         " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
     ).alias(col)
-    """LTZ → NTZ without a session-timezone dependency (epoch micros
-    re-anchored on the NTZ epoch — same trick as windowed counts)."""
-    return F.expr(
-        f"timestampadd(MICROSECOND, unix_micros({col}),"
-        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-    ).alias(col)
 
 
 # the FULL batch sessionization — the convergence target both

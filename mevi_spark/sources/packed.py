@@ -117,7 +117,13 @@ def write_packed_sequences(
     sort, ``target_rows_per_file`` blocks per output file — sequential
     reads for the training loader, deterministic layout run-to-run."""
     packed = pack_sequences(docs, seq_len, id_col, tokens_col)
-    n_seqs = packed.count()
+    # size the layout from ONE cheap token-length aggregation — never
+    # by counting `packed`, which would execute the whole span fan-out
+    # + seq-keyed shuffle a second time just to learn nparts
+    total = docs.agg(
+        F.sum(F.greatest(F.size(tokens_col), F.lit(0)))
+    ).first()[0] or 0
+    n_seqs = -(-int(total) // int(seq_len))
     nparts = max(1, -(-n_seqs // int(target_rows_per_file)))
     (
         packed.repartitionByRange(nparts, "seq_id")
@@ -125,6 +131,46 @@ def write_packed_sequences(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+
+
+_FP_MARKER = "_BATCH_FP"
+
+
+def _committed_subdirs(state_dir: str) -> list[str]:
+    """Batch subdirs that finished BOTH the parquet write (_SUCCESS)
+    and the fingerprint marker — the commit point of an append. A dir
+    missing either is a crashed attempt: invisible to readers, and the
+    next append overwrites it in place."""
+    import os
+    import re
+
+    out = []
+    for d in sorted(os.listdir(state_dir)):
+        if not re.fullmatch(r"b\d{9}", d):
+            continue
+        full = os.path.join(state_dir, d)
+        if os.path.exists(os.path.join(full, "_SUCCESS")) and os.path.exists(
+            os.path.join(full, _FP_MARKER)
+        ):
+            out.append(d)
+    return out
+
+
+def _batch_fingerprint(base) -> str:
+    """Deterministic id-set fingerprint of an append batch (count,
+    min, max, hash-sum over ids) — one batch-sized aggregation. Under
+    the append contract (ids strictly ascend across batches) two
+    DIFFERENT consecutive batches can never collide, so fingerprint
+    equality with the latest committed batch identifies a replay."""
+    from pyspark.sql import functions as F
+
+    r = base.agg(
+        F.count("*").alias("c"),
+        F.min("_id").alias("mn"),
+        F.max("_id").alias("mx"),
+        F.sum(F.pmod(F.xxhash64("_id"), F.lit(1_000_000_007))).alias("s"),
+    ).first()
+    return f"{r['c']}:{r['mn']}:{r['mx']}:{r['s']}"
 
 
 def read_packed_state(spark, state_dir: str) -> DataFrame:
@@ -136,13 +182,10 @@ def read_packed_state(spark, state_dir: str) -> DataFrame:
     not token-sized: the frame carries arrays, the shuffle key is
     seq_id)."""
     import os
-    import re
 
     from pyspark.sql import Window, functions as F
 
-    subs = sorted(
-        d for d in os.listdir(state_dir) if re.fullmatch(r"b\d{9}", d)
-    )
+    subs = _committed_subdirs(state_dir)
     if not subs:
         raise FileNotFoundError(f"no packed state under {state_dir}")
     frames = [
@@ -181,27 +224,40 @@ def append_packed_sequences(
     batch packer keys on). Each call writes one ``b<n>`` subdir
     holding the blocks this batch produced (the re-packed tail
     included); :func:`read_packed_state` resolves the one possible
-    seq_id overlap (the superseded tail) to the latest batch, so the
-    subdir write is idempotent under replay and the state after any
-    append equals ``pack_sequences`` over all docs so far (proven in
-    ``tests/test_packed.py``). Returns this batch's index.
+    seq_id overlap (the superseded tail) to the latest batch. Returns
+    this batch's index.
 
-    Tail discovery reads ONLY the latest subdir (every append writes
-    its own tail there) — a block-sized read, never a state scan.
+    Crash/replay safety (the at-least-once caller): a subdir is
+    COMMITTED only once both the parquet ``_SUCCESS`` and the
+    fingerprint marker exist — a crash mid-write leaves an
+    uncommitted dir that readers ignore and the retry overwrites in
+    place; a RETRY of an already-committed batch is detected by
+    fingerprint equality with the latest committed subdir (under the
+    ascending-id contract only a replay can repeat the id set) and
+    returns that batch's index without appending again. Two
+    consecutive EMPTY appends share a fingerprint, so the second is
+    also treated as a no-op replay — semantically identical states.
+    Proven in ``tests/test_packed.py``.
+
+    Tail discovery reads ONLY the latest committed subdir (every
+    append writes its own tail there) — a block-sized read, never a
+    state scan.
     """
     import os
-    import re
 
     from pyspark.sql import functions as F
 
     os.makedirs(state_dir, exist_ok=True)
-    subs = sorted(
-        d for d in os.listdir(state_dir) if re.fullmatch(r"b\d{9}", d)
-    )
+    subs = _committed_subdirs(state_dir)
     L = int(seq_len)
     base = docs.select(
         F.col(id_col).alias("_id"), F.col(tokens_col).alias("_toks")
     ).filter(F.size("_toks") > 0)
+    fp = _batch_fingerprint(base)
+    if subs:
+        with open(os.path.join(state_dir, subs[-1], _FP_MARKER)) as fh:
+            if fh.read().strip() == fp:
+                return int(subs[-1][1:])  # replayed batch: already applied
     tail_seq, tail_toks = 0, []
     # walk back past empty batch subdirs (an empty append still claims
     # an index for replay-idempotence) to the newest subdir with rows
@@ -224,11 +280,12 @@ def append_packed_sequences(
     if mn is None and not tail_toks:
         # nothing to pack; still claim a batch index for idempotence
         batch_idx = len(subs)
+        out_dir = os.path.join(state_dir, f"b{batch_idx:09d}")
         spark.createDataFrame(
             [], "seq_id long, tokens array<string>, n_tokens long"
-        ).write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"b{batch_idx:09d}")
-        )
+        ).write.mode("overwrite").parquet(out_dir)
+        with open(os.path.join(out_dir, _FP_MARKER), "w") as fh:
+            fh.write(fp)
         return batch_idx
     pseudo_id = (int(mn) - 1) if mn is not None else 0
     stream = base
@@ -244,9 +301,10 @@ def append_packed_sequences(
         "n_tokens",
     )
     batch_idx = len(subs)
+    out_dir = os.path.join(state_dir, f"b{batch_idx:09d}")
     out.repartitionByRange(1, "seq_id").sortWithinPartitions(
         "seq_id"
-    ).write.mode("overwrite").parquet(
-        os.path.join(state_dir, f"b{batch_idx:09d}")
-    )
+    ).write.mode("overwrite").parquet(out_dir)
+    with open(os.path.join(out_dir, _FP_MARKER), "w") as fh:
+        fh.write(fp)
     return batch_idx

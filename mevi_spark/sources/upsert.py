@@ -192,7 +192,12 @@ def merge_into_partitioned(
        keyed shuffle is sized by the touched slice, not the table;
     3. the write-back uses DYNAMIC partition overwrite, so only the
        partition directories present in the merged output (= touched)
-       are replaced; untouched directories are untouched bytes.
+       are replaced; untouched directories are untouched bytes. A
+       touched partition whose merge result is EMPTY (a batch that
+       deletes its every key) never appears in the output, so dynamic
+       overwrite alone would leave its old files serving deleted rows
+       — those emptied directories are removed explicitly (the same
+       gap Delta closes with delete actions in the log).
 
     Contract: ``partition_col`` must be immutable per key (a stable
     hash bucket, a creation date) — a change row carries its key's
@@ -200,13 +205,21 @@ def merge_into_partitioned(
     lakehouse partitioning rule, stated rather than checked (checking
     would scan the base).
     """
+    import os
+    import shutil
+
     touched = [
         r[0] for r in changes.select(partition_col).distinct().collect()
     ]
     base = spark.read.parquet(base_dir).filter(
         F.col(partition_col).isin(touched)
     )
-    merged = apply_changes(base, changes, key_cols, version_col, op_col)
+    merged = apply_changes(
+        base, changes, key_cols, version_col, op_col
+    ).localCheckpoint(eager=True)  # merge once: survivors job + write
+    survivors = {
+        r[0] for r in merged.select(partition_col).distinct().collect()
+    }
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -217,4 +230,10 @@ def merge_into_partitioned(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for p in touched:
+        if p not in survivors:
+            shutil.rmtree(
+                os.path.join(base_dir, f"{partition_col}={p}"),
+                ignore_errors=True,
+            )
     return touched

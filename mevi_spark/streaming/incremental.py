@@ -440,7 +440,13 @@ def incremental_neardup(
         else:
             pairs = verified
         _publish_version(pairs, pairs_dir, vp, lp, _publish_grace())
-        merged_idx = idx.unionByName(new).dropDuplicates(["doc_id"])
+        # a re-ingested doc_id must DETERMINISTICALLY keep the newest
+        # signature (dropDuplicates keeps an arbitrary row): drop the
+        # old index rows for this batch's ids, then add the new ones —
+        # the anti-join side is batch-sized and broadcasts
+        merged_idx = idx.join(
+            F.broadcast(new.select("doc_id")), "doc_id", "left_anti"
+        ).unionByName(new)
         _publish_version(merged_idx, idx_dir, vi, li, _publish_grace())
 
     return (

@@ -181,3 +181,91 @@ def test_append_packed_equals_batch_and_blocks_immutable(spark):
     }
     assert again == want
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_append_replay_of_committed_batch_is_noop(spark):
+    """The reproduced round-8 finding: retrying a batch that ALREADY
+    committed (caller crashed before recording success) must not
+    append its tokens a second time — the fingerprint check returns
+    the committed index and the state is unchanged."""
+    from mevi_spark.sources.packed import (
+        append_packed_sequences,
+        read_packed_state,
+    )
+
+    rows = [(d, [f"d{d}t{i}" for i in range(6)]) for d in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    base = tempfile.mkdtemp(prefix="mevi_test_packrpl_")
+    state = f"{base}/s"
+    try:
+        i0 = append_packed_sequences(
+            spark, state, df.filter(F.col("doc_id") <= 2), L
+        )
+        i1 = append_packed_sequences(
+            spark, state, df.filter(F.col("doc_id") > 2), L
+        )
+        before = {
+            r.seq_id: r.tokens
+            for r in read_packed_state(spark, state).collect()
+        }
+        # full replay of the committed second batch: no-op, same index
+        i1b = append_packed_sequences(
+            spark, state, df.filter(F.col("doc_id") > 2), L
+        )
+        assert i1b == i1 and i1 == i0 + 1
+        after = {
+            r.seq_id: r.tokens
+            for r in read_packed_state(spark, state).collect()
+        }
+        assert after == before
+        assert sum(len(t) for t in after.values()) == 24  # not 36
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_append_crashed_partial_dir_is_invisible_and_overwritten(spark):
+    """A batch dir missing its commit marker (crash between the
+    parquet write and the marker) must be ignored by readers and
+    overwritten in place by the retry."""
+    import os
+
+    from mevi_spark.sources.packed import (
+        _FP_MARKER,
+        append_packed_sequences,
+        read_packed_state,
+    )
+
+    rows = [(d, [f"d{d}t{i}" for i in range(6)]) for d in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    base = tempfile.mkdtemp(prefix="mevi_test_packcrash_")
+    state = f"{base}/s"
+    try:
+        append_packed_sequences(
+            spark, state, df.filter(F.col("doc_id") <= 2), L
+        )
+        append_packed_sequences(
+            spark, state, df.filter(F.col("doc_id") > 2), L
+        )
+        want = {
+            r.seq_id: r.tokens
+            for r in read_packed_state(spark, state).collect()
+        }
+        # simulate the crash: strip the second batch's commit marker
+        os.remove(os.path.join(state, "b000000001", _FP_MARKER))
+        partial = {
+            r.seq_id: r.tokens
+            for r in read_packed_state(spark, state).collect()
+        }
+        assert sum(len(t) for t in partial.values()) == 12  # batch 1 only
+        # retry lands on the SAME index and restores the full state
+        idx = append_packed_sequences(
+            spark, state, df.filter(F.col("doc_id") > 2), L
+        )
+        assert idx == 1
+        got = {
+            r.seq_id: r.tokens
+            for r in read_packed_state(spark, state).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

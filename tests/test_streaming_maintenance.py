@@ -211,3 +211,30 @@ def test_incremental_heavy_hitters_complete_and_replay_safe(spark):
         assert run() == state
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_rollup_partials_single_resolution(spark):
+    """A one-entry resolutions dict is a legal use of the documented
+    parameter — it must produce a constant-label rollup, not crash on
+    an empty when-chain (round-8 review finding)."""
+    ev = _events(spark)
+    got = {
+        (r.resolution, r.bucket_us, r.event_type): (r.n_events, r.sum_e6)
+        for r in rollup_partials(
+            ev, resolutions={"1h": 3_600_000_000}
+        ).collect()
+    }
+    assert got
+    assert {k[0] for k in got} == {"1h"}
+    full = {
+        k: v
+        for k, v in (
+            (
+                (r.resolution, r.bucket_us, r.event_type),
+                (r.n_events, r.sum_e6),
+            )
+            for r in rollup_partials(ev).collect()
+        )
+        if k[0] == "1h"
+    }
+    assert got == full

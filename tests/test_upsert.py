@@ -310,3 +310,39 @@ def test_snapshot_asof_checkpoint_equals_full_replay(spark, changes):
                 ).collect()
             }
             assert via_ckpt == state, f"checkpoint C={c} asof={asof}"
+
+
+def test_partitioned_merge_removes_emptied_partition(spark):
+    """A batch deleting EVERY key of a partition must leave that
+    partition gone from subsequent reads — dynamic overwrite alone
+    never rewrites a partition absent from the merged output (the
+    deleted-row-resurrection finding)."""
+    import shutil
+    import tempfile
+
+    from mevi_spark.sources.upsert import merge_into_partitioned
+
+    base_dir = tempfile.mkdtemp(prefix="mevi_cdcempty_") + "/t"
+    try:
+        base = spark.createDataFrame(
+            [(k, f"v{k}", k % 2) for k in range(8)],
+            "k long, val string, p int",
+        )
+        base.write.partitionBy("p").parquet(base_dir)
+        # delete every key of p=1 (odd keys), update one key of p=0
+        ch = spark.createDataFrame(
+            [(k, f"v{k}", 1, "D", 2) for k in range(8) if k % 2 == 1]
+            + [(0, "v0new", 0, "U", 2)],
+            "k long, val string, p int, _op string, _version long",
+        )
+        touched = merge_into_partitioned(spark, base_dir, ch, ["k"], "p")
+        assert sorted(touched) == [0, 1]
+        got = {
+            (r.k, r.val, r.p)
+            for r in spark.read.parquet(base_dir).collect()
+        }
+        assert got == {
+            (0, "v0new", 0), (2, "v2", 0), (4, "v4", 0), (6, "v6", 0)
+        }
+    finally:
+        shutil.rmtree(base_dir.rsplit("/", 1)[0], ignore_errors=True)
