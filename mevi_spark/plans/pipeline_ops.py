@@ -1973,3 +1973,46 @@ def bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(detok).alias("detok_md5"),
         F.length(detok).cast("long").alias("n_chars_norm"),
     )
+
+
+@register(
+    "events_value_winsorize",
+    oracle="""
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       ROUND(LEAST(GREATEST(e.value, q.lo), q.hi), 6) AS value_w,
+       CASE WHEN e.value < q.lo THEN -1
+            WHEN e.value > q.hi THEN 1 ELSE 0 END AS clamped
+FROM events e JOIN q USING (event_type)
+""",
+)
+def events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization — the standard outlier treatment before
+    any value-weighted aggregate or model feature: clamp each event's
+    value to its type's exact [p05, p95] band (the same R-7 quantiles
+    as ``events_value_quantiles``), flagging which side clamped. The
+    quantile table is groups-sized and BROADCASTS back onto the event
+    scan, so the rewrite pass is map-only — one grouped sort for the
+    thresholds, zero extra shuffles for the data; at 100 TB the
+    threshold pass switches to the documented ``approx_percentile``
+    t-digest with the identical join shape."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05D)").alias("lo"),
+        F.expr("percentile(value, 0.95D)").alias("hi"),
+    )
+    e = ev.join(F.broadcast(q), "event_type")
+    w = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(w, 6).alias("value_w"),
+        F.when(F.col("value") < F.col("lo"), -1)
+        .when(F.col("value") > F.col("hi"), 1)
+        .otherwise(0)
+        .alias("clamped"),
+    )

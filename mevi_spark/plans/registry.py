@@ -71,10 +71,10 @@ _LOADED = False
 #
 # Round-8 policy (recomputed from CORRECTNESS_r01-r07: 50 queries have
 # a fresh r7 row; the other 48 registered names do not — 46 are
-# r6-green, tsv_queries/tsv_run are r5-green — and round 8 adds 19 new
-# zero-evidence queries, so 67 names compete for 50 slots):
+# r6-green, tsv_queries/tsv_run are r5-green — and round 8 adds 20 new
+# zero-evidence queries, so 68 names compete for 50 slots):
 #
-#   tier 1 — the NINETEEN round-8-new queries (packed-sequence writer
+#   tier 1 — the TWENTY round-8-new queries (packed-sequence writer
 #            and its incremental append twin, hybrid ensemble,
 #            incremental near-dup, incremental hypertable refresh,
 #            partition-pruned CDC merge, plus the late additions: exact
@@ -82,21 +82,22 @@ _LOADED = False
 #            z-order box scan, weighted sampling, CDC time-travel,
 #            Misra-Gries heavy hitters + their streaming maintenance
 #            twin, line-boilerplate strip, PQ encode + PQ-ADC top-k +
-#            composed IVF-PQ, BPE tokenizer roundtrip): zero driver
-#            rows, the weakest evidence in the registry;
+#            composed IVF-PQ, BPE tokenizer roundtrip, grouped
+#            winsorization): zero driver rows, the weakest evidence
+#            in the registry;
 #   tier 2 — tsv_queries_roundtrip + tsv_run_roundtrip: the only
 #            2-round-stale evidence (VERDICT r7 "what's wrong" #1 —
 #            rotate back in);
-#   tier 3 — the r6-green names with no r7 row, 29 of 46 (alphabetical;
+#   tier 3 — the r6-green names with no r7 row, 28 of 46 (alphabetical;
 #            all 1-round-stale going on 2).
 #
-# Rotated out (the unavoidable 67−50 = 17, chosen to minimize lost
+# Rotated out (the unavoidable 68−50 = 18, chosen to minimize lost
 # signal): q1_pricing_summary, nation_revenue, dedup_exact,
 # sessionize_events, q3_shipping_priority, text_quality_stats,
 # knn_topk_ip, retrieval_eval_metrics, ensemble_fuse,
 # dedup_minhash_pairs, knn_topk_cosine, dedup_simhash, ann_ivf_topk,
 # dedup_ngram_jaccard, streaming_event_window_counts,
-# media_decode_stats, image_resize — all seventeen
+# media_decode_stats, image_resize, video_frame_sample — all eighteen
 # r6-green, textually UNCHANGED in rounds 7-8; ten are executed at
 # sf0.1 by BENCH every round (a regression still surfaces the same
 # round as a bench error); knn_topk_cosine shares its scorer and
@@ -107,9 +108,10 @@ _LOADED = False
 # (tests/test_dedup.py / tests/test_ann.py);
 # streaming_event_window_counts' windowed_event_counts operator has
 # two direct drain tests (tests/test_streaming.py);
-# media_decode_stats and image_resize have direct numpy-parity
+# media_decode_stats, image_resize and video_frame_sample have direct
 # operator tests (tests/test_multimodal.py::test_decode_stats_matches_numpy,
-# ::test_resize_matches_numpy). All covered by
+# ::test_resize_matches_numpy, ::test_sample_frames_reassembles_evens).
+# All covered by
 # pytest + the local full gate; first in line for r9.
 # (q3/text_quality/knn_topk_ip/retrieval_eval_metrics/ensemble_fuse
 # left the window when the LATE round-8 queries —
@@ -120,7 +122,8 @@ _LOADED = False
 # ann_ivf_topk/dedup_ngram_jaccard when the PQ pair did;
 # streaming_event_window_counts when streaming_heavy_hitters did;
 # media_decode_stats when pq_ivf_adc_topk did;
-# image_resize when bpe_roundtrip did.)
+# image_resize when bpe_roundtrip did;
+# video_frame_sample when events_value_winsorize did.)
 # Queries with a fresh r7 row stay out even where round 8
 # touched their code (bm25_search, text_tfidf_topterms,
 # events_asof_attribution, events_hypertable_rollup, sequence_pack,
@@ -151,10 +154,11 @@ _PRIORITY_ORDER: list[str] = [
     "streaming_heavy_hitters",
     "pq_ivf_adc_topk",
     "bpe_roundtrip",
+    "events_value_winsorize",
     # tier 2 — r5-green, the 2-round-stale backlog
     "tsv_queries_roundtrip",
     "tsv_run_roundtrip",
-    # tier 3 — r6-green, no r7 row (29 of 46; see rotation note)
+    # tier 3 — r6-green, no r7 row (28 of 46; see rotation note)
     "ann_adc_topk",
     "bucketed_join_rollup",
     "cluster_projection",
@@ -183,7 +187,6 @@ _PRIORITY_ORDER: list[str] = [
     "streaming_topk_maintenance",
     "text_redact_pii",
     "tokenize_padded",
-    "video_frame_sample",
 ]
 
 

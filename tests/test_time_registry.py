@@ -54,6 +54,7 @@ R8_NEW = [
     "streaming_heavy_hitters",
     "pq_ivf_adc_topk",
     "bpe_roundtrip",
+    "events_value_winsorize",
 ]
 
 # the only names allowed to reach 2-round-stale evidence after r8
@@ -76,6 +77,7 @@ R8_ROTATED_OUT = {
     "streaming_event_window_counts",
     "media_decode_stats",
     "image_resize",
+    "video_frame_sample",
 }
 
 
