@@ -102,7 +102,16 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; a zero-norm side scores 0.0 (ranked last)
+    instead of dividing by zero — Spark 4's ANSI default turns the
+    bare division into a job-aborting DIVIDE_BY_ZERO the moment a
+    dead/padding embedding appears, and the blocked Arrow kernel
+    (``operators/topk.py``) already guards the same way, so the two
+    impls of one operator must agree. For non-zero vectors the
+    expression is the identical dot/(‖a‖·‖b‖) division (bit-equal to
+    the oracles' form)."""
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den == 0.0, F.lit(0.0)).otherwise(dot(a, b) / den)
 
 
 def l2_dist_sq(a: Column | str, b: Column | str) -> Column:
@@ -201,8 +210,14 @@ def code_unflat(flat: Column | str, k: int, m: int) -> Column:
     share one T5 vocabulary).
     """
     flat = F.col(flat) if isinstance(flat, str) else flat
-    parts = [
-        ((flat / F.lit(k ** (m - 1 - i))).cast("long") % k).cast("int")
-        for i in range(m)
-    ]
+    # digit extraction must be EXACT integer arithmetic: Spark's `/`
+    # on longs is double division, which rounds once flat ≥ 2^53
+    # (K=1024, M=6 reaches 2^60) and breaks the code_flat round-trip.
+    # Decimal remainder/divide stay exact for divisible quotients.
+    d = flat.cast("decimal(38,0)")
+    parts = []
+    for i in range(m):
+        p = F.lit(k ** (m - 1 - i))
+        q = (d - (d % p)) / p  # exact: numerator divisible by p
+        parts.append((q.cast("long") % k).cast("int"))
     return F.array(*parts)

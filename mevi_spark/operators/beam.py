@@ -107,6 +107,7 @@ def rq_beam_search(
         F.array().cast("array<int>").alias("prefix"),
         F.lit(1.0).alias("beam_score"),
         F.col(query_vec).cast("array<double>").alias("resid"),
+        F.lit(1).alias("beam_rank"),  # the root hypothesis's position
     )
     for lvl in range(levels):
         entries = sorted(by_level.get(lvl, []))
@@ -138,7 +139,7 @@ def rq_beam_search(
         # of this loop cost ~1,700 py4j round trips per build (~0.6 s of
         # socket latency at 2 levels — profiled), the text form a few
         # dozen. Expressions are the identical float-op sequences.
-        keep = ["query_id", "prefix", "beam_score", "resid"]
+        keep = ["query_id", "prefix", "beam_score", "resid", "beam_rank"]
         cand = (
             beam.selectExpr(*keep, f"{ent_sql} AS _ent")
             .selectExpr("*", f"transform(_ent, e -> {body}) AS _raw")
@@ -162,6 +163,7 @@ def rq_beam_search(
                 "query_id",
                 "prefix",
                 "resid",
+                "beam_rank",
                 "_code",
                 "_cent",
                 "beam_score * _p AS beam_score",
@@ -180,7 +182,11 @@ def rq_beam_search(
             cand = cand.selectExpr("*", f"{flat_sql} AS _pflat").join(
                 valid, ["_pflat", "_code"], "left_semi"
             )
-        # top num_beams over beam×K; tie-break = flattened candidate index
+        # top num_beams over beam×K; tie-break = the flattened
+        # candidate index of the beam×K score tensor the reference
+        # ranks (hypothesis POSITION in the previous beam × K + code —
+        # torch.topk's flat dim, MEVI/pq.py:684; the hypothesis's
+        # prefix VALUE is not that index and ordered ties differently)
         resid_sql = (
             "zip_with(resid, _cent, (a, b) -> a - b)"
             if lvl < levels - 1
@@ -191,15 +197,16 @@ def rq_beam_search(
                 "*",
                 f"row_number() OVER (PARTITION BY query_id"
                 f" ORDER BY beam_score DESC,"
-                f" {flat_sql} * {k_per_level}L + _code ASC) AS beam_rank",
+                f" (beam_rank - 1) * {k_per_level}L + _code ASC)"
+                f" AS _new_rank",
             )
-            .filter(F.col("beam_rank") <= num_beams)
+            .filter(F.col("_new_rank") <= num_beams)
             .selectExpr(
                 "query_id",
                 "concat(prefix, array(cast(_code AS int))) AS prefix",
                 "beam_score",
                 f"{resid_sql} AS resid",
-                "beam_rank",
+                "_new_rank AS beam_rank",
             )
         )
     return beam.select(

@@ -164,14 +164,14 @@ def fuse_grid(
         [(float(a), float(b), float(g)) for a, b, g in product(alphas, betas, gammas)],
         "alpha double, beta double, gamma double",
     )
-    crank = F.coalesce(
-        F.col("cluster_rank").cast("double"), F.col("num_clusters").cast("double")
+    fused = rrf_fuse_score(
+        F.col(score_col),
+        F.col("cluster_rank"),
+        F.col("num_clusters"),
+        F.col("alpha"),
+        F.col("beta"),
+        F.col("gamma"),
     )
-    fused = F.col(score_col) + F.col("alpha") / (F.col("beta") * crank + F.lit(1.0))
-    fused = F.when(
-        F.col("cluster_rank").isNull(),
-        fused * (F.lit(1.0) - F.col("gamma") * F.col("alpha")),
-    ).otherwise(fused)
     scored = feat.crossJoin(F.broadcast(configs)).withColumn("fused_score", fused)
     return topk_per_group(
         scored.select("alpha", "beta", "gamma", query_id, doc_id, "fused_score"),

@@ -52,8 +52,16 @@ def asof_join(
     # it sorts FIRST under the window ordering and last(ignorenulls)
     # hands its value to left rows that have no true predecessor — a
     # phantom match with a NULL matched-time (DuckDB ASOF and pandas
-    # merge_asof both return no match for such rows)
+    # merge_asof both return no match for such rows). A NULL right KEY
+    # is the same hazard one level up: Window.partitionBy groups NULL
+    # keys together (unlike an equi-join, where NULL never matches),
+    # so without this filter a dirty NULL-key left row would absorb
+    # values from every other NULL-key entity. With NULL-key right
+    # rows gone, NULL-key left rows simply find nothing and come back
+    # unmatched — the DuckDB/pandas `by` semantics.
     right = right.filter(rt.isNotNull())
+    for key in on:
+        right = right.filter(F.col(key).isNotNull())
     tb = (
         F.col(right_tiebreak)
         if right_tiebreak is not None

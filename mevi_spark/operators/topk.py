@@ -118,6 +118,21 @@ def exact_topk_join(
         raise ValueError(f"unknown impl: {impl!r}")
 
     # -- blocked running top-k (W3), the scale path --------------------
+    # the Arrow kernel's output schema and np.int64 casts require
+    # integral ids — fail HERE with guidance instead of as a cast error
+    # inside executor tasks (impl='sql' takes any id type)
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    _ints = (ByteType, ShortType, IntegerType, LongType)
+    for side, df_, col_ in (("queries", queries, query_id),
+                            ("docs", docs, doc_id)):
+        if not isinstance(df_.schema[col_].dataType, _ints):
+            raise TypeError(
+                f"exact_topk_join(impl='blocked') needs an integral "
+                f"{side} id; {col_} is "
+                f"{df_.schema[col_].dataType.simpleString()} — use "
+                f"impl='sql' for non-integer ids"
+            )
     spark = docs.sparkSession
     out_schema = f"{query_id} long, {doc_id} long, {score_col} double"
 
@@ -267,6 +282,19 @@ def topk_join(
     if was_auto:
         n = query_count if query_count is not None else queries.count()
         if n <= exact_query_limit:
+            strategy = "exact"
+        elif metric not in ("ip", "cosine"):
+            # the index backends only speak ip/cosine — a large query
+            # side with e.g. neg_l2 must stay on the exact path (slow
+            # but correct) rather than surface an opaque ValueError
+            # from a backend the caller never chose
+            import warnings
+
+            warnings.warn(
+                f"topk_join(auto): metric {metric!r} has no index "
+                f"backend; staying exact despite {n} queries",
+                stacklevel=2,
+            )
             strategy = "exact"
         elif centroids is not None:
             strategy = "ivf"

@@ -356,16 +356,16 @@ b1 AS (SELECT query_id, c0, p AS bscore,
               list_transform(list_zip(qv, cent), x -> x[1] - x[2]) AS rv,
               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY p DESC, c0 ASC) AS r
        FROM l0p QUALIFY r <= 4),
-l1raw AS (SELECT b.query_id, b.c0, b.bscore, c.code AS c1,
+l1raw AS (SELECT b.query_id, b.c0, b.bscore, b.r AS r0, c.code AS c1,
                  list_dot_product(b.rv, c.centroid) AS raw
           FROM b1 b, cent1 c),
 l1e AS (SELECT *, exp(raw - MAX(raw) OVER (PARTITION BY query_id, c0)) AS e FROM l1raw),
-l1p AS (SELECT query_id, c0, c1,
+l1p AS (SELECT query_id, c0, c1, r0,
                bscore * (e / SUM(e) OVER (PARTITION BY query_id, c0)) AS score
         FROM l1e),
 beam AS (SELECT query_id, c0 * 10 + c1 AS code_flat, score,
                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY score DESC, c0 * 10 + c1 ASC) AS beam_rank
+                                   ORDER BY score DESC, (r0 - 1) * 10 + c1 ASC) AS beam_rank
          FROM l1p QUALIFY beam_rank <= 4)
 """
 
@@ -1589,16 +1589,16 @@ b1 AS (SELECT query_id, c0, p AS bscore,
               list_transform(list_zip(qv, cent), x -> x[1] - x[2]) AS rv,
               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY p DESC, c0 ASC) AS r
        FROM l0p QUALIFY r <= 4),
-l1raw AS (SELECT b.query_id, b.c0, b.bscore, c.code AS c1,
+l1raw AS (SELECT b.query_id, b.c0, b.bscore, b.r AS r0, c.code AS c1,
                  list_dot_product(b.rv, c.centroid) AS raw
           FROM b1 b, cent1 c),
 l1e AS (SELECT *, exp(raw - MAX(raw) OVER (PARTITION BY query_id, c0)) AS e FROM l1raw),
-l1p AS (SELECT query_id, c0, c1,
+l1p AS (SELECT query_id, c0, c1, r0,
                bscore * (e / SUM(e) OVER (PARTITION BY query_id, c0)) AS score
         FROM l1e),
 beam AS (SELECT query_id, c0 * 10 + c1 AS code_flat, score,
                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY score DESC, c0 * 10 + c1 ASC) AS beam_rank
+                                   ORDER BY score DESC, (r0 - 1) * 10 + c1 ASC) AS beam_rank
          FROM l1p
          WHERE (c0 + c1) % 2 = 0
          QUALIFY beam_rank <= 4)

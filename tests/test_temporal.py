@@ -370,3 +370,24 @@ def test_type_pivot_matches_python(spark):
         for t in ("click", "error", "purchase", "signup", "view"):
             assert row[t] == counts.get(t, 0)
         assert row["total"] == len(grp)
+
+
+def test_asof_null_keys_never_match(spark):
+    """NULL by-keys must behave like equi-join keys (no match), not
+    like a window partition (where all NULL keys group together): a
+    NULL-key left row comes back unmatched, and a NULL-key right row
+    matches nothing (round-8 review finding)."""
+    from mevi_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 100), (1, 100)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(None, 50, 7.0), (1, 50, 9.0)], "k long, t long, v double"
+    )
+    got = {
+        (r.k, r.t): (r.v_asof, r.t_asof)
+        for r in asof_join(left, right, ["k"], "t", "t", ["v"]).collect()
+    }
+    assert got[(1, 100)] == (9.0, 50)
+    assert got[(None, 100)] == (None, None)
