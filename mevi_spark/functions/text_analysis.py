@@ -74,7 +74,12 @@ def tokenize_padded(
     Returns a struct ``(input_ids: array<int>, attention_mask:
     array<int>, n_tokens: int)``; arrays are always exactly ``max_len``.
     """
-    pieces = F.regexp_extract_all(F.lower(_c(c)), F.lit(BPE_PATTERN), 0)
+    # NULL text must tokenize as the empty sequence (fully padded,
+    # mask zeros, n_tokens 0), not propagate NULL struct fields —
+    # read_corpus_jsonl deliberately lets missing fields land as NULL
+    pieces = F.regexp_extract_all(
+        F.lower(F.coalesce(_c(c), F.lit(""))), F.lit(BPE_PATTERN), 0
+    )
     ids = F.transform(
         F.slice(pieces, 1, max_len - 1),
         lambda t: (

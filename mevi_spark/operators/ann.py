@@ -121,12 +121,23 @@ def lsh_topk_join(
     # pass dim when known (it is, for any managed corpus) — the probe
     # is one tiny extra job per call otherwise (VERDICT r5 #6)
     if dim is None:
-        dim = len(docs.select(doc_vec).first()[0])
+        probe = docs.select(doc_vec).first()
+        if probe is None or probe[0] is None:
+            raise ValueError(
+                "lsh_topk_join: docs is empty (or its first vector is "
+                "NULL) and dim was not given — pass dim explicitly"
+            )
+        dim = len(probe[0])
     if metric == "ip":
         if phi is None:
             phi = docs.agg(
                 F.max(dot(doc_vec, doc_vec)).alias("phi")
             ).first()["phi"]
+            if phi is None:
+                raise ValueError(
+                    "lsh_topk_join: cannot derive phi from an empty "
+                    "docs frame — pass phi explicitly"
+                )
         planes = deterministic_planes(dim + 1, n_planes)
         d_key = iptol2_doc(F.col(doc_vec).cast("array<double>"), F.lit(float(phi)))
         q_key = iptol2_query(F.col(query_vec).cast("array<double>"))

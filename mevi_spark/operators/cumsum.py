@@ -35,7 +35,17 @@ def bucketed_cum_before(
     strictly smaller ``order_col`` (exclusive prefix sum in
     ``order_col`` order). ``order_col`` must be unique integers.
     Returns ``None`` for an empty input (caller supplies its own empty
-    frame — the schema is query-specific)."""
+    frame — the schema is query-specific). ``weight_col`` must be an
+    integral column: the driver-side bucket offsets accumulate in
+    Python ints and would silently truncate fractional sums."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    wt = df.schema[weight_col].dataType
+    if not isinstance(wt, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"bucketed_cum_before needs an integral weight column; "
+            f"{weight_col} is {wt.simpleString()}"
+        )
     spark = df.sparkSession
     mn, mx, n = df.agg(
         F.min(order_col), F.max(order_col), F.count("*")

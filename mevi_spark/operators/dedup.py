@@ -14,9 +14,10 @@ standard web-scale recipes):
   joined pair rows — a shuffle whose size is the candidate count, not
   n².
 
-Connected components uses the alternating small/large-star style
-min-label propagation (driver loop, ~log(diameter) rounds), each round
-one shuffle.
+Connected components uses plain min-label propagation (driver loop,
+converges in O(graph diameter) rounds — near-dup clusters are
+shallow), each round one shuffle; exhaustion without convergence is a
+loud error, never a silently-split cluster.
 """
 
 from __future__ import annotations
@@ -99,7 +100,7 @@ def minhash_signature(
 ) -> Column:
     """MinHash signature ``array<long>`` of the word-shingle set: one
     md5 per shingle, slot i = min of ``h1 + i·h2`` (double hashing).
-    Empty docs get sentinel ``2^60`` per slot.
+    Empty docs get sentinel ``2^62`` per slot.
 
     NB: as a single nested expression this recomputes the shingle set
     per slot if Catalyst collapses projections — prefer
@@ -130,6 +131,12 @@ def banded_keys(
     from mevi_spark.functions.vector import sql_ident
 
     n = sig_len if sig_len is not None else sigs.select(F.size(sig_col)).first()[0]
+    if n % bands:
+        raise ValueError(
+            f"signature length {n} not divisible by bands={bands}: the "
+            f"trailing {n % bands} slots would silently join no band "
+            f"(ann.lsh_topk_join raises on the same condition)"
+        )
     rpb = n // bands
     sc = sql_ident(sig_col)
     bands_sql = ", ".join(
@@ -316,8 +323,15 @@ def dedup_minhash(
     from mevi_spark.operators.cache import defer_unpersist
 
     base = minhash_frame(df, text_col, id_col, num_hashes, shingle_n).persist()
+    # empty-shingle docs (< shingle_n tokens) all share the all-sentinel
+    # signature: banding them would make ONE band key quadratic in
+    # their count while the verify rejects every such pair anyway
+    # (union=0 -> jaccard 0.0) — excluding them up front changes no
+    # output and removes the hot key (a web corpus's stub/404 docs)
+    nonempty = base.filter(F.size("shingles") > 0)
     cands = lsh_candidate_pairs(
-        base.select("doc_id", "sig"), "doc_id", "sig", bands, sig_len=num_hashes
+        nonempty.select("doc_id", "sig"), "doc_id", "sig", bands,
+        sig_len=num_hashes,
     )
     out = jaccard_verify(cands, base.select("doc_id", "shingles"), threshold)
     defer_unpersist(base)
@@ -542,8 +556,19 @@ def embedding_near_dup(
     probability ``(1 - θ/π)^bits`` per band). Verification is an exact
     float64 cosine on the candidate rows only.
     """
+    if n_planes % bands:
+        raise ValueError(
+            f"n_planes {n_planes} not divisible by bands={bands}: the "
+            f"trailing bits would silently join no band"
+        )
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        probe = df.select(vec_col).first()
+        if probe is None or probe[0] is None:
+            raise ValueError(
+                "embedding_near_dup: empty input (or NULL first vector)"
+                " and dim not given — pass dim explicitly"
+            )
+        dim = len(probe[0])
     planes = deterministic_planes(dim, n_planes)
     per_band = n_planes // bands
     v = F.col(vec_col).cast("array<double>")
@@ -625,10 +650,14 @@ def connected_components(
     """Min-label propagation over the dup-pair graph → ``(id,
     component)`` where component = min id reachable.
 
-    Driver loop of ≤ ``max_iter`` rounds (converges in O(log diameter));
-    each round is one groupBy shuffle over the edge list plus a
-    convergence count. ``localCheckpoint`` truncates the lineage so the
-    plan doesn't grow exponentially.
+    Driver loop of ≤ ``max_iter`` rounds; plain propagation converges
+    in O(graph diameter) rounds (near-dup clusters are shallow — a
+    30-deep chain needs 30 rounds, so ``max_iter`` must cover the
+    worst diameter). Exhausting ``max_iter`` without convergence
+    RAISES rather than returning silently-split components. Each round
+    is one groupBy shuffle over the edge list plus a convergence
+    count; ``localCheckpoint`` truncates the lineage so the plan
+    doesn't grow exponentially.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -668,6 +697,12 @@ def connected_components(
         labels = updated.drop("_changed")
         if n_changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds ({n_changed} labels still changing) — the graph "
+            f"diameter exceeds max_iter; raise it"
+        )
     return labels
 
 

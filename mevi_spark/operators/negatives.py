@@ -45,6 +45,14 @@ def negative_samples(
 
     ``pairs``: ``(query_id, pos_id)``; ``mapping``: ``(doc_id, code_flat)``.
     Returns ``(query_id, neg_id)``.
+
+    Exclusion is PER PAIR, matching the reference exactly
+    (``remove_ele(nn_candidates_from_clus, oldid)``,
+    ``MEVI/main_models.py:1813-1872`` removes only the row's own
+    positive): a query with several positives in one cluster can see
+    its OTHER positives among the negatives — the reference's
+    semantics, reproduced deliberately rather than "fixed". A stricter
+    variant would anti-join against all of the query's positives.
     """
     pos_code = pairs.join(
         mapping.select(F.col(doc_id).alias(pos_id), code_col), pos_id

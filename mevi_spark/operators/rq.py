@@ -575,8 +575,8 @@ def ema_update_codebook(
     element sums — order-independent, ``M×K`` result rows); the EMA
     arithmetic runs driver-side on the tiny codebook, exactly like the
     reference's all-reduced update. Restart vectors are the
-    lowest-``_row_id`` inputs (deterministic stand-in for the
-    reference's random sample).
+    array-order-smallest input vectors (a deterministic stand-in for
+    the reference's random sample).
 
     ``codebook`` needs ``(code, centroid)`` and optionally the EMA state
     ``(cluster_size, embed_avg)`` from a previous call (bootstrapped as
@@ -617,11 +617,15 @@ def ema_update_codebook(
         + (1 - decay) * stats.get(int(r["code"]), (0, None))[0]
         < restart_min
     )
+    # deterministic pool: an unordered limit() returns whatever rows a
+    # task happens to produce first, so restarted centroids would vary
+    # run-to-run; array-order is total over the vectors and TakeOrdered
+    # keeps the pull top-n-cheap
     restart_pool = [
         np.array(r["v"], dtype=np.float64)
         for r in assigned.select(
             F.col(vec_col).cast("array<double>").alias("v")
-        ).limit(max(n_restart, 0)).collect()
+        ).orderBy("v").limit(max(n_restart, 0)).collect()
     ]
 
     out, pool_i = [], 0

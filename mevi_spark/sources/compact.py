@@ -163,12 +163,21 @@ def compact_partitioned(
         )
     )
     # salt ∈ [0, budget[value]): rows of one partition value spread
-    # across exactly its file budget
+    # across exactly its file budget. The salt hashes only HASHABLE
+    # columns — F.hash rejects MapType (the hazard operators/skew.py
+    # documents), and a map-bearing layout must still compact; any
+    # non-map subset spreads rows just as uniformly.
+    from pyspark.sql.types import MapType
+
+    hashable = [
+        f.name for f in df.schema.fields
+        if not isinstance(f.dataType, MapType)
+    ]  # never empty: partition_col itself is hashable
     salted = df.join(
         F.broadcast(budget_df), pv.eqNullSafe(F.col("_pv")), "inner"
     ).drop("_pv").withColumn(
         "_salt",
-        F.pmod(F.abs(F.hash(*[c for c in df.columns])), F.col("_k")),
+        F.pmod(F.abs(F.hash(*hashable)), F.col("_k")),
     ).drop("_k")
     n_tasks = int(
         budget_df.agg(F.sum("_k").cast("long")).first()[0] or 0

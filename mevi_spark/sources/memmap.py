@@ -131,7 +131,9 @@ def write_memmap_shards(
                 )
         if min_id is None:
             return
-        name = f"shard_{min_id:012d}.bin"
+        # zero-pad to the full long width: 12 digits breaks the
+        # lexicographic==numeric ordering contract past 10^12 rows
+        name = f"shard_{min_id:020d}.bin"
         np.stack(rows).tofile(os.path.join(out_dir, name))
         yield pd.DataFrame({"shard": [name], "n_rows": [len(rows)]})
 

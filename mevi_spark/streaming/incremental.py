@@ -410,8 +410,17 @@ def incremental_neardup(
             idx = spark.read.parquet(idx_dir)
         else:
             idx = spark.createDataFrame([], new.schema)
-        nb = banded_keys(new, "doc_id", "sig", bands, sig_len=num_hashes)
-        ib = banded_keys(idx, "doc_id", "sig", bands, sig_len=num_hashes)
+        # same empty-shingle exclusion as the batch pipeline: the
+        # all-sentinel signature is one hot band key shared by every
+        # stub doc, and the verify rejects those pairs anyway
+        nb = banded_keys(
+            new.filter(F.size("shingles") > 0),
+            "doc_id", "sig", bands, sig_len=num_hashes,
+        )
+        ib = banded_keys(
+            idx.filter(F.size("shingles") > 0),
+            "doc_id", "sig", bands, sig_len=num_hashes,
+        )
         cross = (
             ib.join(
                 F.broadcast(
