@@ -199,7 +199,13 @@ def setup_session():
 
 def main() -> None:
     spark, qs, sf_dir = setup_session()
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # label only: a dir not named ...sf<number> must not throw AFTER
+    # both timed passes already ran — fall back to the raw dir name
+    sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf_raw)
+    except ValueError:
+        sf = sf_dir
 
     from mevi_spark.plans.retrieval import clear_session_caches
 
@@ -219,7 +225,7 @@ def main() -> None:
                 "queries": cold,
                 "warm_total": warm_total,
                 "queries_warm": warm,
-                "sf": float(sf),
+                "sf": sf,
             }
         )
     )

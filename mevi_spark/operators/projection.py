@@ -132,8 +132,14 @@ def cluster_positional_projection(
             (dot("_feat", _lit_arr(weights[:, j])) + F.lit(float(bias[j])))
             for j in range(out_dim)
         ]
+        # a NULL feature projects to NULL (not an array of NULL
+        # elements) — the same convention the pandas kernel emits
         return staged.select(
-            "query_id", "doc_id", F.array(*cols).alias("projected")
+            "query_id",
+            "doc_id",
+            F.when(
+                F.col("_feat").isNotNull(), F.array(*cols)
+            ).alias("projected"),
         )
 
     if impl == "pandas":
@@ -141,13 +147,25 @@ def cluster_positional_projection(
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                mat = np.stack(pdf["_feat"].to_numpy()).astype(np.float64)
-                out = mat @ w_b + b_b
+                if len(pdf) == 0:
+                    continue  # np.stack rejects an empty sequence
+                feats = pdf["_feat"].to_numpy()
+                # NULL features project to NULL, matching impl='expr'
+                # (np.stack over a sequence containing None aborts the
+                # job; the expr path quietly yields NULL — one operator,
+                # one semantics)
+                mask = np.array([f is not None for f in feats])
+                proj: list = [None] * len(pdf)
+                if mask.any():
+                    mat = np.stack(feats[mask]).astype(np.float64)
+                    out = mat @ w_b + b_b
+                    for i, row in zip(np.nonzero(mask)[0], out):
+                        proj[int(i)] = row
                 yield pd.DataFrame(
                     {
                         "query_id": pdf["query_id"],
                         "doc_id": pdf["doc_id"],
-                        "projected": list(out),
+                        "projected": proj,
                     }
                 )
 

@@ -42,15 +42,18 @@ def sq8_train(
     bounded driver artifact, same contract as the staged RQ codebook).
     """
     if dim is None:
-        dim = embeddings.select(
-            F.size(F.col(vec_col)).alias("d")
-        ).first()["d"]
+        probe = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is None:
+            raise ValueError("sq8_train: embeddings frame is empty")
+        dim = probe["d"]
     v = F.col(vec_col).cast("array<double>")
     aggs = []
     for i in range(dim):
         aggs.append(F.min(F.element_at(v, i + 1)).alias(f"mn{i}"))
         aggs.append(F.max(F.element_at(v, i + 1)).alias(f"mx{i}"))
     row = embeddings.agg(*aggs).first()
+    if row["mn0"] is None:
+        raise ValueError("sq8_train: embeddings frame is empty")
     mins = [float(row[f"mn{i}"]) for i in range(dim)]
     maxs = [float(row[f"mx{i}"]) for i in range(dim)]
     return mins, maxs

@@ -58,11 +58,15 @@ def _finish(df: DataFrame, path: str) -> DataFrame:
 
 @register(
     "tsv_corpus_roundtrip",
-    oracle="""
+    oracle=r"""
+WITH s AS (
+  SELECT doc_id,
+         regexp_replace(text, '[\t\n\r]', ' ', 'g') AS text
+  FROM documents)
 SELECT doc_id,
        strlen(string_split(text, ' ')[1])::BIGINT AS title_len,
        strlen(text)::BIGINT AS content_len
-FROM documents
+FROM s
 """,
 )
 def tsv_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,12 +74,20 @@ def tsv_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(doc_id, title, content)`` corpus TSV from ``documents``, write it
     with Spark's native sharded CSV sink, scan it back with
     :func:`read_corpus_tsv`, and emit per-row length checksums the
-    oracle recomputes from the parquet source."""
+    oracle recomputes from the parquet source.
+
+    TSV contract: fields must be tab/newline-free — the writer quotes a
+    multi-line field but the splittable (non-multiLine) reader would
+    split the record, so fields are SANITIZED on write (tabs/newlines →
+    space; the reference's corpus prep strips them the same way) and
+    the oracle applies the identical replacement. Lossless transport of
+    arbitrary characters is the JSONL roundtrip's job."""
     docs = load_table(spark, sf_dir, "documents")
+    clean = F.regexp_replace("text", r"[\t\n\r]", " ")
     corpus = docs.select(
         "doc_id",
-        F.element_at(F.split("text", " "), 1).alias("title"),
-        F.col("text").alias("content"),
+        F.element_at(F.split(clean, " "), 1).alias("title"),
+        clean.alias("content"),
     )
     path = _tmp("corpus_tsv")
     corpus.write.mode("overwrite").csv(path, sep="\t")
@@ -244,7 +256,8 @@ def memmap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
        1::BIGINT AS deterministic,
-       CASE WHEN strlen(trim(text)) = 0 THEN 0.0 ELSE 1.0 END AS norm4
+       CASE WHEN strlen(trim(text, ' ' || chr(9) || chr(10) || chr(13)))
+              = 0 THEN 0.0 ELSE 1.0 END AS norm4
 FROM documents
 """,
 )

@@ -108,6 +108,10 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     CSV-serialized (driver's canonicalizer cannot sort raw arrays) and
     the mean byte is a BIGINT in micro-units."""
     out = MM.decode_stats(_media(spark, sf_dir), hist_bins=8)
+    # zero-byte payloads have no byte rows on the oracle side (its
+    # unnest(range(1, 1)) is empty and the inner join drops the doc) —
+    # stats are defined over decodable payloads on both engines
+    out = out.filter(F.col("n_bytes") > 0)
     return out.select(
         "doc_id",
         "media_type",

@@ -43,7 +43,13 @@ def scan_file_counts(df: DataFrame) -> tuple[int, int]:
         for i in range(n.children().size()):
             yield from walk(n.children().apply(i))
 
-    node = next(walk(df._jdf.queryExecution().sparkPlan()))
+    node = next(walk(df._jdf.queryExecution().sparkPlan()), None)
+    if node is None:
+        raise ValueError(
+            "scan_file_counts: plan has no FileSourceScan leaf (a "
+            "cached frame hides the scan under InMemoryTableScan — "
+            "pass the uncached scan frame)"
+        )
     listing = node.selectedPartitions()
     return int(listing.partitionCount()), int(listing.totalNumberOfFiles())
 

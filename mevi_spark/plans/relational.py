@@ -542,30 +542,36 @@ def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="mevi_bucketed_")
     tag = _uuid.uuid4().hex[:8]
     t_o, t_c = f"b_orders_{tag}", f"b_cust_{tag}"
-    write_bucketed(
-        load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
-        t_o, ["o_custkey"], 8, path=f"{base}/orders",
-    )
-    write_bucketed(
-        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
-        t_c, ["c_custkey"], 8, path=f"{base}/customer",
-    )
-    j = spark.table(t_o).join(
-        spark.table(t_c), F.col("o_custkey") == F.col("c_custkey")
-    )
-    out = j.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
-        F.count("*").alias("n_orders"),
-        F.round(exact_sum("o_totalprice"), 4).alias("total_price"),
-    )
-    # the rollup is segment-count-sized: materialize it eagerly so the
-    # bucketed staging (a full copy of both tables) and the uuid catalog
-    # entries can be freed before returning — repeated calls in a
-    # long-lived session must not accumulate /tmp copies or tables
-    # (the dedup_minhash localCheckpoint-then-release pattern)
-    out = out.localCheckpoint(eager=True)
-    spark.sql(f"DROP TABLE IF EXISTS {t_o}")
-    spark.sql(f"DROP TABLE IF EXISTS {t_c}")
-    shutil.rmtree(base, ignore_errors=True)
+    try:
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select(
+                "o_custkey", "o_totalprice"
+            ),
+            t_o, ["o_custkey"], 8, path=f"{base}/orders",
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            t_c, ["c_custkey"], 8, path=f"{base}/customer",
+        )
+        j = spark.table(t_o).join(
+            spark.table(t_c), F.col("o_custkey") == F.col("c_custkey")
+        )
+        out = j.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+            F.count("*").alias("n_orders"),
+            F.round(exact_sum("o_totalprice"), 4).alias("total_price"),
+        )
+        # the rollup is segment-count-sized: materialize it eagerly so
+        # the bucketed staging (a full copy of both tables) and the
+        # uuid catalog entries can be freed before returning — and the
+        # cleanup sits in a finally so a failed attempt in a retrying
+        # long-lived session cannot accumulate /tmp copies or tables
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+        shutil.rmtree(base, ignore_errors=True)
     return out
 
 

@@ -356,10 +356,12 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's FILTER form."""
     types = ["click", "error", "purchase", "signup", "view"]
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    # total counts ALL rows (the oracle's COUNT(*)), not the sum of the
+    # pinned columns — under schema drift (a new event_type outside the
+    # pinned list) the two definitions diverge and the pinned-sum total
+    # would silently under-report
+    totals = ev.groupBy("user_id").agg(F.count("*").alias("total"))
     wide = ev.groupBy("user_id").pivot("event_type", types).count()
-    total = None
     for t in types:
-        c = F.coalesce(F.col(t), F.lit(0)).cast("long")
-        total = c if total is None else total + c
-        wide = wide.withColumn(t, c)
-    return wide.select("user_id", *types, total.alias("total"))
+        wide = wide.withColumn(t, F.coalesce(F.col(t), F.lit(0)).cast("long"))
+    return wide.join(totals, "user_id").select("user_id", *types, "total")

@@ -41,8 +41,20 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
         builder = builder.master(master)
-    elif not (os.environ.get("MASTER") or os.environ.get("SPARK_MASTER")):
-        builder = builder.master(f"local[{cpus}]")
+    else:
+        # spark-submit --master sets the spark.master SYSTEM PROPERTY,
+        # never $MASTER — checking only the env vars silently clobbered
+        # a cluster master with local[N]; SparkConf() loads the system
+        # properties, so it sees what spark-submit configured
+        from pyspark import SparkConf
+
+        has_master = (
+            os.environ.get("MASTER")
+            or os.environ.get("SPARK_MASTER")
+            or SparkConf().contains("spark.master")
+        )
+        if not has_master:
+            builder = builder.master(f"local[{cpus}]")
     builder = (
         builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -69,3 +69,27 @@ def test_rank_and_score_features(spark):
     assert out[(1, 10)] == [1.0, -0.1]   # rank 1 → 1/(0+1)
     assert out[(1, 11)] == [0.0, -2.0]   # cluster absent → 0 fill
     assert out[(2, 12)] == [1.0, -0.5]
+
+
+def test_null_vector_projects_null_in_both_impls(spark):
+    """A NULL doc_vec must project to NULL under BOTH impls — the
+    pandas kernel previously aborted the job on np.stack over None
+    while the expr path quietly yielded NULL (round-8 review)."""
+    cands, coarse, logprobs = _fixture(spark)
+    cands = cands.unionByName(
+        spark.createDataFrame(
+            [(2, 13, None, 300)],
+            "query_id long, doc_id long, doc_vec array<double>, code_flat long",
+        )
+    )
+    w, b = projection_weights(4, 3)
+    for impl in ("expr", "pandas"):
+        got = {
+            r.doc_id: r.projected
+            for r in cluster_positional_projection(
+                cands, coarse, logprobs, w, b, ntopk=2,
+                emb_col="doc_vec", code_col="code_flat", impl=impl,
+            ).collect()
+        }
+        assert got[13] is None, impl
+        assert got[10] is not None, impl
