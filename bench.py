@@ -17,12 +17,13 @@ Two passes, both reported (VERDICT r6 #3):
   JVM after ``clear_session_caches`` (cached DataFrame blocks and
   session-scoped artifacts are dropped; every query re-runs its Spark
   jobs). Carried into the warm pass beyond JVM/JIT/page-cache state:
-  four PROCESS-WIDE artifact caches — ``retrieval._ENTRIES_CACHE``
-  (the collected K-row codebook entries; skips one small read+collect),
-  ``retrieval._DIM_CACHE`` (embedding dimensionality — catalog
-  metadata; skips a one-row probe), ``io._TABLE_CACHE`` (scan-frame
-  construction, plan-side only), and the ``_DPP_OK`` plan-assertion
-  memo (skips a plan .explain, no job).
+  four artifact caches that outlive clear_session_caches —
+  ``retrieval._ENTRIES_CACHE`` (the collected K-row codebook entries;
+  skips one small read+collect), ``retrieval._DIM_CACHE`` (embedding
+  dimensionality — catalog metadata; skips a one-row probe), the
+  session-attached scan-frame memo (``io._table_cache``; plan-side
+  construction only), and the ``_DPP_OK`` plan-assertion memo (skips a
+  plan .explain, no job).
   All four are keyed on immutable on-disk artifacts and are exactly
   what a long-lived cluster session would hold pinned, which is the
   steady state this pass models — the like-for-like number against

@@ -364,9 +364,16 @@ def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text analysis
 
 # quality stats are averaged per source with decimal stabilization
+# DuckDB string_split('', ' ') returns [''] while the Spark twin
+# (functions/text.py::tokens) returns [] for empty normalized text —
+# the CASE keeps a punctuation-only document tokenizing to ZERO tokens
+# on both engines (without it the oracles' own len(t)=0 guards were
+# dead code and such docs hash-diverged)
 _SQL_NORM_T = r"""
-string_split(trim(regexp_replace(regexp_replace(lower(text),
-  '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')
+(CASE WHEN trim(regexp_replace(regexp_replace(lower(text),
+  '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) = '' THEN []::VARCHAR[]
+ ELSE string_split(trim(regexp_replace(regexp_replace(lower(text),
+  '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') END)
 """
 
 _STOP_SQL = "['" + "','".join(TA.STOPWORDS) + "']"

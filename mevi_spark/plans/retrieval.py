@@ -382,15 +382,19 @@ beam AS (SELECT query_id, c0 * 10 + c1 AS code_flat, score,
 # artifact once, reuse across stages" step the reference does through
 # its pickle/memmap artifacts (``MEVI/pq.py:217-247``).
 #
-# Service-safety: keyed WEAKLY by the SparkSession object, so a
-# long-lived service that churns through sessions can't accumulate
-# entries (the per-session dict is dropped when the session is
-# collected) and id()-reuse can never alias a dead session's artifacts
-# onto a new one. ``clear_session_caches`` is the explicit teardown
-# (unpersists the blocks without waiting for GC); bench calls it.
-from weakref import WeakKeyDictionary
+# Service-safety: stored as an ATTRIBUTE of the SparkSession object,
+# so the cache's lifetime is exactly the session's and id()-reuse can
+# never alias a dead session's artifacts onto a new one. (A weak-keyed
+# module map cannot work here: cached DataFrames strongly reference
+# their session, so the weak entry's value kept its own key alive —
+# the map leaked in precisely the session-churn scenario it targeted.)
+# ``clear_session_caches`` is the explicit teardown (unpersists the
+# blocks without waiting for GC); bench calls it.
+from mevi_spark.operators.cache import pop_attached, session_attached
 
-_CHAIN_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+
+def _chain_cache(spark) -> dict:
+    return session_attached(spark, "_mevi_chain_cache", dict)
 
 # collected codebook entries keyed by STAGED PATH (which embeds the
 # source mtime, so a stale path can never alias fresh data); plain
@@ -444,7 +448,7 @@ def _chain_state(spark: SparkSession, sf_dir: str) -> dict:
     enumeration) never touch the mapping, and its literal-expression
     plan costs ~0.3 s of driver-side construction per build (measured
     r8), so eager construction taxed every coarse-only rebuild."""
-    per_session = _CHAIN_CACHE.setdefault(spark, {})
+    per_session = _chain_cache(spark)
     state = per_session.get(sf_dir)
     if state is not None:
         return state
@@ -564,7 +568,7 @@ def clear_session_caches(spark: SparkSession) -> None:
     jobs: frees the persisted blocks deterministically instead of at
     session GC. Safe to call on a session with no cached state.
     """
-    for state in _CHAIN_CACHE.pop(spark, {}).values():
+    for state in pop_attached(spark, "_mevi_chain_cache", {}).values():
         for df in (state["codebook"], state["mapping"]):
             if df is None:
                 continue
@@ -572,7 +576,7 @@ def clear_session_caches(spark: SparkSession) -> None:
                 df.unpersist()
             except Exception:
                 pass  # session already stopped — blocks are gone anyway
-    for df in _RUN_CACHE.pop(spark, {}).values():
+    for df in pop_attached(spark, "_mevi_run_cache", {}).values():
         try:
             df.unpersist()
         except Exception:
@@ -680,12 +684,16 @@ coarse AS (SELECT query_id, code AS code_flat,
 # coarse-to-fine top-10 run are persisted once per (session, sf_dir)
 # and shared by the five queries that consume them. Run size is
 # |queries|·k rows — artifact-sized, not corpus-sized. Weakly keyed by
-# session (see _CHAIN_CACHE note); clear_session_caches drops entries.
-_RUN_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+# session (see the chain-cache note); clear_session_caches drops
+# entries.
+
+
+def _run_cache(spark) -> dict:
+    return session_attached(spark, "_mevi_run_cache", dict)
 
 
 def _cached_run(spark, sf_dir: str, kind: str, build) -> DataFrame:
-    per_session = _RUN_CACHE.setdefault(spark, {})
+    per_session = _run_cache(spark)
     key = (sf_dir, kind)
     hit = per_session.get(key)
     if hit is None:
@@ -1456,7 +1464,7 @@ def rq_ema_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = emb.select(
         F.col("label").alias("code"), F.col("embedding").alias("vector")
     )
-    dim = len(emb.first()["embedding"])
+    dim = _dim(spark, sf_dir)
     init = spark.createDataFrame(
         [(int(i), [0.0] * dim) for i in range(K_LABELS)],
         "code int, centroid array<double>",
@@ -1501,22 +1509,28 @@ def rq_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = tempfile.mkdtemp(prefix="mevi_rq_model_")
     path = base + "/model"
-    save_rq_model(
-        mapping.withColumnRenamed("vec_id", "id"), codebook, path
-    )
-    _, cb = load_rq_model(spark, path)
-    out = cb.select(
-        "level",
-        "code",
-        F.posexplode("centroid").alias("pos0", "m0"),
-    ).select(
-        "level", "code", (F.col("pos0") + 1).alias("pos"),
-        F.round("m0", 6).alias("m"),
-    )
-    # pin the K·dim-row result, free the model artifact dir (the
-    # roundtrip-query no-leak rule — see interop_ops._finish)
-    out = out.localCheckpoint(eager=True)
     import shutil
+
+    try:
+        save_rq_model(
+            mapping.withColumnRenamed("vec_id", "id"), codebook, path
+        )
+        _, cb = load_rq_model(spark, path)
+        out = cb.select(
+            "level",
+            "code",
+            F.posexplode("centroid").alias("pos0", "m0"),
+        ).select(
+            "level", "code", (F.col("pos0") + 1).alias("pos"),
+            F.round("m0", 6).alias("m"),
+        )
+        # pin the K·dim-row result, free the model artifact dir in the
+        # finally (the roundtrip-query no-leak rule, crash included —
+        # see interop_ops._finish)
+        out = out.localCheckpoint(eager=True)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
 
     shutil.rmtree(base, ignore_errors=True)
     return out

@@ -152,7 +152,15 @@ def _reap(parent: str, keep: str) -> None:
                 age = now - os.path.getmtime(full)
             except OSError:
                 continue  # a concurrent reaper already removed it
-            if (pid > 0 and not _pid_alive(pid)) or age > _grace_s():
+            # reap only when the builder pid is DEAD **and** the dir
+            # has aged past the grace period: pid-dead alone races a
+            # just-started builder whose dir we can stat before its
+            # first write; age alone would kill a LIVE builder whose
+            # staging write legitimately exceeds the grace (large
+            # layouts), and on a shared stage dir a remote builder's
+            # pid always looks dead locally — age is then the only
+            # guard, so it must be necessary, not sufficient.
+            if (pid > 0 and not _pid_alive(pid)) and age > _grace_s():
                 shutil.rmtree(full, ignore_errors=True)
             continue
         reap_stale([full])
@@ -181,6 +189,12 @@ def ensure_staged(
         return path
     os.makedirs(parent, exist_ok=True)
     _reap(parent, keep=path)
+    # a residual dir at `path` WITHOUT its marker is a corrupt partial
+    # (a reaper killed mid-delete, a restored backup): left in place it
+    # would fail the publish rename with ENOTEMPTY forever — remove it
+    # so the rebuild can land
+    if os.path.isdir(path) and not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
     # build in a private scratch dir and publish with one atomic rename:
     # two processes staging the same layout concurrently (driver +
     # bench, parallel test workers) each build their own copy and the

@@ -17,8 +17,6 @@ pass over 100 TB).
 
 from __future__ import annotations
 
-from weakref import WeakKeyDictionary
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mevi_spark import schemas
@@ -27,9 +25,16 @@ from mevi_spark import schemas
 # (file listing + footer schema read + py4j) per call, and a bench/gate
 # session re-reads the same immutable testdata tables dozens of times.
 # DataFrames are immutable plan handles, so reusing one across queries
-# changes nothing about execution; weakly keyed by session (dropped at
-# session GC, id()-reuse can't alias entries).
-_TABLE_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+# changes nothing about execution; stored ON the session object so the
+# memo's lifetime is exactly the session's.
+def _table_cache(spark: SparkSession) -> dict:
+    """Per-session scan-frame memo, stored ON the session (see
+    operators/cache.py::session_attached — a weak-keyed module map
+    leaks here because cached DataFrames strongly reference their
+    session)."""
+    from mevi_spark.operators.cache import session_attached
+
+    return session_attached(spark, "_mevi_table_cache", dict)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -44,7 +49,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (the testdata has zero sub-microsecond bits; float division would
     lose precision at 1.7e18 ns).
     """
-    per_session = _TABLE_CACHE.setdefault(spark, {})
+    per_session = _table_cache(spark)
     hit = per_session.get((sf_dir, name))
     if hit is not None:
         return hit
@@ -66,7 +71,7 @@ def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
     mtime) or schema-stable append locations — the memo pins the
     schema read at first call, which is exactly right for immutable
     artifacts and wrong for a path whose schema can change."""
-    per_session = _TABLE_CACHE.setdefault(spark, {})
+    per_session = _table_cache(spark)
     hit = per_session.get(("__path__", path))
     if hit is None:
         hit = spark.read.parquet(path)

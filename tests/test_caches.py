@@ -1,6 +1,8 @@
-"""Session-cache lifecycle: the chain/run artifacts are keyed weakly by
-session, and ``clear_session_caches`` frees the persisted blocks
-deterministically (VERDICT r3 #5 — service safety)."""
+"""Session-cache lifecycle: the chain/run artifacts live ON their
+session object (an attribute, so their lifetime is exactly the
+session's — a weak-keyed module map leaked because cached DataFrames
+strongly reference their session), and ``clear_session_caches`` frees
+the persisted blocks deterministically (VERDICT r3 #5)."""
 
 from __future__ import annotations
 
@@ -12,13 +14,14 @@ from mevi_spark.plans import retrieval as R
 def test_clear_session_caches_frees_blocks(spark, sf_dir):
     mapping, codebook = R._codebook2(spark, sf_dir)
     run = R._ann_run(spark, sf_dir)
-    assert spark in R._CHAIN_CACHE and spark in R._RUN_CACHE
+    assert R._chain_cache(spark) and R._run_cache(spark)
     assert mapping.storageLevel != StorageLevel.NONE
     assert run.storageLevel != StorageLevel.NONE
 
     R.clear_session_caches(spark)
 
-    assert spark not in R._CHAIN_CACHE and spark not in R._RUN_CACHE
+    assert not getattr(spark, "_mevi_chain_cache", None)
+    assert not getattr(spark, "_mevi_run_cache", None)
     assert mapping.storageLevel == StorageLevel.NONE
     assert codebook.storageLevel == StorageLevel.NONE
     assert run.storageLevel == StorageLevel.NONE
@@ -57,12 +60,18 @@ def test_codebook_is_staged_and_reused(spark, sf_dir):
 
 
 def test_caches_are_per_session_maps(spark, sf_dir):
-    """The weak keying is by session object — no id()-tuple keys that a
-    recycled id could alias."""
+    """The store hangs off the session object — no module registry a
+    recycled id() (or a value->key reference cycle) could leak."""
     R._codebook2(spark, sf_dir)
-    assert set(R._CHAIN_CACHE[spark]) == {sf_dir}
-    for key in R._RUN_CACHE.get(spark, {}):
+    assert set(R._chain_cache(spark)) == {sf_dir}
+    for key in getattr(spark, "_mevi_run_cache", {}):
         assert isinstance(key, tuple) and key[0] == sf_dir
+    # a different session sees its own (empty) store, not this one's
+    fresh = spark.newSession()
+    try:
+        assert getattr(fresh, "_mevi_chain_cache", None) is None
+    finally:
+        pass
 
 
 def test_dpp_conf_key_works_on_default_confs(spark):

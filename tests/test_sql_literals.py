@@ -44,3 +44,36 @@ def test_sql_ident_escaping():
     assert sql_ident("a b") == "`a b`"
     assert sql_ident("a.b-c") == "`a.b-c`"
     assert sql_ident("a`b") == "`a``b`"
+
+
+def test_norm_tokens_empty_text_parity(spark):
+    """Punctuation-only text must tokenize to ZERO tokens on BOTH
+    engines: Spark tokens('') is [] but DuckDB string_split('', ' ')
+    is [''] — the guarded _SQL_NORM_T must agree with the Spark twin
+    (round-8 review finding)."""
+    import duckdb
+
+    from mevi_spark.functions.text import normalize_text, tokens
+    from mevi_spark.plans.pipeline_ops import _SQL_NORM_T
+    from pyspark.sql import functions as F
+
+    rows = [(1, "!!! ... ???"), (2, "hello, world!"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_spark = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", F.size(tokens(normalize_text("text"))).alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") AS t(doc_id, text)"
+    )
+    got_duck = dict(
+        con.execute(
+            f"SELECT doc_id, len({_SQL_NORM_T}) FROM documents"
+        ).fetchall()
+    )
+    assert got_spark == got_duck == {1: 0, 2: 2, 3: 0}
