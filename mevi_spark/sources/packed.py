@@ -136,6 +136,18 @@ def write_packed_sequences(
 _FP_MARKER = "_BATCH_FP"
 
 
+def _write_marker(out_dir: str, fp: str) -> None:
+    """Commit marker, written ATOMICALLY (tmp + rename): a plain
+    open/write crashed mid-write would leave a committed-looking dir
+    whose fingerprint never matches, defeating replay detection."""
+    import os
+
+    tmp = os.path.join(out_dir, f".{_FP_MARKER}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(fp)
+    os.rename(tmp, os.path.join(out_dir, _FP_MARKER))
+
+
 def _committed_subdirs(state_dir: str) -> list[str]:
     """Batch subdirs that finished BOTH the parquet write (_SUCCESS)
     and the fingerprint marker — the commit point of an append. A dir
@@ -284,8 +296,7 @@ def append_packed_sequences(
         spark.createDataFrame(
             [], "seq_id long, tokens array<string>, n_tokens long"
         ).write.mode("overwrite").parquet(out_dir)
-        with open(os.path.join(out_dir, _FP_MARKER), "w") as fh:
-            fh.write(fp)
+        _write_marker(out_dir, fp)
         return batch_idx
     pseudo_id = (int(mn) - 1) if mn is not None else 0
     stream = base
@@ -305,6 +316,5 @@ def append_packed_sequences(
     out.repartitionByRange(1, "seq_id").sortWithinPartitions(
         "seq_id"
     ).write.mode("overwrite").parquet(out_dir)
-    with open(os.path.join(out_dir, _FP_MARKER), "w") as fh:
-        fh.write(fp)
+    _write_marker(out_dir, fp)
     return batch_idx

@@ -107,9 +107,14 @@ def _migrate_legacy_dir(output_dir: str, v_prefix: str, ln_prefix: str) -> None:
     if os.path.isdir(output_dir) and not os.path.islink(output_dir):
         parent = os.path.dirname(os.path.abspath(output_dir))
         legacy = os.path.join(parent, f"{v_prefix}{_uuid.uuid4().hex[:8]}")
-        os.rename(output_dir, legacy)
+        # pre-create the (briefly dangling) link BEFORE renaming the
+        # dir away, so the no-table window is exactly the two renames —
+        # it cannot be closed entirely with rename(2) alone, but this
+        # one-time legacy migration shrinks it to microseconds (the
+        # steady-state publish path has no window at all)
         lnk = os.path.join(parent, f"{ln_prefix}{_uuid.uuid4().hex[:8]}")
         os.symlink(legacy, lnk)
+        os.rename(output_dir, legacy)
         os.rename(lnk, output_dir)
 
 
@@ -403,6 +408,21 @@ def incremental_neardup(
         spark = batch.sparkSession
         _migrate_legacy_dir(idx_dir, vi, li)
         _migrate_legacy_dir(pairs_dir, vp, lp)
+        from pyspark.sql import Window
+
+        # intra-batch duplicate doc_ids resolve deterministically
+        # (max text-hash wins) — dropDuplicates keeps an arbitrary row
+        batch = (
+            batch.withColumn("_th", F.md5(F.col(text_col)))
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(F.col("_th").desc())
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_th", "_rn")
+        )
         new = minhash_frame(
             batch, text_col, id_col, num_hashes, shingle_n
         ).localCheckpoint(eager=True)  # 3 consumers; hash text once
@@ -522,11 +542,19 @@ def _rollup_parts(output_dir: str) -> tuple[str | None, int, list[str]]:
     upto = -1
     base = None
     if os.path.islink(base_link):
-        target = os.path.basename(os.readlink(base_link))
-        m = re.search(r"-upto(\d+)-", target)
+        # resolve to the TARGET version dir: reading through the
+        # symlink lets a concurrent compaction flip the link between
+        # this listing and the reader's Spark action, pairing an old
+        # watermark with a NEWER base that already folded some live
+        # dirs — double counting. The graced old version dir exists
+        # precisely so this resolved path stays readable.
+        target = os.readlink(base_link)
+        if not os.path.isabs(target):
+            target = os.path.join(output_dir, target)
+        m = re.search(r"-upto(\d+)-", os.path.basename(target))
         if m:
             upto = int(m.group(1))
-        base = base_link
+        base = target
     live = sorted(
         os.path.join(output_dir, d)
         for d in os.listdir(output_dir)
@@ -560,12 +588,20 @@ def compact_rollup(spark, output_dir: str) -> int:
     import re
     import uuid as _uuid
 
+    from mevi_spark.operators.rollup import merge_rollup_partials
+
     base_link = os.path.join(output_dir, _ROLLUP_BASE)
-    _, upto, live = _rollup_parts(output_dir)
+    base, upto, live = _rollup_parts(output_dir)
     if not live:
         return 0
     hi = max(int(os.path.basename(p)[1:]) for p in live)
-    merged = rollup_state(spark, output_dir)
+    # fold EXACTLY this listing's parts — re-listing inside
+    # rollup_state could absorb a batch dir committed between the two
+    # listings while the published watermark (hi) predates it, leaving
+    # that batch double-counted by every subsequent read
+    merged = merge_rollup_partials(
+        spark.read.parquet(*(([base] if base else []) + live))
+    )
     version = os.path.join(
         output_dir, f"{_ROLLUP_BASE_V}upto{hi:09d}-{_uuid.uuid4().hex[:8]}"
     )
@@ -879,8 +915,18 @@ def incremental_heavy_hitters(
             # or a trim where every counter tied at the cutoff) — that
             # state absorbed nothing identifiable, so merge normally
             last = cur.agg(F.max("last_bid")).first()[0]
-            if last is not None and last >= batch_id:
+            if last is not None and last == batch_id:
                 return  # replayed batch: state already includes it
+            if last is not None and last > batch_id:
+                # a fresh checkpoint restarts batch ids at 0; silently
+                # skipping until they catch up would LOSE every batch —
+                # an output cannot be reused with a different checkpoint
+                raise RuntimeError(
+                    f"heavy-hitters state at {output_dir} already "
+                    f"absorbed batch {last} but the stream is at batch "
+                    f"{batch_id} — reusing an output_dir with a fresh "
+                    f"checkpoint_dir is not supported"
+                )
         local = batch.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
         merged = (
             cur.select(col, "cnt").unionByName(local)

@@ -87,11 +87,11 @@ def _col_equal(a: pd.Series, b: pd.Series) -> bool:
     if ka in ("int", "float"):
         av = pd.to_numeric(a, errors="coerce").to_numpy(dtype="float64")
         bv = pd.to_numeric(b, errors="coerce").to_numpy(dtype="float64")
-        # driver hash is exact — no tolerance
-        return bool(
-            np.array_equal(av, bv)
-            or np.array_equal(np.nan_to_num(av), np.nan_to_num(bv))
-        )
+        # driver hash is exact — no tolerance. NULL/NaN may only equal
+        # NULL/NaN (equal_nan), NEVER 0.0: the old nan_to_num fallback
+        # mapped both NaN and 0.0 to 0.0 and silently passed results
+        # the driver's exact hash rejects.
+        return bool(np.array_equal(av, bv, equal_nan=True))
     return bool((a.fillna("\0") == b.fillna("\0")).all())
 
 

@@ -75,10 +75,21 @@ def main() -> None:
         f"event_id + c*{SHIFT} AS event_id, ts,"
         f" user_id + c*{SHIFT} AS user_id, event_type, value, props",
     )
+    # per-copy tokens are INTERLEAVED every 4 words, not appended: a
+    # single appended suffix leaves copy pairs at Jaccard ≈ S/(S+1) —
+    # still near-duplicates, so the scaled corpus would time an
+    # unrealistically quadratic near-dup workload. Interleaving breaks
+    # every shingle window that crosses an insertion (~3 of every 5),
+    # dropping cross-copy Jaccard to ~0.25, below the 0.5 threshold.
     scale(
         "documents",
         f"doc_id + c*{SHIFT} AS doc_id,"
-        " text || ' copytok' || CAST(c AS VARCHAR) AS text,"
+        " array_to_string(flatten(list_transform("
+        "   range(0, CAST(ceil(len(string_split(text, ' ')) / 4.0) AS INT)),"
+        "   i -> list_append("
+        "          list_slice(string_split(text, ' '), i*4 + 1, i*4 + 4),"
+        "          'ct' || CAST(c AS VARCHAR) || 'x' || CAST(i AS VARCHAR))"
+        " )), ' ') AS text,"
         " lang, source, n_chars",
     )
     scale(
