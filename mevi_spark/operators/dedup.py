@@ -730,7 +730,13 @@ def strip_frequent_lines(
     threshold — by construction a handful of very frequent strings) is
     BROADCAST back, so the marking pass and the reassembly's single
     doc-keyed shuffle never move the boilerplate decision. Same
-    discipline as the shingle df-cut in :func:`ngram_jaccard_pairs`.
+    discipline as the shingle df-cut in :func:`ngram_jaccard_pairs`,
+    and the same collision tradeoff: a 60-bit collision between a
+    frequent line and an innocent one drops the innocent line too
+    (expected collisions ≈ n²/2⁶¹ — ~1 spurious drop per 1.5 billion
+    DISTINCT lines; acceptable for boilerplate stripping, where a rare
+    lost line is noise. Need exactness? Re-key on two independent
+    hash60 seeds — 120 bits — at double the key bytes per shuffle).
     """
     from mevi_spark.functions.text_analysis import hash60
 

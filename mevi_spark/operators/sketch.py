@@ -56,14 +56,19 @@ def misra_gries_candidates(
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
         for pdf in batches:
-            # batch-merge: vectorized per-batch counts, then one
-            # decrement round if over capacity (each round subtracts
-            # an equal amount from >capacity items, preserving the
-            # MG slack bound n_p/(capacity+1))
+            # batch-merge: vectorized per-batch counts, then ONE trim
+            # if over capacity — subtract the (capacity+1)-th largest
+            # counter from every entry and drop the non-positive. At
+            # most `capacity` entries can exceed that cutoff, so a
+            # single subtraction restores the bound (repeated min-
+            # subtraction is O(distinct²) worst case on near-uniform
+            # batches — ADVICE r8); the slack argument is unchanged:
+            # each trim removes d from ≥ capacity+1 counters, so the
+            # cumulative per-item undercount stays ≤ n_p/(capacity+1)
             for term, c in pdf[col].value_counts().items():
                 counters[term] = counters.get(term, 0) + int(c)
-            while len(counters) > capacity:
-                d = min(counters.values())
+            if len(counters) > capacity:
+                d = sorted(counters.values(), reverse=True)[capacity]
                 counters = {
                     t: c - d for t, c in counters.items() if c - d > 0
                 }

@@ -159,8 +159,12 @@ def _reap(parent: str, keep: str) -> None:
             # staging write legitimately exceeds the grace (large
             # layouts), and on a shared stage dir a remote builder's
             # pid always looks dead locally — age is then the only
-            # guard, so it must be necessary, not sufficient.
-            if (pid > 0 and not _pid_alive(pid)) and age > _grace_s():
+            # guard, so it must be necessary, not sufficient. An
+            # UNPARSEABLE pid token (corrupt/foreign dir name) counts
+            # as dead: no live local builder can own it, and skipping
+            # it would leak the dir forever (ADVICE r8).
+            dead = pid <= 0 or not _pid_alive(pid)
+            if dead and age > _grace_s():
                 shutil.rmtree(full, ignore_errors=True)
             continue
         reap_stale([full])

@@ -203,14 +203,30 @@ def merge_into_partitioned(
     hash bucket, a creation date) — a change row carries its key's
     one-and-only partition, so deletes prune correctly. The standard
     lakehouse partitioning rule, stated rather than checked (checking
-    would scan the base).
+    would scan the base). Partition values must be non-NULL: a NULL
+    never matches the ``isin`` prune, so its changes would silently
+    merge against nothing — rejected loudly here.
     """
-    import os
-    import shutil
-
-    touched = [
-        r[0] for r in changes.select(partition_col).distinct().collect()
-    ]
+    touched_rows = (
+        changes.select(
+            F.col(partition_col).alias("_v"),
+            F.col(partition_col).cast("string").alias("_s"),
+        )
+        .distinct()
+        .collect()
+    )
+    if any(r["_v"] is None for r in touched_rows):
+        raise ValueError(
+            f"merge_into_partitioned: NULL {partition_col} in the change "
+            "batch — NULL partition values cannot be pruned or merged "
+            "(module contract)"
+        )
+    touched = [r["_v"] for r in touched_rows]
+    # the exact directory name Spark's writer produces for each value:
+    # cast-to-string is the writer's own value rendering, and
+    # getPartitionPathString applies its Hive escaping — hand-building
+    # f"{col}={p}" breaks on strings needing escaping (':', '=', '%')
+    touched_dirs = {r["_v"]: r["_s"] for r in touched_rows}
     base = spark.read.parquet(base_dir).filter(
         F.col(partition_col).isin(touched)
     )
@@ -230,10 +246,19 @@ def merge_into_partitioned(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # emptied partitions: delete through the Hadoop FileSystem API with
+    # Spark's own partition-path escaping, so the cleanup works on any
+    # base_dir scheme (HDFS/S3A/local) and on string values needing
+    # Hive escaping — a local-only rmtree on a hand-built path silently
+    # no-ops there and resurrects deleted rows (ADVICE r8)
+    jvm = spark._jvm
+    catalog_utils = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    jbase = jvm.org.apache.hadoop.fs.Path(base_dir)
+    fs = jbase.getFileSystem(spark._jsc.hadoopConfiguration())
     for p in touched:
         if p not in survivors:
-            shutil.rmtree(
-                os.path.join(base_dir, f"{partition_col}={p}"),
-                ignore_errors=True,
+            part = catalog_utils.getPartitionPathString(
+                partition_col, touched_dirs[p]
             )
+            fs.delete(jvm.org.apache.hadoop.fs.Path(jbase, part), True)
     return touched

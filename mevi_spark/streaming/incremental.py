@@ -133,12 +133,16 @@ def _publish_grace() -> float:
     return float(v)
 
 
+_META_FILE = "_meta.json"  # underscore-prefixed: invisible to parquet scans
+
+
 def _publish_version(
     out: DataFrame,
     output_dir: str,
     v_prefix: str,
     ln_prefix: str,
     grace: float,
+    meta: dict | None = None,
 ) -> None:
     """Crash-atomic publish: write a fresh version dir, then flip the
     published SYMLINK in one rename — there is no window with no live
@@ -149,7 +153,17 @@ def _publish_version(
     resolved the old target mid-scan survives the flip (VERDICT r6 #5);
     stray tmp links are unlinked immediately (single-writer-per-output
     contract: any ln-prefixed entry left after our flip is ours and
-    dead)."""
+    dead).
+
+    ``meta`` (optional) is persisted as ``_meta.json`` INSIDE the
+    version dir before the flip — out-of-band state (e.g. the
+    heavy-hitters replay guard's last absorbed batch id) that must
+    survive even when the published TABLE is zero rows (ADVICE r8:
+    deriving the batch id from a row column loses it on an
+    empty-summary trim, weakening the undercount invariant under
+    crash-replay). Underscore-prefixed, so parquet scans of the
+    published dir never see it."""
+    import json
     import os
     import uuid as _uuid
 
@@ -159,6 +173,11 @@ def _publish_version(
     os.makedirs(parent, exist_ok=True)
     version = os.path.join(parent, f"{v_prefix}{_uuid.uuid4().hex[:8]}")
     out.write.mode("overwrite").parquet(version)
+    if meta is not None:
+        with open(
+            os.path.join(version, _META_FILE), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(meta, fh)
     tmp_link = os.path.join(parent, f"{ln_prefix}{_uuid.uuid4().hex[:8]}")
     os.symlink(version, tmp_link)
     os.rename(tmp_link, output_dir)  # atomic link replacement
@@ -898,10 +917,18 @@ def incremental_heavy_hitters(
     State is the published summary itself (≤ capacity rows, atomic
     version flip — the ``incremental_topk`` pattern); no state store.
     Counter merges are NOT naturally idempotent (a replayed batch would
-    double-count), so every published row carries the last absorbed
-    batch id and the sink skips a batch the state already absorbed —
-    crash-anywhere replay-safe.
+    double-count), so the last absorbed batch id rides in the version
+    dir's ``_meta.json`` sidecar and the sink skips a batch the state
+    already absorbed — crash-anywhere replay-safe. The sidecar (not a
+    row column) is the guard because a trim can legally publish a
+    ZERO-ROW summary (top capacity+1 counters all tying at the cutoff,
+    e.g. uniform data) — a row-borne batch id vanishes with the rows,
+    and a crash-replay of that batch would then re-merge counts the
+    trim already absorbed, breaking the stored ≤ true undercount
+    invariant (ADVICE r8). ``last_bid`` is still emitted as a column
+    for debuggability and legacy-state compatibility.
     """
+    import json
     import os
 
     v_prefix, ln_prefix = _link_prefixes(output_dir, "hh")
@@ -911,10 +938,16 @@ def incremental_heavy_hitters(
         cur = None
         if os.path.exists(os.path.join(output_dir, "_SUCCESS")):
             cur = spark.read.parquet(output_dir)
-            # max() is None on a zero-row state (an empty first batch,
-            # or a trim where every counter tied at the cutoff) — that
-            # state absorbed nothing identifiable, so merge normally
-            last = cur.agg(F.max("last_bid")).first()[0]
+            last = None
+            meta_path = os.path.join(output_dir, _META_FILE)
+            try:
+                with open(meta_path, encoding="utf-8") as fh:
+                    last = json.load(fh).get("last_bid")
+            except (OSError, ValueError):
+                # legacy state published before the sidecar existed:
+                # fall back to the row column (None on zero rows — the
+                # exact gap the sidecar closes going forward)
+                last = cur.agg(F.max("last_bid")).first()[0]
             if last is not None and last == batch_id:
                 return  # replayed batch: state already includes it
             if last is not None and last > batch_id:
@@ -947,7 +980,12 @@ def incremental_heavy_hitters(
             ).filter(F.col("cnt") > 0)
         out = merged.withColumn("last_bid", F.lit(batch_id).cast("long"))
         _publish_version(
-            out, output_dir, v_prefix, ln_prefix, _publish_grace()
+            out,
+            output_dir,
+            v_prefix,
+            ln_prefix,
+            _publish_grace(),
+            meta={"last_bid": int(batch_id)},
         )
 
     return (

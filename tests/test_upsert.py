@@ -346,3 +346,65 @@ def test_partitioned_merge_removes_emptied_partition(spark):
         }
     finally:
         shutil.rmtree(base_dir.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_partitioned_merge_emptied_partition_escaped_string_value(spark):
+    """The emptied-partition cleanup must go through Spark's own
+    partition-path escaping (ADVICE r8): a string partition value
+    containing ':' and '=' lands in a Hive-escaped directory name that
+    a hand-built f"{col}={value}" path misses — deleting its every key
+    must still remove the directory, not resurrect the rows."""
+    import os
+    import shutil
+    import tempfile
+
+    from mevi_spark.sources.upsert import merge_into_partitioned
+
+    base_dir = tempfile.mkdtemp(prefix="mevi_cdcesc_") + "/t"
+    try:
+        base = spark.createDataFrame(
+            [(1, "a", "x:1=y"), (2, "b", "x:1=y"), (3, "c", "plain")],
+            "k long, val string, p string",
+        )
+        base.write.partitionBy("p").parquet(base_dir)
+        escaped = [
+            d for d in os.listdir(base_dir) if d.startswith("p=x")
+        ]
+        assert escaped and "%3A" in escaped[0]  # ':' Hive-escaped
+        ch = spark.createDataFrame(
+            [(1, None, "x:1=y", "D", 2), (2, None, "x:1=y", "D", 2)],
+            "k long, val string, p string, _op string, _version long",
+        )
+        touched = merge_into_partitioned(spark, base_dir, ch, ["k"], "p")
+        assert touched == ["x:1=y"]
+        got = {(r.k, r.val, r.p) for r in spark.read.parquet(base_dir).collect()}
+        assert got == {(3, "c", "plain")}
+        assert not any(d.startswith("p=x") for d in os.listdir(base_dir))
+    finally:
+        shutil.rmtree(base_dir.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_partitioned_merge_rejects_null_partition_value(spark):
+    """NULL partition values cannot be pruned (isin never matches NULL)
+    — the contract rejects them loudly instead of silently merging the
+    change against nothing."""
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from mevi_spark.sources.upsert import merge_into_partitioned
+
+    base_dir = tempfile.mkdtemp(prefix="mevi_cdcnull_") + "/t"
+    try:
+        spark.createDataFrame(
+            [(1, "a", 0)], "k long, val string, p int"
+        ).write.partitionBy("p").parquet(base_dir)
+        ch = spark.createDataFrame(
+            [(1, "a2", None, "U", 2)],
+            "k long, val string, p int, _op string, _version long",
+        )
+        with pytest.raises(ValueError, match="NULL p"):
+            merge_into_partitioned(spark, base_dir, ch, ["k"], "p")
+    finally:
+        shutil.rmtree(base_dir.rsplit("/", 1)[0], ignore_errors=True)
