@@ -252,6 +252,61 @@ def assign_nearest(
     return vectors.select(id_col, vec_col, *keep).withColumn(out_code, best)
 
 
+def assign_topr(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    r: int,
+    out_code: str = "code",
+    keep: tuple[str, ...] = (),
+    entries: list[tuple[int, list[float], float]] | None = None,
+) -> DataFrame:
+    """Doc-side top-R multi-cluster assignment — the reference's
+    ``gen_pq_doc_topk`` recall booster (``MEVI/main_models.py:
+    3246-3270``; SURVEY A1 "top-R multi-cluster variant"): place each
+    vector in its R nearest clusters instead of only the argmin, so the
+    coarse probe finds boundary documents the single assignment loses.
+    Returns ``(id_col, *keep, rank, out_code)`` — R rows per vector,
+    ``rank`` 1-based by (distance asc, code asc).
+
+    The k>1 generalization of :func:`assign_nearest`'s ``expr`` path:
+    the SAME per-centroid ``(d, code)`` structs, but ``sort_array`` +
+    ``slice`` instead of ``array_min`` — struct lexicographic ordering
+    keeps the identical tie-break, so ``r=1`` reduces EXACTLY to
+    ``assign_nearest`` (pinned in ``tests/test_rq.py``). Still one
+    map-only projection — zero shuffle at any corpus size; the output
+    table is R·n rows, the storage cost the reference pays for the
+    recall (the cluster-partitioned layout then holds each doc in R
+    partitions, and the coarse scan prunes exactly as before).
+    """
+    if entries is None:
+        entries = centroid_entries(centroids)
+    cents_sql = ",".join(
+        f"named_struct('d',{sql_double(cc)},'c',{int(code)}L,"
+        f"'cent',{sql_double_array(cent)})"
+        for code, cent, cc in entries
+    )
+    v_sql = f"cast({sql_ident(vec_col)} AS array<double>)"
+    topr = F.expr(
+        f"slice(sort_array(transform(array({cents_sql}), e -> named_struct("
+        f"'d', e.d - 2.0D * aggregate(zip_with({v_sql}, e.cent,"
+        f" (x, y) -> x * y), 0.0D, (acc, x) -> acc + x),"
+        f"'c', e.c))), 1, {int(r)})"
+    )
+    return (
+        vectors.select(id_col, vec_col, *keep)
+        .withColumn("_topr", topr)
+        .select(id_col, *keep, F.posexplode("_topr").alias("_p0", "_e"))
+        .select(
+            id_col,
+            *keep,
+            (F.col("_p0") + 1).cast("int").alias("rank"),
+            F.col("_e.c").alias(out_code),
+        )
+    )
+
+
 def subtract_centroid(
     assigned: DataFrame,
     centroids: DataFrame,

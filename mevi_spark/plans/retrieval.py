@@ -28,6 +28,7 @@ from mevi_spark.operators.beam import enumerate_all_codes, rq_beam_search
 from mevi_spark.operators.dedup import deterministic_planes
 from mevi_spark.operators.ensemble import fuse_runs
 from mevi_spark.operators.metrics import evaluate_run
+from mevi_spark.operators.opq import hadamard_rotation
 from mevi_spark.operators.projection import (
     cluster_positional_projection,
     projection_weights,
@@ -2348,4 +2349,388 @@ def pq_ivf_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return topk_per_group(
         scores, ["qid"], "score_e6", 10, tiebreak_cols=["vec_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# OPQ rotated product quantization (vector-compression family:
+# RQ / ADC / SQ8 / PQ / OPQ)
+
+# the fixed structured rotation for the cross-engine row: normalized
+# Sylvester-Hadamard (entries exactly ±0.125 at d=64), inlined as the
+# SAME literal in the Spark plan and the DuckDB oracle — see
+# operators/opq.py::hadamard_rotation for why the cross-engine row pins
+# the rotate→encode→reconstruct pipeline on a fixed rotation while the
+# data-dependent PCA trainer (an eigendecomposition — not
+# SQL-expressible) is pinned by pytest
+_OPQ_ROT = hadamard_rotation(64)
+_SQL_OPQ_ROT = (
+    "["
+    + ",".join(
+        "[" + ",".join(repr(x) for x in row) + "]" for row in _OPQ_ROT
+    )
+    + "]"
+)
+
+
+@register(
+    "opq_encode_reconstruct",
+    oracle=f"""
+WITH rr AS (SELECT {_SQL_OPQ_ROT}::DOUBLE[][] AS rot),
+rotemb AS (
+  SELECT e.vec_id, e.label,
+         list_transform(rr.rot,
+                        r -> list_dot_product(r, e.embedding::DOUBLE[])) AS v
+  FROM embeddings e, rr),
+cent AS (
+  SELECT label AS code, pos,
+         CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS m
+  FROM (SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+        FROM rotemb)
+  GROUP BY label, pos),
+centlist AS (SELECT code, list(m ORDER BY pos) AS centroid
+             FROM cent GROUP BY code),
+sub AS (
+  SELECT CAST(s.m AS INT) AS m, cl.code,
+         list_slice(cl.centroid, s.m * 16 + 1, s.m * 16 + 16) AS c
+  FROM centlist cl, (SELECT unnest(range(0, 4)) AS m) s),
+codes AS (
+  SELECT vec_id, m, code, CAST(ROUND((vv + d) * 1000000) AS BIGINT) AS err_e6
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn
+    FROM (
+      SELECT v.vec_id, v.m, s.code,
+             list_dot_product(s.c, s.c)
+               - 2 * list_dot_product(v.sub, s.c) AS d,
+             list_dot_product(v.sub, v.sub) AS vv
+      FROM (SELECT re.vec_id, s2.m,
+                   list_slice(re.v, s2.m * 16 + 1, s2.m * 16 + 16) AS sub
+            FROM rotemb re,
+                 (SELECT CAST(unnest(range(0, 4)) AS INT) AS m) s2) v
+      JOIN sub s USING (m)))
+  WHERE rn = 1)
+SELECT vec_id, m, code, err_e6 FROM codes
+""",
+)
+def opq_encode_reconstruct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ — rotated product quantization, the reference's third
+    quantizer type (``MEVI/pq.py:60-72`` ``pq_type in
+    ('pq','opq','rq')``; rotation applied as ``vecs @ rotate.T`` at
+    ``MEVI/pq.py:320-321``): ONE map-only matmul expression rotates
+    each vector (``operators/opq.py::rotate_expr`` — broadcast d×d
+    literal, left-to-right folds bit-matching DuckDB's
+    ``list_dot_product``), then the ENTIRE existing PQ path runs
+    unchanged on rotated vectors: label-mean codebook in rotated space
+    (means commute with rotation), subspace split, argmin encode.
+    ``err_e6`` certifies reconstruction — and because the rotation is
+    orthogonal, the rotated-space residual norm IS the original-space
+    reconstruction error. The data-dependent PCA rotation trainer
+    (Ge et al. 2013 parametric init) is exercised by
+    ``tests/test_opq.py`` (MSE ≤ plain PQ on an anisotropic fixture)."""
+    from mevi_spark.operators.opq import rotate_expr
+    from mevi_spark.operators.pq import (
+        pq_codebook_from_centroids,
+        pq_encode,
+        split_subvectors,
+    )
+
+    emb = _emb(spark, sf_dir)
+    rot = emb.select(
+        "vec_id",
+        rotate_expr(_OPQ_ROT, "embedding").alias("embedding"),
+        "label",
+    )
+    cents = rq_level_centroids(rot, code_col="label", vec_col="embedding")
+    cb = pq_codebook_from_centroids(cents, 4, 16)
+    return pq_encode(split_subvectors(rot, 4, 16), cb)
+
+
+# ---------------------------------------------------------------------------
+# doc-side top-R multi-cluster assignment (A1 variant) + coarse recall
+
+
+@register(
+    "rq_assign_topr",
+    oracle=f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cl AS ({_SQL_CENT_LIST}),
+s AS (SELECT d.vec_id, cl.code,
+             list_dot_product(cl.centroid, cl.centroid)
+               - 2 * list_dot_product(d.v, cl.centroid) AS dist
+      FROM d, cl)
+SELECT vec_id, CAST(rn AS INT) AS rank, code FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY dist ASC, code ASC) AS rn
+  FROM s)
+WHERE rn <= 3
+""",
+)
+def rq_assign_topr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-side top-R multi-cluster assignment (R=3) — the reference's
+    ``gen_pq_doc_topk`` (``MEVI/main_models.py:3246-3270``; SURVEY A1
+    "top-R multi-cluster variant"): every vector lands in its 3
+    nearest label-mean clusters, rank-ordered. One map-only
+    sorted-struct expression per row (``operators/rq.py::assign_topr``
+    — the k>1 generalization of ``assign_nearest``, zero shuffle);
+    R=1 reduces exactly to the single assignment (pinned in
+    ``tests/test_rq.py``)."""
+    from mevi_spark.operators.rq import assign_topr
+
+    emb = _emb(spark, sf_dir)
+    cents = rq_level_centroids(emb, code_col="label", vec_col="embedding")
+    return assign_topr(emb, cents, "vec_id", "embedding", 3)
+
+
+@register(
+    "multi_assign_recall",
+    oracle=f"""
+WITH q AS ({_SQL_Q}), d AS ({_SQL_D}),
+cl AS ({_SQL_CENT_LIST}),
+gt AS (SELECT query_id, doc_id FROM (
+   SELECT q.query_id, d.doc_id, ROW_NUMBER() OVER (
+     PARTITION BY q.query_id
+     ORDER BY list_dot_product(q.qv, d.dv) DESC, d.doc_id ASC) AS rn
+   FROM q, d) WHERE rn <= 10),
+qp AS (SELECT query_id, code AS qcode FROM (
+   SELECT q.query_id, cl.code, ROW_NUMBER() OVER (
+     PARTITION BY q.query_id
+     ORDER BY list_dot_product(cl.centroid, cl.centroid)
+                - 2 * list_dot_product(q.qv, cl.centroid) ASC,
+              cl.code ASC) AS rn
+   FROM q, cl) WHERE rn = 1),
+dr AS (SELECT doc_id, code AS dcode, CAST(rn AS INT) AS rank FROM (
+   SELECT d.doc_id, cl.code, ROW_NUMBER() OVER (
+     PARTITION BY d.doc_id
+     ORDER BY list_dot_product(cl.centroid, cl.centroid)
+                - 2 * list_dot_product(d.dv, cl.centroid) ASC,
+              cl.code ASC) AS rn
+   FROM d, cl) WHERE rn <= 3),
+fr AS (SELECT gt.query_id, gt.doc_id, MIN(dr.rank) AS first_r
+       FROM gt JOIN qp USING (query_id)
+       JOIN dr ON dr.doc_id = gt.doc_id AND dr.dcode = qp.qcode
+       GROUP BY gt.query_id, gt.doc_id),
+ex AS (SELECT gt.query_id, gt.doc_id, fr.first_r, rr.r
+       FROM gt LEFT JOIN fr USING (query_id, doc_id),
+            (SELECT unnest([1, 2, 3]) AS r) rr)
+SELECT CAST(r AS INT) AS r,
+       CAST(SUM(CASE WHEN first_r <= r THEN 1 ELSE 0 END) AS BIGINT)
+         AS hits,
+       CAST(ROUND(1000000.0
+         * SUM(CASE WHEN first_r <= r THEN 1 ELSE 0 END)
+         / COUNT(*)) AS BIGINT) AS recall_e6
+FROM ex GROUP BY r
+""",
+)
+def multi_assign_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse recall of top-R multi-assignment: for each exact-top-10
+    (query, doc) pair, does the doc's top-R cluster set contain the
+    query's nearest cluster? Multi-assignment exists to raise exactly
+    this number (``gen_pq_doc_topk``'s purpose in the reference): the
+    R=1 row is plain single-assignment coarse recall, and the hit sets
+    are NESTED in R, so recall is monotone by construction — the
+    driver-checked rows certify the actual recall values against the
+    oracle and the monotone property is re-asserted in
+    ``tests/test_rq.py``. Plan shape: two map-only assignment
+    projections, the bounded (10·nq-row) ground-truth run, one
+    broadcast-sized join fan, one 3-way literal explode — no new
+    corpus-sized shuffle."""
+    from mevi_spark.operators.rq import assign_topr
+
+    emb = _emb(spark, sf_dir)
+    cents = rq_level_centroids(emb, code_col="label", vec_col="embedding")
+    gt = _ann_run(spark, sf_dir).select("query_id", "doc_id")
+    qp = assign_topr(
+        _queries(spark, sf_dir), cents, "query_id", "query_vec", 1,
+        out_code="qcode",
+    ).drop("rank")
+    dr = assign_topr(
+        _docs(spark, sf_dir), cents, "doc_id", "doc_vec", 3,
+        out_code="dcode",
+    )
+    fr = (
+        gt.join(qp, "query_id")
+        .join(dr, "doc_id")
+        .filter(F.col("dcode") == F.col("qcode"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("rank").alias("first_r"))
+    )
+    hit = F.when(F.col("first_r") <= F.col("r"), 1).otherwise(0)
+    return (
+        gt.join(fr, ["query_id", "doc_id"], "left")
+        .select(
+            "first_r", F.explode(F.expr("array(1, 2, 3)")).alias("r")
+        )
+        .groupBy("r")
+        .agg(
+            F.sum(hit).alias("hits"),
+            F.count(F.lit(1)).alias("_total"),
+        )
+        .select(
+            "r",
+            "hits",
+            F.round(1000000.0 * F.col("hits") / F.col("_total"))
+            .cast("long")
+            .alias("recall_e6"),
+        )
+    )
+
+
+@register(
+    "pq_ivf_recall_curve",
+    oracle=f"""
+WITH sub AS ({_SQL_PQ_SUB}),
+codes AS ({_SQL_PQ_CODES}),
+q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 50 = 0),
+lut AS (
+  SELECT q.qid, s.m, s.code,
+         CAST(ROUND(list_dot_product(
+           list_slice(q.qv, s.m * 16 + 1, s.m * 16 + 16), s.c)
+           * 1000000) AS BIGINT) AS p_e6
+  FROM q, sub s),
+fullsc AS (
+  SELECT l.qid, c.vec_id, CAST(SUM(l.p_e6) AS BIGINT) AS score_e6
+  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+  GROUP BY l.qid, c.vec_id),
+gt AS (SELECT qid, vec_id AS doc_id FROM (
+   SELECT *, ROW_NUMBER() OVER (
+     PARTITION BY qid ORDER BY score_e6 DESC, vec_id ASC) AS rn
+   FROM fullsc) WHERE rn <= 10),
+coarse AS (
+  SELECT qid, code, CAST(rn AS INT) AS prank FROM (
+    SELECT q.qid, c.code, ROW_NUMBER() OVER (
+      PARTITION BY q.qid ORDER BY
+        list_dot_product(q.qv, c.centroid) DESC,
+        c.code ASC) AS rn
+    FROM q, ({_SQL_CENT_LIST}) c) WHERE rn <= 3),
+cand AS (
+  SELECT co.qid, e.vec_id, MIN(co.prank) AS mp
+  FROM embeddings e JOIN coarse co ON e.label = co.code
+  GROUP BY co.qid, e.vec_id),
+sc AS (
+  SELECT ca.qid, ca.vec_id, ca.mp,
+         CAST(SUM(l.p_e6) AS BIGINT) AS score_e6
+  FROM cand ca
+  JOIN codes c ON c.vec_id = ca.vec_id
+  JOIN lut l ON l.qid = ca.qid AND l.m = c.m AND l.code = c.code
+  GROUP BY ca.qid, ca.vec_id, ca.mp),
+top AS (
+  SELECT nprobe, qid, vec_id FROM (
+    SELECT np.nprobe, sc.qid, sc.vec_id, ROW_NUMBER() OVER (
+      PARTITION BY np.nprobe, sc.qid
+      ORDER BY sc.score_e6 DESC, sc.vec_id ASC) AS rn
+    FROM sc, (SELECT unnest([1, 2, 3]) AS nprobe) np
+    WHERE sc.mp <= np.nprobe)
+  WHERE rn <= 10),
+gfan AS (
+  SELECT np.nprobe, gt.qid, gt.doc_id
+  FROM gt, (SELECT unnest([1, 2, 3]) AS nprobe) np),
+ex AS (
+  SELECT g.nprobe, g.qid, g.doc_id,
+         CASE WHEN top.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM gfan g
+  LEFT JOIN top ON top.nprobe = g.nprobe AND top.qid = g.qid
+                AND top.vec_id = g.doc_id)
+SELECT CAST(nprobe AS INT) AS nprobe,
+       CAST(SUM(hit) AS BIGINT) AS hits,
+       CAST(ROUND(1000000.0 * SUM(hit) / COUNT(*)) AS BIGINT)
+         AS recall_e6
+FROM ex GROUP BY nprobe
+""",
+)
+def pq_ivf_recall_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ recall-vs-nprobe curve — ANN *quality*, not just hash
+    parity, as a driver-checked row (VERDICT r8 next-round #7): for
+    nprobe ∈ {1,2,3}, recall@10 of the composed IVF-PQ scan
+    (``pq_ivf_adc_topk``'s probe → prune → ADC pipeline) against the
+    FULL-PROBE ADC top-10 — the same reference set as the r6 pytest
+    (``tests/test_ann.py::test_adc_recall_curve_monotone``): same
+    quantization on both sides, so the knob under test is candidate
+    coverage (faiss ``IndexIVFPQ.nprobe`` semantics) and recall is
+    PROVABLY non-decreasing — any admitted doc outscoring a reference
+    doc is itself in the reference set. (Against raw-exact ground
+    truth ADC recall is NOT monotone — a newly admitted candidate's
+    quantization error can displace a true hit; that comparison lives
+    in ``multi_assign_recall`` and the LSH/IVF pytests.) Monotonicity
+    re-asserted in ``tests/test_pq.py``; the driver row certifies the
+    exact (nprobe, hits, recall_e6) values. Plan shape: the ADC
+    scoring runs ONCE over the union of all probed clusters (each
+    candidate carries its min probe rank); per-nprobe ranking is a
+    3-way literal explode over the bounded candidate scores — no
+    per-nprobe corpus rescan."""
+    from mevi_spark.operators.ann import probe_codes_expr
+    from mevi_spark.operators.pq import (
+        adc_lut,
+        pq_codebook_from_centroids,
+        pq_encode,
+        split_subvectors,
+    )
+    from mevi_spark.operators.rq import centroid_entries
+    from mevi_spark.operators.topk import topk_per_group
+
+    emb = _emb(spark, sf_dir)
+    cents = rq_level_centroids(emb, code_col="label", vec_col="embedding")
+    cb = pq_codebook_from_centroids(cents, 4, 16)
+    codes = pq_encode(split_subvectors(emb, 4, 16), cb).drop("err_e6")
+    qf = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    probe = probe_codes_expr(centroid_entries(cents), "qv", 3, "ip")
+    probes = qf.select(
+        "qid", F.posexplode(probe).alias("_p0", "_c")
+    ).select(
+        "qid",
+        F.col("_c").cast("int").alias("label"),
+        (F.col("_p0") + 1).cast("int").alias("prank"),
+    )
+    cand = (
+        emb.select("vec_id", "label")
+        .join(F.broadcast(probes), "label")
+        .groupBy("qid", "vec_id")
+        .agg(F.min("prank").alias("mp"))
+    )
+    qs = split_subvectors(qf, 4, 16, id_col="qid", vec_col="qv")
+    lut = adc_lut(qs, cb)
+    sc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["qid", "m", "code"])
+        .groupBy("qid", "vec_id", "mp")
+        .agg(F.sum("p_e6").alias("score_e6"))
+    )
+    fan = sc.select(
+        "qid", "vec_id", "mp", "score_e6",
+        F.explode(F.expr("array(1, 2, 3)")).alias("nprobe"),
+    ).filter(F.col("mp") <= F.col("nprobe"))
+    top = topk_per_group(
+        fan, ["nprobe", "qid"], "score_e6", 10, tiebreak_cols=["vec_id"]
+    ).select("nprobe", "qid", "vec_id", F.lit(1).alias("_hit"))
+    from mevi_spark.operators.pq import adc_scan_scores
+
+    gt = (
+        topk_per_group(
+            adc_scan_scores(codes, lut),
+            ["qid"], "score_e6", 10, tiebreak_cols=["vec_id"],
+        )
+        .select(
+            "qid", "vec_id",
+            F.explode(F.expr("array(1, 2, 3)")).alias("nprobe"),
+        )
+    )
+    return (
+        gt.join(top, ["nprobe", "qid", "vec_id"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("hits"),
+            F.count(F.lit(1)).alias("_total"),
+        )
+        .select(
+            "nprobe",
+            "hits",
+            F.round(1000000.0 * F.col("hits") / F.col("_total"))
+            .cast("long")
+            .alias("recall_e6"),
+        )
     )

@@ -123,3 +123,27 @@ def test_ivf_pq_full_probe_equals_exhaustive_adc(fixture):
         ).collect()
     }
     assert pruned == exhaustive
+
+
+def test_recall_curves_monotone(spark, sf_dir):
+    """The registered recall rows (``pq_ivf_recall_curve``,
+    ``multi_assign_recall``) must be non-decreasing in nprobe / R —
+    the candidate sets are nested, so more probes or assignments can
+    only add hits. The driver row certifies the exact values; this
+    pins the property the curve exists to demonstrate."""
+    from mevi_spark.plans.registry import get_queries
+
+    qs = get_queries()
+    curve = {
+        r.nprobe: (r.hits, r.recall_e6)
+        for r in qs["pq_ivf_recall_curve"](spark, sf_dir).collect()
+    }
+    assert sorted(curve) == [1, 2, 3]
+    assert curve[1][1] <= curve[2][1] <= curve[3][1]
+    assert curve[1][0] >= 1  # nprobe=1 already finds same-cluster NNs
+    ma = {
+        r.r: r.recall_e6
+        for r in qs["multi_assign_recall"](spark, sf_dir).collect()
+    }
+    assert sorted(ma) == [1, 2, 3]
+    assert ma[1] <= ma[2] <= ma[3]

@@ -205,3 +205,50 @@ def test_level_centroids_arrow_matches_sql(spark, sf_dir):
     assert set(a) == set(b)
     for code in a:
         np.testing.assert_allclose(a[code], b[code], rtol=1e-12, atol=1e-12)
+
+
+def test_assign_topr_r1_reduces_to_assign_nearest(spark, sf_dir):
+    """The top-R generalization at R=1 must reproduce assign_nearest
+    EXACTLY (same struct ordering, same (d asc, code asc) tie-break) —
+    the reduction VERDICT r8 asks to pin."""
+    from mevi_spark.operators.rq import (
+        assign_nearest,
+        assign_topr,
+        rq_level_centroids,
+    )
+
+    df = _vecs(spark, sf_dir)
+    cents = rq_level_centroids(df, code_col="label", vec_col="vector")
+    single = {
+        r.id: r.code
+        for r in assign_nearest(df, cents, "id", "vector").collect()
+    }
+    top1 = assign_topr(df, cents, "id", "vector", 1).collect()
+    assert all(r.rank == 1 for r in top1)
+    assert {r.id: r.code for r in top1} == single
+
+
+def test_assign_topr_ranks_by_distance_and_nests(spark, sf_dir):
+    """R=3 rows per vector, rank-ordered by true L2 distance (NumPy
+    oracle), and the R=2 set is a prefix of the R=3 set."""
+    from mevi_spark.operators.rq import assign_topr, rq_level_centroids
+
+    df = _vecs(spark, sf_dir)
+    cents = rq_level_centroids(df, code_col="label", vec_col="vector")
+    cent_map = {
+        r.code: np.array(r.centroid) for r in cents.collect()
+    }
+    rows = df.collect()
+    mat = {r.id: np.array(r.vector, dtype=np.float64) for r in rows}
+    got3 = {}
+    for r in assign_topr(df, cents, "id", "vector", 3).collect():
+        got3.setdefault(r.id, []).append((r.rank, r.code))
+    got2 = {}
+    for r in assign_topr(df, cents, "id", "vector", 2).collect():
+        got2.setdefault(r.id, []).append((r.rank, r.code))
+    codes = sorted(cent_map)
+    for vid, v in mat.items():
+        d = {c: float(((v - cent_map[c]) ** 2).sum()) for c in codes}
+        want = sorted(codes, key=lambda c: (d[c], c))[:3]
+        assert [c for _rk, c in sorted(got3[vid])] == want, vid
+        assert sorted(got2[vid]) == sorted(got3[vid])[:2], vid
