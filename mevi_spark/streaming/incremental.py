@@ -143,6 +143,7 @@ def _publish_version(
     ln_prefix: str,
     grace: float,
     meta: dict | None = None,
+    partition_by: str | None = None,
 ) -> None:
     """Crash-atomic publish: write a fresh version dir, then flip the
     published SYMLINK in one rename — there is no window with no live
@@ -172,7 +173,13 @@ def _publish_version(
     parent = os.path.dirname(os.path.abspath(output_dir))
     os.makedirs(parent, exist_ok=True)
     version = os.path.join(parent, f"{v_prefix}{_uuid.uuid4().hex[:8]}")
-    out.write.mode("overwrite").parquet(version)
+    writer = out.write.mode("overwrite")
+    if partition_by is not None:
+        # partition-pruned readers (the near-dup bucket probe) — the
+        # version dir is hive-partitioned so a bucket filter reads only
+        # its directories
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(version)
     if meta is not None:
         with open(
             os.path.join(version, _META_FILE), "w", encoding="utf-8"
@@ -349,6 +356,14 @@ def incremental_merge(
     )
 
 
+def band_bucket_expr(n_buckets: int):
+    """The bucket a ``(band, key)`` row lives in — shared by the index
+    writer and the probe so layout and pruning can never diverge."""
+    return F.pmod(F.xxhash64("band", "key"), F.lit(int(n_buckets))).cast(
+        "int"
+    )
+
+
 def incremental_neardup(
     stream_df: DataFrame,
     output_dir: str,
@@ -359,6 +374,7 @@ def incremental_neardup(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    n_buckets: int = 8,
 ):
     """Incremental MinHash near-dup maintenance: keep the banded
     signature index AND the verified near-dup pair set current while
@@ -374,12 +390,15 @@ def incremental_neardup(
        (:func:`~mevi_spark.operators.dedup.minhash_frame` — one md5
        pass over the arriving text, never the corpus);
     2. candidates = batch-vs-index probe (the batch's band keys
-       BROADCAST against the partitioned index — map-side, the index
-       never shuffles) ∪ batch-internal LSH self-join;
-    3. exact-Jaccard verification of the candidates against the
-       stored shingle sets;
-    4. publish index ∪ batch and pairs ∪ verified, each by the shared
-       atomic symlink flip.
+       BROADCAST against the BUCKET-PRUNED band table — map-side, the
+       index never shuffles, and only the band buckets the batch's
+       keys hash into are even read) ∪ batch-internal LSH self-join;
+    3. exact-Jaccard verification of the candidates — shingle sets
+       fetched from the docs table by candidate-keyed join, never
+       carried through the probe;
+    4. publish docs ∪ batch, bands ∪ batch keys (hive-partitioned by
+       bucket), and pairs ∪ verified, each by the shared atomic
+       symlink flip.
 
     Convergence: a qualifying pair (a, b) with b arriving no earlier
     than a is found exactly when b's batch runs — a is then in the
@@ -396,19 +415,29 @@ def incremental_neardup(
 
     100 TB cost accounting, stated plainly: the index is corpus-scale
     by nature (it carries each doc's shingle set for exact-Jaccard
-    verification — the corpus's normalized n-gram projection), and
-    the broadcast probe STREAMS it map-side, so each micro-batch costs
-    one index scan with zero index shuffle — already far below the
-    batch path's full re-pair, but still O(corpus) reads per batch.
-    The deployment refinement when that scan dominates: lay the index
-    out bucketed by a hash of the band key (``sources/bucketed.py``)
-    so the probe prunes to the buckets the batch's keys hash into
-    (batch-sized, not corpus-sized), and fetch shingle sets for
-    verification by a candidate-keyed join instead of carrying them
-    through the probe. Same operators, one extra layout decision —
-    deliberately not hard-wired here because the bucket count is a
-    deployment-sizing choice.
+    verification — the corpus's normalized n-gram projection), so the
+    PROBE must never pay corpus-sized reads. The band-key table is
+    therefore maintained MATERIALIZED (no per-batch re-banding of the
+    docs index) and hive-partitioned by ``pmod(hash64(band, key),
+    n_buckets)``: the probe filters to the buckets the batch's band
+    keys hash into, which Spark pushes into PartitionFilters — at most
+    ``min(bands·|batch|, n_buckets)`` of the ``n_buckets`` bucket
+    directories are opened per batch, batch-proportional, not
+    corpus-proportional (pruning pinned by
+    ``tests/test_streaming_maintenance.py``). Shingle sets never ride
+    the probe; verification fetches them from the docs table by a
+    candidate-keyed join. ``n_buckets`` is the deployment-sizing knob
+    (fraction of the band table a batch reads ≈ batch keys/n_buckets);
+    it is pinned per index in the band table's ``_meta.json`` sidecar
+    and a restart with a different value fails loudly — the old rows'
+    bucket assignment would silently miss probes otherwise. Honest
+    residual cost: each publish still REWRITES the full band/docs
+    tables (the price of crash-atomic versioned flips); a deployment
+    that outgrows that trades the multi-version reader guarantee for
+    in-place dynamic partition overwrite of only the touched buckets
+    (``sources/upsert.py::merge_into_partitioned``'s mechanics).
     """
+    import json
     import os
 
     from mevi_spark.operators.dedup import (
@@ -419,8 +448,10 @@ def incremental_neardup(
     )
 
     idx_dir = os.path.join(output_dir, "index")
+    bands_dir = os.path.join(output_dir, "bands")
     pairs_dir = os.path.join(output_dir, "pairs")
     vi, li = _link_prefixes(idx_dir, "ndidx")
+    vb, lb = _link_prefixes(bands_dir, "ndband")
     vp, lp = _link_prefixes(pairs_dir, "ndpair")
 
     def sink(batch: DataFrame, _batch_id: int) -> None:
@@ -455,29 +486,60 @@ def incremental_neardup(
         nb = banded_keys(
             new.filter(F.size("shingles") > 0),
             "doc_id", "sig", bands, sig_len=num_hashes,
-        )
-        ib = banded_keys(
-            idx.filter(F.size("shingles") > 0),
-            "doc_id", "sig", bands, sig_len=num_hashes,
-        )
-        cross = (
-            ib.join(
-                F.broadcast(
-                    nb.select(F.col("_id").alias("_bid"), "band", "key")
-                ),
-                ["band", "key"],
+        ).withColumn("_bkt", band_bucket_expr(n_buckets)).localCheckpoint(
+            eager=True
+        )  # probe + bucket-list + band-table merge: band the batch once
+        ib = None
+        if os.path.exists(os.path.join(bands_dir, "_SUCCESS")):
+            meta_path = os.path.join(bands_dir, _META_FILE)
+            try:
+                with open(meta_path, encoding="utf-8") as fh:
+                    stored = json.load(fh).get("n_buckets")
+            except (OSError, ValueError):
+                stored = None
+            if stored is not None and stored != n_buckets:
+                raise RuntimeError(
+                    f"near-dup band table at {bands_dir} is bucketed "
+                    f"with n_buckets={stored}; reopening it with "
+                    f"n_buckets={n_buckets} would mis-route probes — "
+                    f"rebuild the index or keep the original value"
+                )
+            ib = spark.read.parquet(bands_dir)
+        elif os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
+            # legacy index published before the band table existed:
+            # rebuild bands from the docs index ONCE (the old per-batch
+            # re-banding, now paid a single time at migration)
+            ib = banded_keys(
+                idx.filter(F.size("shingles") > 0),
+                "doc_id", "sig", bands, sig_len=num_hashes,
+            ).withColumn("_bkt", band_bucket_expr(n_buckets))
+        if ib is not None:
+            bkts = [r[0] for r in nb.select("_bkt").distinct().collect()]
+            probe_src = (
+                ib.filter(F.col("_bkt").isin(bkts)) if bkts else ib.limit(0)
             )
-            .filter(F.col("_id") != F.col("_bid"))
-            .select(
-                F.least("_id", "_bid").alias("id_a"),
-                F.greatest("_id", "_bid").alias("id_b"),
+            cross = (
+                probe_src.join(
+                    F.broadcast(
+                        nb.select(F.col("_id").alias("_bid"), "band", "key")
+                    ),
+                    ["band", "key"],
+                )
+                .filter(F.col("_id") != F.col("_bid"))
+                .select(
+                    F.least("_id", "_bid").alias("id_a"),
+                    F.greatest("_id", "_bid").alias("id_b"),
+                )
             )
-        )
+        else:
+            cross = None
         internal = lsh_candidate_pairs(
             new.select("doc_id", "sig"), "doc_id", "sig", bands,
             sig_len=num_hashes,
         )
-        cands = cross.unionByName(internal).distinct()
+        cands = (
+            internal if cross is None else cross.unionByName(internal)
+        ).distinct()
         shingled = idx.select("doc_id", "shingles").unionByName(
             new.select("doc_id", "shingles")
         )
@@ -496,6 +558,24 @@ def incremental_neardup(
             F.broadcast(new.select("doc_id")), "doc_id", "left_anti"
         ).unionByName(new)
         _publish_version(merged_idx, idx_dir, vi, li, _publish_grace())
+        merged_bands = (
+            nb
+            if ib is None
+            else ib.join(
+                F.broadcast(new.select(F.col("doc_id").alias("_id"))),
+                "_id",
+                "left_anti",
+            ).unionByName(nb)
+        )
+        _publish_version(
+            merged_bands,
+            bands_dir,
+            vb,
+            lb,
+            _publish_grace(),
+            meta={"n_buckets": int(n_buckets)},
+            partition_by="_bkt",
+        )
 
     return (
         stream_df.writeStream.foreachBatch(sink)
