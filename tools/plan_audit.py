@@ -11,16 +11,22 @@ inspects the physical plan for:
   crossJoin (K-row codebook fan-outs, the beam's per-level expansion,
   diagnostic all-code enumeration, grid configs) are listed in
   ``BOUNDED_CROSS_OK`` with the bounding argument;
-* Exchange count — informational (shuffles are fine; the count makes
-  regressions visible round over round);
+* Exchange count — PINNED against ``tools/plan_baseline.json``
+  (VERDICT r8 next-round #6): ``--check`` fails on any INCREASE over
+  the committed count (a silent extra shuffle is exactly the
+  regression class the DPP/broadcast shape pins already catch for
+  their queries), and on queries missing from the baseline. Decreases
+  are improvements — reported, and ``--update`` re-pins them;
 * whole-stage codegen presence — informational.
 
 Usage::
 
-    python tools/plan_audit.py [sf_dir]        # default sf0.001
-    python tools/plan_audit.py sf_dir name...  # filter by substring
+    python tools/plan_audit.py [sf_dir] [name...]   # report (default sf0.001)
+    python tools/plan_audit.py --check [sf_dir]     # fail on exchange regressions
+    python tools/plan_audit.py --update [sf_dir]    # re-pin plan_baseline.json
 
-Exit code 1 if any UNsanctioned unbounded join appears.
+Exit code 1 if any UNsanctioned unbounded join appears (any mode), or
+in ``--check`` mode on any exchange-count increase / unpinned query.
 """
 
 from __future__ import annotations
@@ -31,6 +37,10 @@ import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "plan_baseline.json"
+)
 
 # lineages where a cross product is BOUNDED by construction: one side is
 # a K-row (or K^2 / grid-sized) literal/codebook frame, never corpus²
@@ -54,17 +64,13 @@ BOUNDED_CROSS_OK = {
 }
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    filters = sys.argv[2:]
-
+def audit(spark, sf_dir: str, filters: tuple[str, ...] = ()) -> list[dict]:
+    """Build every (filtered) registered query's plan and report the
+    join-shape / exchange-count / codegen facts."""
     from mevi_spark.plans import registry
-    from mevi_spark.session import get_spark
 
-    spark = get_spark("plan-audit", cpus=8, shuffle_partitions=8)
     qs = registry.get_queries()
-
-    report, bad = [], []
+    report = []
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
             continue
@@ -73,7 +79,6 @@ def main() -> None:
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # noqa: BLE001
             report.append({"query": name, "error": str(exc)[:200]})
-            bad.append(name)
             continue
         cart = "CartesianProduct" in plan
         bnlj = "BroadcastNestedLoopJoin" in plan
@@ -86,15 +91,112 @@ def main() -> None:
         }
         if (cart or bnlj) and name not in BOUNDED_CROSS_OK:
             entry["verdict"] = "UNBOUNDED-JOIN"
-            bad.append(name)
         elif cart or bnlj:
             entry["verdict"] = f"bounded: {BOUNDED_CROSS_OK[name]}"
         report.append(entry)
+    return report
+
+
+def flagged(report: list[dict]) -> list[str]:
+    """Names with an unsanctioned unbounded join or a build error."""
+    return [
+        e["query"]
+        for e in report
+        if e.get("verdict") == "UNBOUNDED-JOIN" or "error" in e
+    ]
+
+
+def load_baseline() -> dict:
+    with open(BASELINE_PATH, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def check_exchanges(
+    report: list[dict], baseline: dict
+) -> tuple[list[str], list[str]]:
+    """(violations, improvements) of exchange counts vs the baseline.
+
+    A count INCREASE or an unpinned query is a violation; a decrease is
+    an improvement to re-pin with ``--update``. Queries in the baseline
+    but absent from the report (filtered runs) are ignored."""
+    pinned = baseline["exchanges"]
+    violations, improvements = [], []
+    for e in report:
+        name = e["query"]
+        if "error" in e:
+            continue  # already fatal via flagged()
+        if name not in pinned:
+            violations.append(
+                f"{name}: not pinned in plan_baseline.json — run "
+                f"`python tools/plan_audit.py --update` and review the diff"
+            )
+        elif e["exchanges"] > pinned[name]:
+            violations.append(
+                f"{name}: {e['exchanges']} exchanges > pinned "
+                f"{pinned[name]} — an extra shuffle crept in; fix the "
+                f"plan or justify + re-pin with --update"
+            )
+        elif e["exchanges"] < pinned[name]:
+            improvements.append(
+                f"{name}: {e['exchanges']} < pinned {pinned[name]}"
+            )
+    return violations, improvements
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    mode = "report"
+    for flag in ("--check", "--update"):
+        if flag in args:
+            mode = flag.lstrip("-")
+            args.remove(flag)
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    filters = tuple(args[1:])
+
+    from mevi_spark.session import get_spark
+
+    spark = get_spark("plan-audit", cpus=8, shuffle_partitions=8)
+    report = audit(spark, sf_dir, filters)
+    bad = flagged(report)
+
+    if mode == "update":
+        if filters:
+            sys.exit("--update must pin the FULL registry (no filters)")
+        baseline = {
+            "sf_dir": sf_dir,
+            "exchanges": {
+                e["query"]: e["exchanges"]
+                for e in report
+                if "error" not in e
+            },
+        }
+        with open(BASELINE_PATH, "w", encoding="utf-8") as fh:
+            json.dump(baseline, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(
+            f"pinned {len(baseline['exchanges'])} queries to "
+            f"{BASELINE_PATH}",
+            file=sys.stderr,
+        )
+    elif mode == "check":
+        baseline = load_baseline()
+        if baseline.get("sf_dir") != sf_dir:
+            print(
+                f"note: baseline pinned at {baseline.get('sf_dir')}, "
+                f"checking at {sf_dir} — broadcast-threshold flips can "
+                f"alias as regressions",
+                file=sys.stderr,
+            )
+        violations, improvements = check_exchanges(report, baseline)
+        for v in violations:
+            print(f"VIOLATION {v}", file=sys.stderr)
+        for i in improvements:
+            print(f"improved  {i}", file=sys.stderr)
+        bad.extend(violations)
 
     print(json.dumps(report, indent=1))
-    n_flagged = len(bad)
     print(
-        f"\n{len(report)} queries audited, {n_flagged} flagged"
+        f"\n{len(report)} queries audited, {len(bad)} flagged"
         + (f": {bad}" if bad else ""),
         file=sys.stderr,
     )
