@@ -67,15 +67,26 @@ def word_frequencies(
     collect — which is also what production BPE trainers do (the long
     tail past the first ~10⁶ words carries ~0 merge mass). At fixture
     scale the cut never binds, so capped and uncapped training agree
-    (pinned in ``tests/test_bpe.py``)."""
+    (pinned in ``tests/test_bpe.py``).
+
+    Implementation note: the top-N plans as ``TakeOrderedAndProject``,
+    whose per-task selector allocates O(vocab_cap) UPFRONT (guava
+    ``TopKSelector`` — a 2·cap array), so a nominally-huge cap would
+    OOM the very executors the cap exists to protect (found the hard
+    way: ``limit(10⁹)`` killed the test JVM). Caps beyond 2²⁶ (≈67M,
+    far past any useful BPE vocabulary) therefore take the
+    plain-collect path — semantically identical, since a cap above
+    the vocabulary never binds — and allocation-safe."""
     counted = (
         tokens_df.groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= min_freq)
     )
-    rows = counted.orderBy(
-        F.col("cnt").desc(), F.col(col).asc()
-    ).limit(int(vocab_cap)).collect()
+    if int(vocab_cap) <= 1 << 26:
+        counted = counted.orderBy(
+            F.col("cnt").desc(), F.col(col).asc()
+        ).limit(int(vocab_cap))
+    rows = counted.collect()
     return sorted((r[col], int(r["cnt"])) for r in rows)
 
 

@@ -120,9 +120,12 @@ def test_vocab_cap_noop_when_not_binding_and_deterministic_when_it_does(
     stream = docs.select(
         F.explode(F.split("text", " ")).alias("term")
     )
+    # 10**9 exceeds the TakeOrdered allocation guard → plain collect;
+    # 10_000 exercises the limit path; the default cap must match both
     uncapped = word_frequencies(stream, min_freq=1, vocab_cap=10**9)
+    small = word_frequencies(stream, min_freq=1, vocab_cap=10_000)
     capped = word_frequencies(stream, min_freq=1)  # default cap, not binding
-    assert capped == uncapped
+    assert capped == uncapped == small
     assert train_merges(capped, 12) == train_merges(uncapped, 12)
     # binding cap: exactly the top-2 by (count desc, term asc)
     top2 = word_frequencies(stream, min_freq=1, vocab_cap=2)

@@ -122,3 +122,72 @@ def test_rotation_preserves_l2_distances(aniso):
     d1 = ((a @ r.T - b @ r.T) ** 2).sum(1)
     assert np.allclose(d0, d1, rtol=1e-12)
     assert not math.isclose(float(np.abs(r - np.eye(DIM)).sum()), 0.0)
+
+
+def test_opq_adc_composition_reuses_pq_unchanged(spark, aniso):
+    """The OPQ pipeline downstream of the rotation IS plain PQ: rotate
+    docs+queries with rotate_expr, then encode/LUT/ADC-score with the
+    untouched operators/pq.py path — scores must equal a NumPy ADC
+    oracle computed from the very rotated vectors Spark produced."""
+    from pyspark.sql import functions as F
+
+    from mevi_spark.operators.pq import (
+        adc_lut,
+        adc_scan_scores,
+        pq_codebook_from_centroids,
+        pq_encode,
+        split_subvectors,
+    )
+
+    moment = aniso.T @ aniso / len(aniso)
+    r = opq_train_rotation(moment, M)
+    docs = spark.createDataFrame(
+        [(i, [float(x) for x in aniso[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    rot = docs.select(
+        "vec_id", rotate_expr(r, "embedding").alias("embedding")
+    )
+    rot_rows = {
+        row.vec_id: np.array(row.embedding) for row in rot.collect()
+    }
+    rng = np.random.RandomState(3)
+    cents = (rng.randn(6, DIM) * 3).round(3)
+    cent_df = spark.createDataFrame(
+        [(k, [float(x) for x in cents[k]]) for k in range(6)],
+        "code int, centroid array<double>",
+    )
+    sub = DIM // M
+    cb = pq_codebook_from_centroids(cent_df, M, sub)
+    codes = pq_encode(split_subvectors(rot, M, sub), cb).drop("err_e6")
+    qrot = rot.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    lut = adc_lut(split_subvectors(qrot, M, sub, "qid", "qv"), cb)
+    got = {
+        (row.qid, row.vec_id): row.score_e6
+        for row in adc_scan_scores(codes, lut).collect()
+    }
+    # NumPy oracle over the exact rotated values Spark produced
+    np_codes = {}
+    for vid, v in rot_rows.items():
+        np_codes[vid] = [
+            int(
+                np.argmin(
+                    ((v[m * sub : (m + 1) * sub] - cents[:, m * sub : (m + 1) * sub]) ** 2).sum(1)
+                )
+            )
+            for m in range(M)
+        ]
+    for (qid, vid), s in got.items():
+        want = sum(
+            round(
+                float(
+                    rot_rows[qid][m * sub : (m + 1) * sub]
+                    @ cents[np_codes[vid][m], m * sub : (m + 1) * sub]
+                )
+                * 1e6
+            )
+            for m in range(M)
+        )
+        assert abs(s - want) <= M, (qid, vid)  # ≤1 ulp per e6 rounding
