@@ -593,3 +593,64 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.round("o_totalprice", 2).alias("total_price")
     )
 
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style tar shards: the multimodal materialization format
+
+
+@register(
+    "wds_shards_roundtrip",
+    oracle="""
+SELECT doc_id,
+       ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
+       md5(text) AS payload_md5,
+       strlen(text)::BIGINT AS n_bytes,
+       ((n_chars % 16 + 4) * 1000000 + (n_chars % 8 + 2) * 1000
+        + (doc_id % 7 + 1))::BIGINT AS meta_sum
+FROM documents
+""",
+)
+def wds_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset sharded-tar sink → scan → checksum
+    (``sources/wds.py``): the multimodal table
+    (:func:`~mevi_spark.operators.multimodal.attach_media` — opaque
+    binary payload + typed metadata) is written as 8 tar shards with
+    the streaming executor-side writer (ONE shard-keyed shuffle, no
+    driver merge), scanned back shard-parallel, and checksummed
+    per-sample. The oracle recomputes every checksum straight from the
+    ``documents`` parquet through ``attach_media``'s documented
+    derivations, so a green row proves payload bytes (md5), byte
+    counts, AND the json-metadata fields all survived the
+    tar-member encode/decode — the full write→read path, not just the
+    reader. Payload NULLs normalize to b'' in tar (a tar member cannot
+    be NULL); the fixture has none, and the normalization is pinned in
+    ``tests/test_wds.py``."""
+    from mevi_spark.operators.multimodal import attach_media
+    from mevi_spark.sources.wds import read_wds_shards, write_wds_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _tmp("wds")
+    # the manifest is the sink's output — materialize it (and thereby
+    # the shards) before scanning back
+    manifest = write_wds_shards(attach_media(docs), path, n_shards=8)
+    n_written = manifest.agg(F.sum("n_samples")).collect()[0][0]
+    if n_written != docs.count():
+        raise AssertionError(
+            f"wds sink wrote {n_written} samples, expected {docs.count()}"
+        )
+    back = read_wds_shards(spark, path)
+    return _finish(
+        back.select(
+            "doc_id",
+            "media_type",
+            F.md5("payload").alias("payload_md5"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            (
+                F.col("width").cast("long") * 1000000
+                + F.col("height").cast("long") * 1000
+                + F.col("n_frames").cast("long")
+            ).alias("meta_sum"),
+        ),
+        path,
+    )

@@ -2023,3 +2023,176 @@ def events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("clamped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-9 additions: chunk-level exact-substring dedup, training-order
+# materialization (deterministic global shuffle → fixed-size blocks)
+
+
+@register(
+    "chunk_dedup_reconstruct",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nc
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         unnest(generate_series(0, nc - 1)) AS idx,
+         unnest(list_transform(generate_series(0, nc - 1),
+                i -> array_to_string(words[(i*8+1):(i*8+8)], ' '))) AS chunk
+  FROM w),
+r AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+  FROM c),
+k AS (SELECT doc_id, idx, chunk FROM r WHERE rn = 1),
+agg AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+         md5(string_agg(chunk, ' ' ORDER BY idx)) AS rebuilt_md5
+  FROM k GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(ceil(len(string_split(d.text, ' ')) / 8.0) AS BIGINT)
+         AS n_chunks,
+       COALESCE(agg.n_kept, 0)::BIGINT AS n_kept,
+       COALESCE(agg.rebuilt_md5, md5('')) AS rebuilt_md5
+FROM documents d LEFT JOIN agg USING (doc_id)
+""",
+)
+def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact-substring dedup at chunk granularity + document
+    reconstruction — the distributed form of ExactSubstr dedup (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022): each document splits into non-overlapping 8-word chunks;
+    a chunk's FIRST occurrence in global (doc_id, position) order
+    survives, every later literal repeat anywhere in the corpus is cut;
+    documents are rebuilt from their surviving chunks. (The paper's
+    suffix-array finds overlapping repeats; fixed chunking is the
+    shuffle-friendly approximation — same spirit as MinHash banding vs
+    all-pairs.)
+
+    Plan shape (100 TB): chunking is a map-side explode (no shuffle);
+    first-occurrence is ONE chunk-keyed ``groupBy(chunk).agg(min(struct
+    (doc_id, idx)))`` — partial-aggregable, so map-side combine shrinks
+    the shuffle to ~distinct chunks, strictly better than the window
+    row_number() the oracle uses (full sort, no combine); rebuild is a
+    second shuffle over the SURVIVOR set only. No all-pairs anywhere.
+    The left join keeps fully-deduplicated docs visible (n_kept=0,
+    md5('')) — dropping them silently is how dedup bugs hide.
+    """
+    w_words = 8
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / w_words).cast("long")
+    chunked = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+                lambda i: F.array_join(
+                    F.slice(words, i * w_words + 1, w_words), " "
+                ),
+            )
+        ).alias("idx", "chunk"),
+    )
+    kept = (
+        chunked.groupBy("chunk")
+        .agg(F.min(F.struct("doc_id", "idx")).alias("w"))
+        .select(
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.idx").alias("idx"),
+            "chunk",
+        )
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            )
+        ).alias("rebuilt_md5"),
+    )
+    return (
+        docs.select("doc_id", n_chunks.alias("n_chunks"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("rebuilt_md5", F.md5(F.lit(""))).alias("rebuilt_md5"),
+        )
+    )
+
+
+@register(
+    "global_shuffle_blocks",
+    oracle="""
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substring(md5('shuf|' || doc_id), 1, 15))::BIGINT AS k
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY k % 32, k, doc_id) - 1 AS pos
+  FROM k)
+SELECT doc_id, (pos // 64)::BIGINT AS block_id,
+       (pos % 64)::BIGINT AS pos_in_block
+FROM r
+""",
+)
+def global_shuffle_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order materialization: a DETERMINISTIC global shuffle
+    (hash-ordered, seed-replayable — what a dataloader needs so every
+    re-run / resume sees the same sample order) followed by fixed-size
+    block assignment (block_id, pos_in_block), the unit a trainer
+    checkpoint-resumes at.
+
+    The naive plan is ``row_number() OVER (ORDER BY hash)`` — a GLOBAL
+    sort whose final row-numbering collapses to one partition. The
+    scale-correct plan materializes the same total order bucket-major:
+    hash-bucket each row (``pmod(h, P)``), row_number WITHIN each
+    bucket (P-way parallel, one shuffle), then add per-bucket base
+    offsets — a P-row agg collected and inlined as a literal map (the
+    artifact-vs-corpus split: the corpus never sees a single-partition
+    stage). Global position = offset[bucket] + local_rank; the oracle
+    pins the exact same order (``ORDER BY k % P, k, doc_id``).
+    """
+    n_buckets, block = 32, 64
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", TA.hash60(F.col("doc_id").cast("string"), "shuf").alias("k")
+    ).withColumn("bucket", F.pmod("k", F.lit(n_buckets)))
+    counts = {
+        r["bucket"]: r["cnt"]
+        for r in keyed.groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(n_buckets):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    off_expr = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(b) for b in range(n_buckets)]),
+            F.array(*[F.lit(offsets[b]) for b in range(n_buckets)]),
+        ),
+        F.col("bucket").cast("int"),
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("bucket").orderBy("k", "doc_id")
+    )
+    pos = (off_expr + rank - 1).cast("long")
+    return keyed.select(
+        "doc_id",
+        pos.alias("_pos"),
+    ).select(
+        "doc_id",
+        F.expr(f"_pos div {block}").cast("long").alias("block_id"),
+        F.pmod("_pos", F.lit(block)).cast("long").alias("pos_in_block"),
+    )

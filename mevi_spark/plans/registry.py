@@ -72,27 +72,30 @@ _LOADED = False
 # Round-9 policy (recomputed from CORRECTNESS_r01-r08: 50 queries have
 # a fresh r8 row, 50 are r7-green, 18 are r6-green — the documented r8
 # displacement, now 3-round-stale and "first in line" per the r8 note —
-# and round 9 adds 4 new zero-evidence queries, so 122 names compete
+# and round 9 adds 7 new zero-evidence queries, so 125 names compete
 # for 50 slots):
 #
-#   tier 1 — the FOUR round-9-new queries (OPQ rotated-PQ encode, the
+#   tier 1 — the SEVEN round-9-new queries (OPQ rotated-PQ encode, the
 #            doc-side top-R multi-cluster assignment + its coarse
-#            recall curve, the IVF-PQ recall-vs-nprobe curve): zero
+#            recall curve, the IVF-PQ recall-vs-nprobe curve, the
+#            WebDataset tar-shard roundtrip, chunk-level exact-substring
+#            dedup, the global-shuffle training-block order): zero
 #            driver rows, the weakest evidence in the registry;
 #   tier 2 — the EIGHTEEN r6-green names the r8 window displaced
 #            (VERDICT r8 "what's wrong" #1 — the only >2-round-stale
 #            evidence; every one rotates back in as promised);
-#   tier 3 — 28 of the 50 r7-green names (alphabetical), skipping the
+#   tier 3 — 25 of the 50 r7-green names (alphabetical), skipping the
 #            three the BENCH executes at sf0.1 every round
 #            (coarse_to_fine_retrieval, rq_beam_search,
 #            rq_encode_two_level — a regression there surfaces the
 #            same round as a bench error, so window slots buy more
 #            fresh evidence spent on unexercised names).
 #
-# Rotated out (the unavoidable 122−50 = 72, by evidence age): the 50
+# Rotated out (the unavoidable 125−50 = 75, by evidence age): the 50
 # r8-green names (1-round-stale — freshest possible outside the
-# window) and 22 of the r7-green (2-round-stale at r10: the three
-# bench-exercised above + the alphabetical tail events_type_stats,
+# window) and 25 of the r7-green (2-round-stale at r10: the three
+# bench-exercised above + the alphabetical tail events_range_pairs,
+# events_rolling_stats, events_type_pivot, events_type_stats,
 # events_value_quantiles, memmap_roundtrip, order_priority_histogram,
 # orders_merge_upsert, partition_pruning_stats, rq_model_roundtrip,
 # rq_reconstruct, salted_hot_key_rollup, sequence_pack,
@@ -110,6 +113,9 @@ _PRIORITY_ORDER: list[str] = [
     "rq_assign_topr",
     "multi_assign_recall",
     "pq_ivf_recall_curve",
+    "wds_shards_roundtrip",
+    "chunk_dedup_reconstruct",
+    "global_shuffle_blocks",
     # tier 2 — r6-green, 3-round-stale (the documented r8 displacement)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -155,9 +161,6 @@ _PRIORITY_ORDER: list[str] = [
     "events_funnel_stages",
     "events_hypertable_rollup",
     "events_json_extract",
-    "events_range_pairs",
-    "events_rolling_stats",
-    "events_type_pivot",
 ]
 
 

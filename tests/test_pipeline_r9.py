@@ -1,0 +1,118 @@
+"""Round-9 pipeline queries: chunk-level exact-substring dedup with
+document reconstruction, and the deterministic global-shuffle
+training-block materialization.
+
+Each test recomputes the expected result in plain Python from the same
+inputs — independent of both the Spark plan and the DuckDB oracle."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from mevi_spark.plans.pipeline_ops import (
+    chunk_dedup_reconstruct,
+    global_shuffle_blocks,
+)
+from mevi_spark.sources.io import load_table
+
+
+def _python_chunk_dedup(texts: dict[int, str], w: int = 8):
+    """Reference implementation: global (doc_id, idx)-ordered first
+    occurrence of each w-word chunk survives."""
+    chunks: dict[int, list[str]] = {}
+    for doc_id, text in texts.items():
+        words = text.split(" ")
+        n = math.ceil(len(words) / w)
+        chunks[doc_id] = [
+            " ".join(words[i * w : (i + 1) * w]) for i in range(n)
+        ]
+    seen: set[str] = set()
+    kept: dict[int, list[str]] = {}
+    for doc_id in sorted(chunks):
+        kept[doc_id] = []
+        for c in chunks[doc_id]:
+            if c not in seen:
+                seen.add(c)
+                kept[doc_id].append(c)
+    return {
+        doc_id: (
+            len(chunks[doc_id]),
+            len(kept[doc_id]),
+            hashlib.md5(" ".join(kept[doc_id]).encode()).hexdigest(),
+        )
+        for doc_id in chunks
+    }
+
+
+def test_chunk_dedup_matches_python_recompute(spark, sf_dir):
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    expect = _python_chunk_dedup(texts)
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.rebuilt_md5)
+        for r in chunk_dedup_reconstruct(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_chunk_dedup_drops_planted_repeat(spark):
+    """A chunk repeated verbatim across docs survives only at its first
+    (doc_id, idx); a doc that is ALL repeats rebuilds to the empty
+    string (visible, not dropped)."""
+    base = " ".join(f"w{i}" for i in range(8))  # one exact 8-word chunk
+    tail = " ".join(f"t{i}" for i in range(8))
+    rows = [
+        (1, base + " " + tail),  # owns both chunks
+        (2, base),  # fully deduplicated
+        (3, tail + " unique trailing words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import mevi_spark.plans.pipeline_ops as P
+    from unittest import mock
+
+    with mock.patch.object(P, "load_table", lambda s, d, n: df):
+        out = {
+            r.doc_id: (r.n_chunks, r.n_kept, r.rebuilt_md5)
+            for r in chunk_dedup_reconstruct(spark, "ignored").collect()
+        }
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    assert out[1] == (
+        2,
+        2,
+        hashlib.md5((base + " " + tail).encode()).hexdigest(),
+    )
+    assert out[2] == (1, 0, empty_md5)
+    # doc 3's first chunk repeats doc 1's second chunk -> cut
+    kept3 = "unique trailing words here"
+    assert out[3] == (2, 1, hashlib.md5(kept3.encode()).hexdigest())
+
+
+def test_global_shuffle_blocks_is_a_permutation(spark, sf_dir):
+    """Every doc appears once; positions tile fixed-size blocks exactly
+    (all blocks full at 64 except the last); the order is deterministic
+    across invocations."""
+    rows = global_shuffle_blocks(spark, sf_dir).collect()
+    n = (
+        load_table(spark, sf_dir, "documents").count()
+    )
+    assert len(rows) == n
+    assert len({r.doc_id for r in rows}) == n
+    pos = sorted(r.block_id * 64 + r.pos_in_block for r in rows)
+    assert pos == list(range(n))  # gapless global permutation
+    sizes: dict[int, int] = {}
+    for r in rows:
+        sizes[r.block_id] = sizes.get(r.block_id, 0) + 1
+    last = max(sizes)
+    assert all(v == 64 for b, v in sizes.items() if b != last)
+    # deterministic replay: same mapping both times
+    again = {
+        r.doc_id: (r.block_id, r.pos_in_block)
+        for r in global_shuffle_blocks(spark, sf_dir).collect()
+    }
+    assert again == {r.doc_id: (r.block_id, r.pos_in_block) for r in rows}

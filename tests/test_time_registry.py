@@ -37,6 +37,9 @@ R9_NEW = [
     "rq_assign_topr",
     "multi_assign_recall",
     "pq_ivf_recall_curve",
+    "wds_shards_roundtrip",
+    "chunk_dedup_reconstruct",
+    "global_shuffle_blocks",
 ]
 
 # the only names allowed to reach 2-round-stale evidence after r9 (the
@@ -47,6 +50,9 @@ R9_ROTATED_OUT = {
     "coarse_to_fine_retrieval",
     "rq_beam_search",
     "rq_encode_two_level",
+    "events_range_pairs",
+    "events_rolling_stats",
+    "events_type_pivot",
     "events_type_stats",
     "events_value_quantiles",
     "memmap_roundtrip",
@@ -73,7 +79,7 @@ def test_driver_window_invariants():
     """The driver's correctness evidence covers exactly the first 50
     registered queries, so the priority window must (a) hold exactly 50
     names, (b) name only registered queries, (c) contain every query
-    that has never received a driver row — this round, the 4 r9-new
+    that has never received a driver row — this round, the 7 r9-new
     ones — and (d) every name with no r8 driver row except the
     documented rotations (r8-green names are 1-round-stale and allowed
     out). A drifted window silently starves new queries of evidence."""
