@@ -74,18 +74,23 @@ def word_frequencies(
     ``TopKSelector`` — a 2·cap array), so a nominally-huge cap would
     OOM the very executors the cap exists to protect (found the hard
     way: ``limit(10⁹)`` killed the test JVM). Caps beyond 2²⁶ (≈67M,
-    far past any useful BPE vocabulary) therefore take the
-    plain-collect path — semantically identical, since a cap above
-    the vocabulary never binds — and allocation-safe."""
+    far past any useful BPE vocabulary) are therefore REJECTED — a
+    silent fallback to a plain collect would return MORE than the cap
+    whenever 2²⁶ < cap < vocabulary, i.e. exactly the unbounded
+    driver collect the cap exists to prevent (review r9)."""
+    if int(vocab_cap) > 1 << 26:
+        raise ValueError(
+            f"vocab_cap={vocab_cap} exceeds 2^26: TakeOrdered allocates "
+            "O(cap) per task, and no useful BPE vocabulary is this "
+            "large — lower the cap"
+        )
     counted = (
         tokens_df.groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= min_freq)
+        .orderBy(F.col("cnt").desc(), F.col(col).asc())
+        .limit(int(vocab_cap))
     )
-    if int(vocab_cap) <= 1 << 26:
-        counted = counted.orderBy(
-            F.col("cnt").desc(), F.col(col).asc()
-        ).limit(int(vocab_cap))
     rows = counted.collect()
     return sorted((r[col], int(r["cnt"])) for r in rows)
 

@@ -135,7 +135,7 @@ _PRIORITY_ORDER: list[str] = [
     "media_decode_stats",
     "image_resize",
     "video_frame_sample",
-    # tier 3 — r7-green, no r8 row (28 of 50; see rotation note)
+    # tier 3 — r7-green, no r8 row (25 of 50; see rotation note)
     "ann_lsh_topk",
     "augment_spans",
     "beam_constrained",

@@ -180,6 +180,20 @@ def _publish_version(
         # its directories
         writer = writer.partitionBy(partition_by)
     writer.parquet(version)
+    if partition_by is not None and not any(
+        f.endswith(".parquet") for f in os.listdir(version)
+    ) and not any(
+        e.startswith(f"{partition_by}=") for e in os.listdir(version)
+    ):
+        # ZERO-ROW partitioned write: dynamic-partition writers emit no
+        # schema-bearing files (only _SUCCESS), so a later
+        # read.parquet(dir) dies with UNABLE_TO_INFER_SCHEMA and wedges
+        # the stream on every replay. Publish the empty version
+        # UNpartitioned instead — one empty footer-bearing file, the
+        # partition column preserved as a regular column (same reader
+        # schema; pruning is moot on zero rows; the next non-empty
+        # publish is a fresh version dir, partitioned again).
+        out.write.mode("overwrite").parquet(version)
     if meta is not None:
         with open(
             os.path.join(version, _META_FILE), "w", encoding="utf-8"

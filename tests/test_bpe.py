@@ -120,9 +120,9 @@ def test_vocab_cap_noop_when_not_binding_and_deterministic_when_it_does(
     stream = docs.select(
         F.explode(F.split("text", " ")).alias("term")
     )
-    # 10**9 exceeds the TakeOrdered allocation guard → plain collect;
-    # 10_000 exercises the limit path; the default cap must match both
-    uncapped = word_frequencies(stream, min_freq=1, vocab_cap=10**9)
+    # the largest admissible cap (the TakeOrdered allocation bound) and
+    # a mid-size cap must both be no-ops here; the default cap matches
+    uncapped = word_frequencies(stream, min_freq=1, vocab_cap=1 << 26)
     small = word_frequencies(stream, min_freq=1, vocab_cap=10_000)
     capped = word_frequencies(stream, min_freq=1)  # default cap, not binding
     assert capped == uncapped == small
@@ -131,3 +131,10 @@ def test_vocab_cap_noop_when_not_binding_and_deterministic_when_it_does(
     top2 = word_frequencies(stream, min_freq=1, vocab_cap=2)
     by_rank = sorted(uncapped, key=lambda wc: (-wc[1], wc[0]))[:2]
     assert top2 == sorted(by_rank)
+    # a cap past the allocation bound is REJECTED, never silently
+    # un-capped (review r9: 2^26 < cap < vocab would collect the whole
+    # vocabulary — the exact OOM the cap exists to prevent)
+    import pytest
+
+    with pytest.raises(ValueError, match="vocab_cap"):
+        word_frequencies(stream, min_freq=1, vocab_cap=(1 << 26) + 1)

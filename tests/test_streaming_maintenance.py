@@ -357,3 +357,57 @@ def test_neardup_probe_bucket_pruning(spark):
             q2.awaitTermination()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_neardup_survives_all_short_first_batch(spark):
+    """Review r9: a FIRST micro-batch whose docs all have fewer words
+    than shingle_n yields zero band rows; the partitioned bands publish
+    must still leave a READABLE version (a zero-row hive-partitioned
+    write emits only _SUCCESS — no schema-bearing file — and every
+    later batch then dies at read.parquet, wedging the stream across
+    restarts). After the fix the stream drains and the cross-batch
+    pair is still found."""
+    import shutil
+
+    from mevi_spark.streaming.incremental import incremental_neardup
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    docs = [
+        (1, "tiny"),          # batch 0: shorter than shingle_n -> no bands
+        (2, "a b"),
+        (10, words),          # batch 1 and 2: a cross-batch near-dup pair
+        (11, words + " kilo"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = tempfile.mkdtemp(prefix="mevi_test_ndshort_")
+    try:
+        splits = (
+            F.col("doc_id") < 10,
+            F.col("doc_id") == 10,
+            F.col("doc_id") == 11,
+        )
+        for i, pred in enumerate(splits):
+            df.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+                f"{base}/in/s{i:02d}"
+            )
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/in/s*")
+        )
+        q = incremental_neardup(
+            stream, f"{base}/out", f"{base}/ckpt",
+            num_hashes=12, bands=4, threshold=0.5,
+        )
+        q.awaitTermination()
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in spark.read.parquet(f"{base}/out/pairs").collect()
+        }
+        assert (10, 11) in pairs
+        assert sorted(
+            r.doc_id
+            for r in spark.read.parquet(f"{base}/out/index").collect()
+        ) == [1, 2, 10, 11]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
