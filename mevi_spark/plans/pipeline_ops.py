@@ -2073,13 +2073,24 @@ def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs.)
 
     Plan shape (100 TB): chunking is a map-side explode (no shuffle);
-    first-occurrence is ONE chunk-keyed ``groupBy(chunk).agg(min(struct
-    (doc_id, idx)))`` — partial-aggregable, so map-side combine shrinks
-    the shuffle to ~distinct chunks, strictly better than the window
-    row_number() the oracle uses (full sort, no combine); rebuild is a
-    second shuffle over the SURVIVOR set only. No all-pairs anywhere.
-    The left join keeps fully-deduplicated docs visible (n_kept=0,
-    md5('')) — dropping them silently is how dedup bugs hide.
+    first-occurrence is ONE hash-keyed ``groupBy(md5(chunk)).agg(min(
+    struct(doc_id, idx, chunk)))`` — partial-aggregable, so map-side
+    combine shrinks the shuffle to ~distinct chunks, strictly better
+    than the window row_number() the oracle uses (full sort, no
+    combine); rebuild is a second shuffle over the SURVIVOR set only.
+    No all-pairs anywhere. The GROUP KEY is the 128-bit md5 of the
+    chunk, not the raw 8-word text: the exchange moves 16 key bytes +
+    one text payload per (map partition, distinct chunk) instead of
+    the text as the key itself — the same hash-key discipline as the
+    shingle df-cut and boilerplate strip. Collision tradeoff (same
+    accounting as ``operators/dedup.py``): two DIFFERENT chunks
+    sharing an md5 would merge their occurrence groups and wrongly
+    cut one of them; birthday bound at N distinct chunks is
+    ~N²/2^129 — at 2^50 distinct chunks (~40 PB of unique text)
+    that is ~2^-29, far below hardware-corruption rates.
+    The left join keeps fully-deduplicated docs visible
+    (n_kept=0, md5('')) — dropping them silently is how dedup bugs
+    hide.
     """
     w_words = 8
     docs = load_table(spark, sf_dir, "documents")
@@ -2097,12 +2108,12 @@ def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("idx", "chunk"),
     )
     kept = (
-        chunked.groupBy("chunk")
-        .agg(F.min(F.struct("doc_id", "idx")).alias("w"))
+        chunked.groupBy(F.md5("chunk").alias("_h"))
+        .agg(F.min(F.struct("doc_id", "idx", "chunk")).alias("w"))
         .select(
             F.col("w.doc_id").alias("doc_id"),
             F.col("w.idx").alias("idx"),
-            "chunk",
+            F.col("w.chunk").alias("chunk"),
         )
     )
     agg = kept.groupBy("doc_id").agg(
@@ -2195,4 +2206,176 @@ def global_shuffle_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(f"_pos div {block}").cast("long").alias("block_id"),
         F.pmod("_pos", F.lit(block)).cast("long").alias("pos_in_block"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-10: overlapping-grid exact-substring coverage
+
+
+def chunk_cut_positions(
+    docs: DataFrame, w_words: int = 8, offsets: tuple[int, ...] = (0,)
+) -> DataFrame:
+    """Cut positions for chunk-level exact-substring dedup over one or
+    more SHIFTED chunk grids (Lee et al., ACL 2022 §4): for each grid
+    offset ``o`` a document yields w-word chunks starting at word
+    positions ``o, o+w, o+2w, …``; ALL grids' chunks pool into one
+    global first-occurrence pass, and every non-first occurrence is a
+    cut ``(doc_id, start)``.
+
+    Why multiple grids: the single aligned grid only catches a repeat
+    whose two occurrences sit at the SAME word offset modulo w — a
+    literal copy shifted by any other amount escapes it entirely (the
+    failure mode Lee et al.'s suffix array exists to close). Pooling
+    grids at offsets ``(0, w/2)`` catches relative shifts ≡ 0
+    (mod w/2), doubling coverage for the cost of 2× chunk rows; the
+    general form with offsets ``0..w-1`` degenerates to every-word
+    shingles (n-gram Jaccard territory). This is the standard cheap
+    midpoint between aligned chunking and a distributed suffix array.
+
+    Plan shape (100 TB): per-grid chunking is the same map-side
+    explode; first-occurrence is the hash-keyed partial-aggregable
+    ``groupBy(md5(chunk)).agg(min(struct(doc_id, start)))`` (16-byte
+    keys on the exchange, not text — collision accounting in
+    ``chunk_dedup_reconstruct``); cuts come from ONE equi-join of the
+    chunk rows back to their group's winner — no collect_list over a
+    chunk's occurrence group, which for boilerplate chunks is
+    corpus-sized and would OOM an executor.
+    """
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    grids = []
+    for off in offsets:
+        seq = F.sequence(
+            F.lit(int(off)), n - 1, F.lit(int(w_words))
+        ).cast("array<int>")
+        if off > 0:
+            seq = F.when(n > off, seq).otherwise(
+                F.array().cast("array<int>")
+            )
+        grids.append(seq)
+    starts = grids[0] if len(grids) == 1 else F.concat(*grids)
+    chunked = (
+        docs.select("doc_id", words.alias("_w"), starts.alias("_starts"))
+        .select("doc_id", "_w", F.explode("_starts").alias("start"))
+        .select(
+            "doc_id",
+            "start",
+            F.md5(
+                F.array_join(
+                    F.slice("_w", F.col("start") + 1, w_words), " "
+                )
+            ).alias("_h"),
+        )
+    )
+    firsts = chunked.groupBy("_h").agg(
+        F.min(F.struct("doc_id", "start")).alias("f")
+    )
+    return (
+        chunked.join(firsts, "_h")
+        .filter(
+            (F.col("doc_id") != F.col("f.doc_id"))
+            | (F.col("start") != F.col("f.start"))
+        )
+        .select("doc_id", "start")
+    )
+
+
+@register(
+    "chunk_dedup_overlap",
+    oracle="""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         'shift0 shift1 shift2 shift3 ' || text AS text
+  FROM documents WHERE doc_id % 5 = 0),
+w AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         len(string_split(text, ' ')) AS n
+  FROM src),
+c AS (
+  SELECT doc_id, s AS start,
+         array_to_string(words[(s+1):(s+8)], ' ') AS chunk
+  FROM (SELECT doc_id, words,
+               unnest(list_concat(
+                 generate_series(0, n - 1, 8),
+                 CASE WHEN n > 4 THEN generate_series(4, n - 1, 8)
+                      ELSE []::BIGINT[] END)) AS s
+        FROM w)),
+r AS (
+  SELECT doc_id, start,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, start) AS rn
+  FROM c),
+agg AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_cut,
+         md5(string_agg(start::VARCHAR, ',' ORDER BY start)) AS cut_md5
+  FROM r WHERE rn > 1 GROUP BY doc_id)
+SELECT w.doc_id,
+       (ceil(w.n / 8.0) + CASE WHEN w.n > 4 THEN ceil((w.n - 4) / 8.0)
+                               ELSE 0 END)::BIGINT AS n_chunks,
+       COALESCE(agg.n_cut, 0)::BIGINT AS n_cut,
+       COALESCE(agg.cut_md5, md5('')) AS cut_md5
+FROM w LEFT JOIN agg USING (doc_id)
+""",
+)
+def chunk_dedup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with OVERLAPPING grid coverage
+    (:func:`chunk_cut_positions` at offsets ``(0, 4)``): the corpus is
+    planted with exact copies (``doc_id % 7`` → ``+100000``, verbatim
+    — a grid-ALIGNED repeat the base pass also catches) and SHIFTED
+    copies (``doc_id % 5`` → ``+200000``, a 4-word deterministic
+    prefix prepended — every chunk of the copy sits at offset 4
+    relative to the original, which the single aligned grid of
+    ``chunk_dedup_reconstruct`` provably misses and the pooled
+    half-shifted grid catches; the miss is pinned by
+    ``tests/test_chunk_dedup.py``). Output per doc: total pooled chunk
+    count, number of cut positions, and the md5 of the sorted cut
+    start list — position-exact, so a grid-phase bug cannot hide
+    behind counts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        docs.unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        ).unionByName(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(
+                    F.lit("shift0 shift1 shift2 shift3 "), F.col("text")
+                ).alias("text"),
+            )
+        )
+    )
+    cuts = chunk_cut_positions(planted, w_words=8, offsets=(0, 4))
+    agg = cuts.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_cut"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("start")),
+                    lambda s: s.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("cut_md5"),
+    )
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    n_chunks = (
+        F.ceil(n / 8)
+        + F.when(n > 4, F.ceil((n - 4) / 8)).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        planted.select("doc_id", n_chunks.alias("n_chunks"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_cut", F.lit(0)).cast("long").alias("n_cut"),
+            F.coalesce("cut_md5", F.md5(F.lit(""))).alias("cut_md5"),
+        )
     )
