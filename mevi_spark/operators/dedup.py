@@ -769,3 +769,97 @@ def strip_frequent_lines(
         F.sum(keep.cast("long")).alias("n_kept"),
         F.sum(F.col("_b").isNotNull().cast("long")).alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-cosine semantic dedup
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    entries: list | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): k-means-cluster
+    the embeddings, compare cosines only WITHIN a cluster, and inside
+    each duplicate group keep the member with the LOWEST cosine to its
+    cluster centroid (the paper's keep-policy: far-from-centroid
+    examples carry the most information).
+
+    Composition of existing pieces: nearest-centroid assignment is
+    :func:`mevi_spark.operators.rq.assign_nearest` (map-only literal-
+    codebook argmin, zero shuffle); the within-cluster comparison is a
+    cluster-keyed self-join — never all-pairs. Precisely: a row x is
+    PRUNED iff some same-cluster y has ``cos(x, y) >= threshold`` and
+    higher keep-priority, where priority is (centroid-cosine ASC,
+    id ASC) — so the max-priority member of every duplicate group
+    always survives, deterministically.
+
+    Returns ``(id_col, code, cent_cosine, kept)`` — one row per input
+    vector, ``kept`` ∈ {0, 1}, ``cent_cosine`` rounded to 6dp for
+    exposure (comparisons use the unrounded bit-stable fold).
+
+    100 TB shape: the assignment and centroid-cosine are map-only
+    (broadcast codebook); the only corpus shuffles are the self-join
+    and the prune aggregation, both keyed on the cluster code. Cost is
+    Σ|cluster|² pair rows — bounded by choosing k proportional to
+    corpus size so clusters stay ~10⁴-10⁵ rows (the paper runs k=50k
+    over 1.3B examples for exactly this reason); a skewed giant
+    cluster is a k-too-small symptom, not a plan problem.
+    """
+    from mevi_spark.functions.vector import cosine
+    from mevi_spark.operators.rq import assign_nearest
+
+    assigned = assign_nearest(
+        df, centroids, id_col=id_col, vec_col=vec_col, entries=entries
+    )
+    with_cent = assigned.join(
+        F.broadcast(centroids.select("code", "centroid")), "code"
+    )
+    scored = with_cent.select(
+        F.col(id_col).alias("_id"),
+        "code",
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        cosine(vec_col, "centroid").alias("_cc"),
+    ).persist()
+    # three consumers (both self-join sides + the output rows) would
+    # otherwise each re-run the scan + assignment + centroid-cosine
+    # subtree — Spark does not exchange-reuse across self-join sides
+    # here (the inlined literal codebook defeats canonicalization), so
+    # the clustered/scored table is materialized once, exactly the
+    # staging table the paper's pipeline writes between its cluster
+    # and dedup stages; at deployment scale this persist is that
+    # intermediate table (MEMORY_AND_DISK, spills, never recomputes
+    # the corpus 3×).
+    a, b = scored.alias("a"), scored.alias("b")
+    beats = (F.col("b._cc") < F.col("a._cc")) | (
+        (F.col("b._cc") == F.col("a._cc"))
+        & (F.col("b._id") < F.col("a._id"))
+    )
+    pruned = (
+        a.join(
+            b,
+            (F.col("a.code") == F.col("b.code"))
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .filter(
+            (cosine(F.col("a._v"), F.col("b._v")) >= threshold) & beats
+        )
+        .select(F.col("a._id").alias("_id"))
+        .distinct()
+    )
+    return (
+        scored.join(
+            pruned.withColumn("_p", F.lit(1)), "_id", "left"
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "code",
+            F.round("_cc", 6).alias("cent_cosine"),
+            F.col("_p").isNull().cast("long").alias("kept"),
+        )
+    )

@@ -2379,3 +2379,108 @@ def chunk_dedup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cut_md5", F.md5(F.lit(""))).alias("cut_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round-10: SemDeDup cluster-then-cosine semantic dedup
+
+
+@register(
+    "semantic_dedup",
+    oracle="""
+WITH evec AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, label, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id + 200000 AS vec_id, label,
+         list_concat([embedding[1]::DOUBLE + 0.05],
+                     (embedding::DOUBLE[])[2:]) AS v
+  FROM embeddings WHERE vec_id % 7 = 0),
+cent AS (
+  SELECT code, list(m ORDER BY pos) AS centroid FROM (
+    SELECT label AS code, pos,
+           CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS m
+    FROM (SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+          FROM evec)
+    GROUP BY label, pos) GROUP BY code),
+assigned AS (
+  SELECT vec_id, v, code, centroid FROM (
+    SELECT e.vec_id, e.v, c.code, c.centroid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(c.centroid, c.centroid)
+               - 2 * list_dot_product(e.v, c.centroid) ASC,
+             c.code ASC) AS rn
+    FROM evec e, cent c) WHERE rn = 1),
+scored AS (
+  SELECT vec_id, code, v,
+         CASE WHEN sqrt(list_dot_product(v, v))
+                   * sqrt(list_dot_product(centroid, centroid)) = 0
+              THEN 0.0
+              ELSE list_dot_product(v, centroid)
+                   / (sqrt(list_dot_product(v, v))
+                      * sqrt(list_dot_product(centroid, centroid)))
+         END AS cc
+  FROM assigned),
+pruned AS (
+  SELECT a.vec_id
+  FROM scored a JOIN scored b
+    ON a.code = b.code AND a.vec_id <> b.vec_id
+   AND (CASE WHEN sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v)) = 0
+             THEN 0.0
+             ELSE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v)))
+        END) >= 0.95
+   AND (b.cc < a.cc OR (b.cc = a.cc AND b.vec_id < a.vec_id))
+  GROUP BY a.vec_id)
+SELECT s.vec_id, s.code, ROUND(s.cc, 6) AS cent_cosine,
+       CAST(p.vec_id IS NULL AS BIGINT) AS kept
+FROM scored s LEFT JOIN pruned p USING (vec_id)
+""",
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup as a registered curation operator
+    (:func:`mevi_spark.operators.dedup.semantic_dedup`, Abbas et al.
+    2023): the embeddings table is planted with exact copies
+    (``vec_id % 10`` → ``+100000``, cosine exactly 1) and perturbed
+    near-copies (``vec_id % 7`` → ``+200000``, first element +0.05 —
+    cosine just under 1), clustered by label-seeded centroid-average
+    k-means assignment (the same deterministic codebook machinery as
+    ``rq_assign_nearest``), and pruned within clusters at τ=0.95
+    keeping the lowest-centroid-cosine member of each duplicate
+    group. The oracle recomputes assignment, both cosines, and the
+    keep-priority tournament in SQL, so a green row pins cluster
+    routing AND the prune decision per vector."""
+    from mevi_spark.operators.dedup import semantic_dedup
+    from mevi_spark.operators.rq import rq_level_centroids
+
+    dim = 64
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    perturbed = F.concat(
+        F.array(F.element_at(v, 1) + F.lit(0.05)), F.slice(v, 2, dim - 1)
+    )
+    planted = (
+        emb.select("vec_id", "label", v.alias("embedding"))
+        .unionByName(
+            emb.filter(F.col("vec_id") % 10 == 0).select(
+                (F.col("vec_id") + 100000).alias("vec_id"),
+                "label",
+                v.alias("embedding"),
+            )
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") % 7 == 0).select(
+                (F.col("vec_id") + 200000).alias("vec_id"),
+                "label",
+                perturbed.alias("embedding"),
+            )
+        )
+    )
+    cents = rq_level_centroids(planted, code_col="label", vec_col="embedding")
+    return semantic_dedup(
+        planted, cents, id_col="vec_id", vec_col="embedding", threshold=0.95
+    )
