@@ -654,3 +654,68 @@ def wds_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         path,
     )
+
+
+_SQL_WDS_SAMPLES = """
+SELECT doc_id,
+       ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
+       md5(text) AS payload_md5,
+       strlen(text)::BIGINT AS n_bytes,
+       ((n_chars % 16 + 4) * 1000000 + (n_chars % 8 + 2) * 1000
+        + (doc_id % 7 + 1))::BIGINT AS meta_sum
+FROM documents
+"""
+
+
+@register("wds_shards_append", oracle=_SQL_WDS_SAMPLES)
+def wds_shards_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WDS shards maintained INCREMENTALLY (VERDICT r9 next-round #6):
+    the multimodal corpus arrives as three doc-id-ordered batches and
+    :func:`~mevi_spark.sources.wds.append_wds_shards` lands each as
+    NEW immutable tar shards (``shard-b<batch>-<sid>.tar`` — published
+    tars are never rewritten, the packed_append discipline), with a
+    per-batch manifest. The drained shard set read back through the
+    ordinary :func:`read_wds_shards` listing must sample-for-sample
+    equal the corpus — the identical checksum oracle as the one-shot
+    ``wds_shards_roundtrip``, so the append path proves content
+    equality with the one-shot sink. Immutability and replayed-batch
+    no-op are pinned byte-level in ``tests/test_wds.py``."""
+    from mevi_spark.operators.multimodal import attach_media
+    from mevi_spark.sources.wds import append_wds_shards, read_wds_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id")).first()[0] or 0
+    cuts = (int(mx) // 3, 2 * int(mx) // 3)
+    path = _tmp("wdsapp")
+    batches = [
+        docs.filter(F.col("doc_id") <= cuts[0]),
+        docs.filter(
+            (F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])
+        ),
+        docs.filter(F.col("doc_id") > cuts[1]),
+    ]
+    total = 0
+    for i, b in enumerate(batches):
+        man = append_wds_shards(
+            attach_media(b), path, batch_id=i, shards_per_batch=4
+        ).collect()
+        total += sum(r.n_samples for r in man)
+    if total != docs.count():
+        raise AssertionError(
+            f"wds append wrote {total} samples, expected {docs.count()}"
+        )
+    back = read_wds_shards(spark, path)
+    return _finish(
+        back.select(
+            "doc_id",
+            "media_type",
+            F.md5("payload").alias("payload_md5"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            (
+                F.col("width").cast("long") * 1000000
+                + F.col("height").cast("long") * 1000
+                + F.col("n_frames").cast("long")
+            ).alias("meta_sum"),
+        ),
+        path,
+    )

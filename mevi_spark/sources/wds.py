@@ -102,9 +102,10 @@ class _ShardWriter:
     task re-publishes identical bytes — last-writer-wins is a no-op.
     """
 
-    def __init__(self, out_dir: str, shard_id: int):
+    def __init__(self, out_dir: str, shard_id: int, stem: str | None = None):
         self.shard_id = shard_id
-        self.final = os.path.join(out_dir, f"shard-{shard_id:06d}.tar")
+        stem = stem or f"shard-{shard_id:06d}"
+        self.final = os.path.join(out_dir, f"{stem}.tar")
         self.tmp = self.final + f".inprogress-{os.getpid()}"
         self.tar = tarfile.open(self.tmp, "w")
         self.n_samples = 0
@@ -221,3 +222,129 @@ def read_wds_shards(spark: SparkSession, out_dir: str) -> DataFrame:
         [(p,) for p in paths], StructType([StructField("path", StringType())])
     ).repartition(len(paths))
     return frame.mapInPandas(read_shards, SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# round-10: incremental shard maintenance (append-only, never rewrite)
+
+#: shards-per-batch namespace width inside the global shard_id
+_BATCH_STRIDE = 1_000_000
+
+
+def append_wds_shards(
+    samples: DataFrame, out_dir: str, batch_id: int, shards_per_batch: int
+) -> DataFrame:
+    """Append one micro-batch of samples as NEW tar shards — published
+    shards are immutable, the WDS operational contract (trainers
+    stream shards by name; a rewritten tar invalidates any reader
+    mid-stream). Same discipline as ``sources/packed.py``'s
+    ``append_packed_sequences``: the batch is the unit of idempotent
+    re-execution.
+
+    Shard naming is replay-deterministic:
+    ``shard-b<batch_id:09>-<sid:06>.tar`` with ``sid = doc_id %
+    shards_per_batch`` — a crashed batch's replay regenerates the SAME
+    shard names with byte-identical content (sorted samples, zeroed
+    tar metadata), so its ``os.replace`` publishes are no-ops and no
+    cross-batch coordination is needed. The reported manifest
+    ``shard_id`` is ``batch_id·10⁶ + sid`` (globally unique without a
+    registry lookup).
+
+    100 TB shape: identical to :func:`write_wds_shards` per batch —
+    ONE shard-keyed shuffle of the BATCH (never the corpus), streaming
+    executor-side tar writer, O(arrow-batch) memory. The cumulative
+    dataset is the union of every batch's shards;
+    :func:`read_wds_shards` needs only the directory listing.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    bid = int(batch_id)
+    stride = int(shards_per_batch)
+
+    def write_partition(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        open_writer: _ShardWriter | None = None
+        done: list[dict] = []
+        for pdf in batches:
+            cols = [pdf[c].to_numpy() for c in _META_COLS]
+            shards = pdf["_shard"].to_numpy()
+            payloads = pdf["payload"].to_numpy()
+            for i in range(len(pdf)):
+                sid = int(shards[i])
+                if open_writer is not None and open_writer.shard_id != (
+                    bid * _BATCH_STRIDE + sid
+                ):
+                    done.append(open_writer.close())
+                    open_writer = None
+                if open_writer is None:
+                    open_writer = _ShardWriter(
+                        out_dir,
+                        bid * _BATCH_STRIDE + sid,
+                        stem=f"shard-b{bid:09d}-{sid:06d}",
+                    )
+                open_writer.add(
+                    {c: col[i] for c, col in zip(_META_COLS, cols)},
+                    payloads[i],
+                )
+        if open_writer is not None:
+            done.append(open_writer.close())
+        if done:
+            yield pd.DataFrame(done)
+
+    staged = (
+        samples.withColumn(
+            "_shard", (F.col("doc_id") % F.lit(stride)).cast("long")
+        )
+        .repartition(stride, "_shard")
+        .sortWithinPartitions("_shard", "doc_id")
+    )
+    return staged.mapInPandas(write_partition, _MANIFEST_SCHEMA)
+
+
+def incremental_wds(
+    stream_df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    shards_per_batch: int = 4,
+):
+    """Streaming WDS maintenance: each micro-batch lands as new
+    immutable shards under ``<output_dir>/shards`` plus a per-batch
+    manifest dir ``<output_dir>/manifest/b<batch_id:09>`` (written
+    ``overwrite`` with deterministic content — the rollup sink's
+    replay-idempotence pattern: a crashed batch's re-run overwrites
+    its own dirs with identical bytes, never duplicates). The current
+    manifest is the union of the batch dirs
+    (:func:`read_wds_manifest`); readers of the DATA need only
+    :func:`read_wds_shards` over the shards dir."""
+
+    shards_dir = os.path.join(output_dir, "shards")
+    man_dir = os.path.join(output_dir, "manifest")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        man = append_wds_shards(
+            batch, shards_dir, int(batch_id), shards_per_batch
+        )
+        man.write.mode("overwrite").parquet(
+            os.path.join(man_dir, f"b{int(batch_id):09d}")
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_wds_manifest(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Union of the per-batch manifest dirs maintained by
+    :func:`incremental_wds`."""
+    man_dir = os.path.join(output_dir, "manifest")
+    dirs = sorted(
+        os.path.join(man_dir, d)
+        for d in os.listdir(man_dir)
+        if d.startswith("b")
+    )
+    if not dirs:
+        raise FileNotFoundError(f"no manifest batches under {man_dir}")
+    return spark.read.parquet(*dirs)

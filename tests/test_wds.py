@@ -96,3 +96,94 @@ def test_wds_many_shards_per_task(spark):
     assert len(tars) == 10
     assert len(back) == 30
     assert sorted(m.shard_id for m in manifest) == list(range(10))
+
+
+def _file_md5s(d):
+    return {
+        f: hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest()
+        for f in os.listdir(d)
+        if f.endswith(".tar")
+    }
+
+
+def test_wds_append_batches_never_rewrite_published_shards(spark):
+    """Append-only maintenance: a later batch adds NEW shard files and
+    leaves every published tar untouched (same inode, same mtime, same
+    bytes); the union of shards reads back as the full sample set."""
+    from mevi_spark.sources.wds import append_wds_shards
+
+    df = _mk_samples(spark, 24)
+    b1 = df.filter("doc_id < 12")
+    b2 = df.filter("doc_id >= 12")
+    root = tempfile.mkdtemp(prefix="mevi_wds_app_")
+    out = os.path.join(root, "shards")
+    try:
+        append_wds_shards(b1, out, batch_id=0, shards_per_batch=3).collect()
+        before = {
+            f: (os.stat(os.path.join(out, f)).st_ino,
+                os.stat(os.path.join(out, f)).st_mtime_ns)
+            for f in os.listdir(out)
+        }
+        md5_before = _file_md5s(out)
+        append_wds_shards(b2, out, batch_id=1, shards_per_batch=3).collect()
+        after_names = set(os.listdir(out))
+        # batch-0 files untouched, batch-1 files new
+        for f, stat in before.items():
+            st = os.stat(os.path.join(out, f))
+            assert (st.st_ino, st.st_mtime_ns) == stat, f
+        assert {f for f in after_names if "-b000000001-" in f}
+        got = {
+            (r.doc_id, bytes(r.payload))
+            for r in read_wds_shards(spark, out).collect()
+        }
+        want = {(r.doc_id, bytes(r.payload)) for r in df.collect()}
+        assert got == want
+        # a REPLAYED batch republishes byte-identical files (no-op)
+        append_wds_shards(b2, out, batch_id=1, shards_per_batch=3).collect()
+        md5_replay = _file_md5s(out)
+        assert md5_replay == _file_md5s(out)
+        for f, h in md5_before.items():
+            assert md5_replay[f] == h
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_wds_incremental_stream_equals_one_shot(spark):
+    """The streaming wrapper drained over file-sliced input yields a
+    shard set whose samples equal the one-shot write_wds_shards of the
+    same corpus, and the manifest union accounts for every sample."""
+    from mevi_spark.sources.wds import incremental_wds, read_wds_manifest
+
+    df = _mk_samples(spark, 30)
+    root = tempfile.mkdtemp(prefix="mevi_wds_inc_")
+    try:
+        for i, pred in enumerate(("doc_id < 15", "doc_id >= 15")):
+            df.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+                f"{root}/in/s{i:02d}"
+            )
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/in/s*")
+        )
+        q = incremental_wds(
+            stream, f"{root}/out", f"{root}/ckpt", shards_per_batch=3
+        )
+        q.awaitTermination()
+        one_shot = os.path.join(root, "oneshot")
+        write_wds_shards(df, one_shot, n_shards=3).collect()
+        got = sorted(
+            (r.doc_id, bytes(r.payload), r.media_type)
+            for r in read_wds_shards(
+                spark, f"{root}/out/shards"
+            ).collect()
+        )
+        want = sorted(
+            (r.doc_id, bytes(r.payload), r.media_type)
+            for r in read_wds_shards(spark, one_shot).collect()
+        )
+        assert got == want
+        man = read_wds_manifest(spark, f"{root}/out")
+        assert sum(r.n_samples for r in man.collect()) == 30
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
