@@ -1215,3 +1215,34 @@ def incremental_heavy_hitters(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_shuffle_blocks(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 32,
+    block: int = 64,
+):
+    """Streaming maintenance of the deterministic training order
+    (``plans/pipeline_ops.py::append_shuffle_blocks``): each
+    micro-batch's rows get positions past the current high-water mark,
+    hash-ordered within the batch, history immutable — the
+    dataloader-facing global shuffle kept current under corpus ingest.
+    Replay-idempotent with no merge step: a replayed batch recomputes
+    the same start offset from strictly-prior batch dirs and
+    overwrites its own dir with identical rows."""
+    from mevi_spark.plans.pipeline_ops import append_shuffle_blocks
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        append_shuffle_blocks(
+            batch.sparkSession, state_dir, batch, int(batch_id),
+            n_buckets=n_buckets, block=block,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -116,3 +116,100 @@ def test_global_shuffle_blocks_is_a_permutation(spark, sf_dir):
         for r in global_shuffle_blocks(spark, sf_dir).collect()
     }
     assert again == {r.doc_id: (r.block_id, r.pos_in_block) for r in rows}
+
+
+def _py_order(ids, n_buckets=32):
+    import hashlib
+
+    def h(i):
+        return int(
+            hashlib.md5(f"shuf|{i}".encode()).hexdigest()[:15], 16
+        )
+
+    return sorted(ids, key=lambda i: (h(i) % n_buckets, h(i), i))
+
+
+def test_shuffle_blocks_append_history_immutable(spark):
+    """Appending a batch never changes a prior row's assignment; the
+    new batch fills the trailing partial block first, then continues."""
+    import shutil
+    import tempfile
+
+    from mevi_spark.plans.pipeline_ops import (
+        append_shuffle_blocks,
+        read_shuffle_state,
+    )
+
+    b1 = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    b2 = spark.createDataFrame([(i,) for i in range(10, 16)], "doc_id long")
+    base = tempfile.mkdtemp(prefix="mevi_shuf_t_")
+    try:
+        append_shuffle_blocks(spark, f"{base}/s", b1, 0, block=8)
+        first = {
+            r.doc_id: (r.block_id, r.pos_in_block)
+            for r in read_shuffle_state(spark, f"{base}/s").collect()
+        }
+        append_shuffle_blocks(spark, f"{base}/s", b2, 1, block=8)
+        both = {
+            r.doc_id: (r.block_id, r.pos_in_block)
+            for r in read_shuffle_state(spark, f"{base}/s").collect()
+        }
+        for i in range(10):
+            assert both[i] == first[i]  # history immutable
+        # batch 2 occupies positions 10..15: fills block 1 (pos 10-15)
+        order2 = _py_order(range(10, 16))
+        for rank, doc in enumerate(order2):
+            pos = 10 + rank
+            assert both[doc] == (pos // 8, pos % 8), doc
+        # replay of batch 1 is a no-op (identical rows)
+        append_shuffle_blocks(spark, f"{base}/s", b2, 1, block=8)
+        again = {
+            r.doc_id: (r.block_id, r.pos_in_block)
+            for r in read_shuffle_state(spark, f"{base}/s").collect()
+        }
+        assert again == both
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_shuffle_blocks_streaming_wrapper(spark):
+    """The foreachBatch wrapper drained over sliced input equals the
+    direct append calls over the same slices."""
+    import shutil
+    import tempfile
+
+    from mevi_spark.plans.pipeline_ops import (
+        append_shuffle_blocks,
+        read_shuffle_state,
+    )
+    from mevi_spark.streaming.incremental import incremental_shuffle_blocks
+
+    df = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    base = tempfile.mkdtemp(prefix="mevi_shuf_s_")
+    try:
+        for i, pred in enumerate(("doc_id < 20", "doc_id >= 20")):
+            df.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+                f"{base}/in/s{i:02d}"
+            )
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/in/s*")
+        )
+        q = incremental_shuffle_blocks(stream, f"{base}/out", f"{base}/ckpt")
+        q.awaitTermination()
+        for i, pred in enumerate(("doc_id < 20", "doc_id >= 20")):
+            append_shuffle_blocks(
+                spark, f"{base}/direct", df.filter(pred), i
+            )
+        got = sorted(
+            (r.doc_id, r.block_id, r.pos_in_block)
+            for r in read_shuffle_state(spark, f"{base}/out").collect()
+        )
+        want = sorted(
+            (r.doc_id, r.block_id, r.pos_in_block)
+            for r in read_shuffle_state(spark, f"{base}/direct").collect()
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
