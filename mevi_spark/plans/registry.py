@@ -69,98 +69,114 @@ _LOADED = False
 # queries crowd out never-driver-tested ones (round 3 silently dropped
 # 16 of 66), so the exposure order is now explicit:
 #
-# Round-9 policy (recomputed from CORRECTNESS_r01-r08: 50 queries have
-# a fresh r8 row, 50 are r7-green, 18 are r6-green — the documented r8
-# displacement, now 3-round-stale and "first in line" per the r8 note —
-# and round 9 adds 7 new zero-evidence queries, so 125 names compete
-# for 50 slots):
+# Round-10 policy (recomputed from CORRECTNESS_r01-r09: 50 names have
+# a fresh r9 row, 50 are r8-green — 2-round-stale at r10 — and the 25
+# r7-green names the r9 window displaced are the OLDEST evidence in
+# the registry; round 10 adds 4 new zero-evidence queries and
+# materially CHANGES chunk_dedup_reconstruct's implementation, so 129
+# names compete for 50 slots).
 #
-#   tier 1 — the SEVEN round-9-new queries (OPQ rotated-PQ encode, the
-#            doc-side top-R multi-cluster assignment + its coarse
-#            recall curve, the IVF-PQ recall-vs-nprobe curve, the
-#            WebDataset tar-shard roundtrip, chunk-level exact-substring
-#            dedup, the global-shuffle training-block order): zero
-#            driver rows, the weakest evidence in the registry;
-#   tier 2 — the EIGHTEEN r6-green names the r8 window displaced
-#            (VERDICT r8 "what's wrong" #1 — the only >2-round-stale
-#            evidence; every one rotates back in as promised);
-#   tier 3 — 25 of the 50 r7-green names (alphabetical), skipping the
-#            three the BENCH executes at sf0.1 every round
-#            (coarse_to_fine_retrieval, rq_beam_search,
-#            rq_encode_two_level — a regression there surfaces the
-#            same round as a bench error, so window slots buy more
-#            fresh evidence spent on unexercised names).
+# VERDICT r9 next-round #1 asks for "the 50 r8-green queries" — the
+# window arithmetic cannot hold all 50 alongside the staler cohorts:
+# honoring it verbatim would push the 25 r7-green names to 3-round
+# stale, the exact regression class the r8 AND r9 verdicts flagged.
+# The policy is therefore OLDEST EVIDENCE FIRST (the minimal-max-
+# staleness round-robin; at 129 names / 50 slots the steady-state
+# refresh period is 3 rounds and no policy can beat that):
 #
-# Rotated out (the unavoidable 125−50 = 75, by evidence age): the 50
-# r8-green names (1-round-stale — freshest possible outside the
-# window) and 25 of the r7-green (2-round-stale at r10: the three
-# bench-exercised above + the alphabetical tail events_range_pairs,
-# events_rolling_stats, events_type_pivot, events_type_stats,
-# events_value_quantiles, memmap_roundtrip, order_priority_histogram,
-# orders_merge_upsert, partition_pruning_stats, rq_model_roundtrip,
-# rq_reconstruct, salted_hot_key_rollup, sequence_pack,
-# streaming_cdc_apply, streaming_quantize_index,
-# suppliers_in_region_semi, text_lang_id, text_repetition_stats,
-# text_tfidf_topterms, text_token_counts, topk_orders_per_customer,
-# tsv_corpus_roundtrip — all textually unchanged this round, all
-# re-validated against the identical oracle by the full local gate
-# (tools/check_correctness.py) every round, and first in line for
-# r10). EVERY round-10-new query must go to tier 1 with the
-# displacement documented here; otherwise it sorts after the window.
+#   tier 1 — the FOUR round-10-new queries (overlapping-grid chunk
+#            dedup, SemDeDup, WDS shard append, shuffle-block append)
+#            plus chunk_dedup_reconstruct, whose first-occurrence
+#            shuffle was REKEYED to md5 this round (changed plans get
+#            fresh driver evidence, not just local-gate evidence);
+#   tier 2 — the 22 r7-green names the r9 window displaced (the
+#            alphabetical r7 tail; oldest evidence in the registry),
+#            still skipping the three the BENCH executes at sf0.1
+#            every round (coarse_to_fine_retrieval, rq_beam_search,
+#            rq_encode_two_level);
+#   tier 3 — 23 of the 50 r8-green names, prioritized exactly as the
+#            r9 verdict ranks the regression risk: the streaming-
+#            maintenance set (streaming_neardup_ingest FIRST — its
+#            publish engine changed this round: bucket copy-forward),
+#            then the named heavyweights (pq_adc_topk, pq_ivf_adc_topk,
+#            packed_sequences, packed_append, cdc_time_travel,
+#            heavy_hitters_terms, ensemble_hybrid, bpe_roundtrip),
+#            then CDC/quantization/dedup anchors.
+#
+# Rotated out (129 − 50 = 79, by evidence age): 49 of the 50 r9-green
+# names (1-round-stale — freshest possible outside the window;
+# chunk_dedup_reconstruct re-enters via tier 1), the three
+# bench-exercised r7-green names above, and these 27 r8-green names —
+# 2-round-stale now, FIRST IN LINE FOR R11 (at r11 they would be
+# 3-round-stale, so the r11 window must start with them plus any
+# r11-new tier 1): stratified_sample_exact, ngram_lm_quality,
+# zorder_box_scan, weighted_sample_topk, line_boilerplate_strip,
+# events_value_winsorize, tsv_queries_roundtrip, tsv_run_roundtrip,
+# bucketed_join_rollup, cluster_projection, complement_qg10,
+# corpus_prep_pipeline, dataset_split, doc_query_sets,
+# inverse_answer_index, jsonl_roundtrip, media_meta_stats,
+# negatives_cluster, negatives_notclus, nq_hit_test,
+# rq_assign_nearest, rq_centroids_label, rq_ema_step,
+# rq_kmeans_invariant, sessionize_events_window, text_redact_pii,
+# tokenize_padded — all re-validated against the identical oracle by
+# the full local gate (tools/check_correctness.py) every round. EVERY
+# round-11-new query must go to tier 1 with the displacement
+# documented here; otherwise it sorts after the window.
 _PRIORITY_ORDER: list[str] = [
-    # tier 1 — new in round 9, zero driver rows
-    "opq_encode_reconstruct",
-    "rq_assign_topr",
-    "multi_assign_recall",
-    "pq_ivf_recall_curve",
-    "wds_shards_roundtrip",
+    # tier 1 — new in round 10 (or materially changed), zero/stale
+    # driver evidence on the new plan
+    "chunk_dedup_overlap",
+    "semantic_dedup",
+    "wds_shards_append",
+    "shuffle_blocks_append",
     "chunk_dedup_reconstruct",
-    "global_shuffle_blocks",
-    # tier 2 — r6-green, 3-round-stale (the documented r8 displacement)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "nation_revenue",
-    "knn_topk_ip",
-    "knn_topk_cosine",
-    "retrieval_eval_metrics",
-    "ensemble_fuse",
-    "sessionize_events",
-    "text_quality_stats",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "ann_ivf_topk",
-    "streaming_event_window_counts",
-    "media_decode_stats",
-    "image_resize",
-    "video_frame_sample",
-    # tier 3 — r7-green, no r8 row (25 of 50; see rotation note)
-    "ann_lsh_topk",
-    "augment_spans",
-    "beam_constrained",
-    "bm25_search",
-    "brand_set_ops",
-    "code_prefix_members",
-    "code_token_arith",
-    "corpus_sample_remap",
-    "customer_order_rollup",
-    "customer_order_running_stats",
-    "customers_without_orders",
-    "decontaminate_eval",
-    "dedup_canonicalize",
-    "dedup_ngram_dfcut",
-    "doc2query_expand",
-    "doc_fingerprints",
-    "domain_mix_sample",
-    "embed_determinism",
-    "ensemble_grid",
-    "eval_all_codes",
-    "events_asof_attribution",
-    "events_cohort_retention",
-    "events_funnel_stages",
-    "events_hypertable_rollup",
-    "events_json_extract",
+    # tier 2 — r7-green, displaced by the r9 window (oldest evidence)
+    "events_range_pairs",
+    "events_rolling_stats",
+    "events_type_pivot",
+    "events_type_stats",
+    "events_value_quantiles",
+    "memmap_roundtrip",
+    "order_priority_histogram",
+    "orders_merge_upsert",
+    "partition_pruning_stats",
+    "rq_model_roundtrip",
+    "rq_reconstruct",
+    "salted_hot_key_rollup",
+    "sequence_pack",
+    "streaming_cdc_apply",
+    "streaming_quantize_index",
+    "suppliers_in_region_semi",
+    "text_lang_id",
+    "text_repetition_stats",
+    "text_tfidf_topterms",
+    "text_token_counts",
+    "topk_orders_per_customer",
+    "tsv_corpus_roundtrip",
+    # tier 3 — r8-green, by r9-verdict regression-risk ranking
+    "streaming_neardup_ingest",
+    "streaming_hypertable_refresh",
+    "streaming_heavy_hitters",
+    "streaming_dedup_ingest",
+    "streaming_sessionize",
+    "streaming_sessionize_evict",
+    "streaming_sessionize_window",
+    "streaming_topk_maintenance",
+    "pq_adc_topk",
+    "pq_ivf_adc_topk",
+    "packed_sequences",
+    "packed_append",
+    "cdc_time_travel",
+    "heavy_hitters_terms",
+    "ensemble_hybrid",
+    "bpe_roundtrip",
+    "cdc_partitioned_merge",
+    "compaction_roundtrip",
+    "sq8_encode_reconstruct",
+    "pq_encode_reconstruct",
+    "dedup_embedding_cosine",
+    "dedup_components",
+    "ann_adc_topk",
 ]
 
 

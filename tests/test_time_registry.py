@@ -32,46 +32,51 @@ def test_epoch_us_ltz_arm(spark):
     assert got == 1704067201_000000
 
 
-R9_NEW = [
-    "opq_encode_reconstruct",
-    "rq_assign_topr",
-    "multi_assign_recall",
-    "pq_ivf_recall_curve",
-    "wds_shards_roundtrip",
+R10_NEW = [
+    # 4 new + the one whose plan materially changed (shuffle rekeyed)
+    "chunk_dedup_overlap",
+    "semantic_dedup",
+    "wds_shards_append",
+    "shuffle_blocks_append",
     "chunk_dedup_reconstruct",
-    "global_shuffle_blocks",
 ]
 
-# the only names allowed to reach 2-round-stale evidence after r9 (the
-# registry rotation note documents each: three are bench-exercised at
-# sf0.1 every round, the rest are the alphabetical tail of the
-# r7-green set, all re-validated by the full local gate)
-R9_ROTATED_OUT = {
+# the only names allowed to lack both an r9 driver row AND an r10
+# window slot (the registry rotation note documents each: three are
+# bench-exercised at sf0.1 every round; the 27 r8-green names are the
+# documented deferral, first in line for r11; all re-validated by the
+# full local gate every round)
+R10_ROTATED_OUT = {
     "coarse_to_fine_retrieval",
     "rq_beam_search",
     "rq_encode_two_level",
-    "events_range_pairs",
-    "events_rolling_stats",
-    "events_type_pivot",
-    "events_type_stats",
-    "events_value_quantiles",
-    "memmap_roundtrip",
-    "order_priority_histogram",
-    "orders_merge_upsert",
-    "partition_pruning_stats",
-    "rq_model_roundtrip",
-    "rq_reconstruct",
-    "salted_hot_key_rollup",
-    "sequence_pack",
-    "streaming_cdc_apply",
-    "streaming_quantize_index",
-    "suppliers_in_region_semi",
-    "text_lang_id",
-    "text_repetition_stats",
-    "text_tfidf_topterms",
-    "text_token_counts",
-    "topk_orders_per_customer",
-    "tsv_corpus_roundtrip",
+    "stratified_sample_exact",
+    "ngram_lm_quality",
+    "zorder_box_scan",
+    "weighted_sample_topk",
+    "line_boilerplate_strip",
+    "events_value_winsorize",
+    "tsv_queries_roundtrip",
+    "tsv_run_roundtrip",
+    "bucketed_join_rollup",
+    "cluster_projection",
+    "complement_qg10",
+    "corpus_prep_pipeline",
+    "dataset_split",
+    "doc_query_sets",
+    "inverse_answer_index",
+    "jsonl_roundtrip",
+    "media_meta_stats",
+    "negatives_cluster",
+    "negatives_notclus",
+    "nq_hit_test",
+    "rq_assign_nearest",
+    "rq_centroids_label",
+    "rq_ema_step",
+    "rq_kmeans_invariant",
+    "sessionize_events_window",
+    "text_redact_pii",
+    "tokenize_padded",
 }
 
 
@@ -79,10 +84,11 @@ def test_driver_window_invariants():
     """The driver's correctness evidence covers exactly the first 50
     registered queries, so the priority window must (a) hold exactly 50
     names, (b) name only registered queries, (c) contain every query
-    that has never received a driver row — this round, the 7 r9-new
-    ones — and (d) every name with no r8 driver row except the
-    documented rotations (r8-green names are 1-round-stale and allowed
-    out). A drifted window silently starves new queries of evidence."""
+    that has never received a driver row (or whose plan changed) —
+    this round, the R10_NEW five — and (d) every name with no r9
+    driver row except the documented rotations (r9-green names are
+    1-round-stale and allowed out). A drifted window silently starves
+    new queries of evidence."""
     import json
     import os
 
@@ -91,19 +97,19 @@ def test_driver_window_invariants():
     assert len(set(REG._PRIORITY_ORDER)) == 50
     window = list(REG.get_queries())[:50]
     assert set(window) == set(REG._PRIORITY_ORDER)
-    missing = [n for n in R9_NEW if n not in window]
+    missing = [n for n in R10_NEW if n not in window]
     assert not missing, f"zero-evidence queries outside the window: {missing}"
-    r8 = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r08.json")
-    if os.path.exists(r8):
-        with open(r8, encoding="utf-8") as fh:
-            r8_names = set(json.load(fh))
+    r9 = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r09.json")
+    if os.path.exists(r9):
+        with open(r9, encoding="utf-8") as fh:
+            r9_names = set(json.load(fh))
         stale = [
             n
             for n in REG.get_queries()
-            if n not in r8_names
+            if n not in r9_names
             and n not in window
-            and n not in R9_ROTATED_OUT
-            and n not in R9_NEW
+            and n not in R10_ROTATED_OUT
+            and n not in R10_NEW
         ]
         assert not stale, f"undocumented 2-round-stale evidence: {stale}"
     # every windowed query must also carry an oracle (strict row, not
