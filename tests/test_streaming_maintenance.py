@@ -603,3 +603,55 @@ def test_neardup_reingest_drops_stale_band_rows_everywhere(spark):
         assert len(idx) == 1
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_neardup_zero_key_batch_preserves_state(spark):
+    """A batch contributing no band keys (empty-shingle doc) must leave
+    the band table's content intact — the touched set is empty, the
+    publish is pure copy-forward — while the doc itself still joins
+    the index."""
+    import shutil
+
+    from mevi_spark.streaming.incremental import incremental_neardup
+
+    b1 = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(12))),
+         (2, " ".join(f"v{i}" for i in range(12)))],
+        "doc_id long, text string",
+    )
+    # normalize_text strips punctuation-only text → empty shingles
+    b2 = spark.createDataFrame([(3, "!!! ... ???")], "doc_id long, text string")
+    base = tempfile.mkdtemp(prefix="mevi_test_ndz_")
+    try:
+        b1.coalesce(1).write.mode("overwrite").parquet(f"{base}/in/s00")
+
+        def drain():
+            stream = (
+                spark.readStream.schema(b1.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{base}/in/s*")
+            )
+            q = incremental_neardup(
+                stream, f"{base}/out", f"{base}/ckpt",
+                num_hashes=12, bands=4, threshold=0.5, n_buckets=8,
+            )
+            q.awaitTermination()
+
+        drain()
+        before = sorted(
+            (r._id, r.band, r.key)
+            for r in spark.read.parquet(f"{base}/out/bands").collect()
+        )
+        b2.coalesce(1).write.mode("overwrite").parquet(f"{base}/in/s01")
+        drain()
+        after = sorted(
+            (r._id, r.band, r.key)
+            for r in spark.read.parquet(f"{base}/out/bands").collect()
+        )
+        assert after == before  # band content carried forward intact
+        assert sorted(
+            r.doc_id
+            for r in spark.read.parquet(f"{base}/out/index").collect()
+        ) == [1, 2, 3]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
