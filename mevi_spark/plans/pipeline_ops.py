@@ -2476,9 +2476,7 @@ def chunk_dedup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round-10: SemDeDup cluster-then-cosine semantic dedup
 
 
-@register(
-    "semantic_dedup",
-    oracle="""
+_SQL_SEMDEDUP = """
 WITH evec AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
   UNION ALL
@@ -2530,8 +2528,10 @@ pruned AS (
 SELECT s.vec_id, s.code, ROUND(s.cc, 6) AS cent_cosine,
        CAST(p.vec_id IS NULL AS BIGINT) AS kept
 FROM scored s LEFT JOIN pruned p USING (vec_id)
-""",
-)
+"""
+
+
+@register("semantic_dedup", oracle=_SQL_SEMDEDUP)
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup as a registered curation operator
     (:func:`mevi_spark.operators.dedup.semantic_dedup`, Abbas et al.

@@ -758,3 +758,76 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = exact_recount(toks, "term", state, 5, 1000)
     return _drained(out, base)
 
+
+
+def _semdedup_oracle() -> str:
+    from mevi_spark.plans.pipeline_ops import _SQL_SEMDEDUP
+
+    return _SQL_SEMDEDUP
+
+
+@register("streaming_semdedup", oracle=_semdedup_oracle())
+def streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup maintained under ingest (the streaming twin of
+    ``semantic_dedup``): the planted embedding corpus arrives in three
+    vec-id-interleaved slices against a FIXED offline-trained codebook
+    and :func:`~mevi_spark.streaming.incremental.incremental_semdedup`
+    keeps the cluster-scoped keep/prune decision current — each batch
+    re-runs the tournament only over the clusters it touches
+    (bucket-pruned), untouched buckets hardlink forward. Slicing on
+    ``vec_id % 3`` lands most planted duplicate pairs in DIFFERENT
+    batches, so the cross-batch demotion path (a later lower-
+    centroid-cosine arrival demoting an already-kept member) is what
+    the oracle actually checks: the drained state must equal the
+    one-shot batch SemDeDup over the full corpus — the identical
+    oracle as ``semantic_dedup``."""
+    from mevi_spark.operators.rq import rq_level_centroids
+    from mevi_spark.streaming.incremental import incremental_semdedup
+
+    dim = 64
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    perturbed = F.concat(
+        F.array(F.element_at(v, 1) + F.lit(0.05)), F.slice(v, 2, dim - 1)
+    )
+    planted = (
+        emb.select("vec_id", "label", v.alias("embedding"))
+        .unionByName(
+            emb.filter(F.col("vec_id") % 10 == 0).select(
+                (F.col("vec_id") + 100000).alias("vec_id"),
+                "label",
+                v.alias("embedding"),
+            )
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") % 7 == 0).select(
+                (F.col("vec_id") + 200000).alias("vec_id"),
+                "label",
+                perturbed.alias("embedding"),
+            )
+        )
+    )
+    cents = rq_level_centroids(planted, code_col="label", vec_col="embedding")
+    base = _tmp("semdd")
+    src = planted.select("vec_id", "embedding")
+    for i in range(3):
+        src.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in/s{i:02d}")
+    stream = stream_parquet_source(
+        spark, f"{base}/in/s*", src.schema, max_files_per_trigger=1
+    )
+    q = incremental_semdedup(
+        stream, cents, f"{base}/out", f"{base}/ckpt", threshold=0.95
+    )
+    q.awaitTermination()
+    state = spark.read.parquet(f"{base}/out/scored")
+    return _drained(
+        state.select(
+            F.col("_id").alias("vec_id"),
+            "code",
+            F.round("_cc", 6).alias("cent_cosine"),
+            "kept",
+        ),
+        base,
+    )

@@ -1246,3 +1246,225 @@ def incremental_shuffle_blocks(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def code_bucket_expr(n_buckets: int):
+    """The bucket a scored-index row lives in (keyed on its cluster
+    code) — shared by the semantic-dedup index writer and the probe so
+    layout and pruning can never diverge."""
+    return F.pmod(F.xxhash64("code"), F.lit(int(n_buckets))).cast("int")
+
+
+def id_bucket_expr(n_buckets: int):
+    """The bucket a semantic-dedup id→code row lives in (keyed on the
+    id alone, so a re-ingested id always routes to the same bucket
+    regardless of where its vector now clusters)."""
+    return F.pmod(F.xxhash64("_id"), F.lit(int(n_buckets))).cast("int")
+
+
+def incremental_semdedup(
+    stream_df: DataFrame,
+    centroids: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_buckets: int = 8,
+):
+    """SemDeDup maintained under ingest: keep the cluster-scoped
+    keep/prune decision current as embeddings arrive, without ever
+    re-touching clusters the batch does not reach — the streaming twin
+    of :func:`mevi_spark.operators.dedup.semantic_dedup`, completing
+    the incremental-dedup family next to :func:`incremental_neardup`.
+
+    The codebook is FIXED and broadcast (trained offline — the same
+    operational split as :func:`incremental_quantize`; re-training
+    centroids online would silently re-route history). State is two
+    published tables under ``output_dir``:
+
+    * ``scored`` — ``(_id, code, _v, _cc, kept)`` hive-partitioned by
+      ``pmod(hash64(code), n_buckets)`` (the probe unit is the
+      cluster);
+    * ``ids`` — ``(_id, code)`` hive-partitioned by
+      ``pmod(hash64(_id), n_buckets)`` (the re-ingest lookup unit is
+      the id — same split of roles as near-dup's docs index vs band
+      table).
+
+    Per micro-batch:
+
+    1. assign + centroid-score the BATCH (map-only literal-codebook
+       argmin — zero shuffle, never the index);
+    2. touched clusters = the batch's codes ∪ the OLD codes of
+       re-ingested ids (fetched id-bucket-pruned from ``ids``) — a
+       vector that moved clusters must disappear from its old group,
+       whose tournament then RE-RUNS (its departure can promote a
+       previously-pruned member: removal is a state transition too);
+    3. re-run the within-cluster tournament over (touched clusters'
+       current rows, minus re-ingested ids, ∪ batch rows). The
+       tournament is cluster-LOCAL, so rows outside touched clusters
+       cannot change — recomputing whole touched clusters is exactly
+       the convergence unit, and the drained state equals the one-shot
+       operator over the full corpus (pinned by test);
+    4. publish both tables: touched buckets rewritten, untouched
+       bucket dirs hardlink-forward (``_publish_version``'s
+       ``copy_forward`` — the crash-atomic flip contract of every
+       other maintained index here). Bucket-mates of untouched
+       clusters republish unchanged (the rewrite unit is the bucket;
+       ``n_buckets`` trades publish size against partition count).
+
+    Replay-idempotent: deterministic assignment/cosines and id-keyed
+    replacement make a replayed batch republish identical rows.
+    """
+    import os
+
+    from mevi_spark.operators.rq import assign_nearest, centroid_entries
+
+    entries = centroid_entries(centroids)
+    scored_dir = os.path.join(output_dir, "scored")
+    ids_dir = os.path.join(output_dir, "ids")
+    vs, ls = _link_prefixes(scored_dir, "sdscore")
+    vi, li = _link_prefixes(ids_dir, "sdids")
+
+    def _tournament(scored: DataFrame) -> DataFrame:
+        """Within-cluster keep/prune on a (bounded: touched clusters ∪
+        batch) scored frame — same rule as the batch operator."""
+        from mevi_spark.functions.vector import cosine
+
+        a, b = scored.alias("a"), scored.alias("b")
+        beats = (F.col("b._cc") < F.col("a._cc")) | (
+            (F.col("b._cc") == F.col("a._cc"))
+            & (F.col("b._id") < F.col("a._id"))
+        )
+        pruned = (
+            a.join(
+                b,
+                (F.col("a.code") == F.col("b.code"))
+                & (F.col("a._id") != F.col("b._id")),
+            )
+            .filter(
+                (cosine(F.col("a._v"), F.col("b._v")) >= threshold) & beats
+            )
+            .select(F.col("a._id").alias("_id"))
+            .distinct()
+        )
+        return scored.join(
+            pruned.withColumn("_p", F.lit(1)), "_id", "left"
+        ).select(
+            "_id",
+            "code",
+            "_v",
+            "_cc",
+            F.col("_p").isNull().cast("long").alias("kept"),
+        )
+
+    def sink(batch: DataFrame, _batch_id: int) -> None:
+        from mevi_spark.functions.vector import cosine
+
+        spark = batch.sparkSession
+        _migrate_legacy_dir(scored_dir, vs, ls)
+        _migrate_legacy_dir(ids_dir, vi, li)
+        assigned = assign_nearest(
+            batch.dropDuplicates([id_col]),
+            centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            entries=entries,
+        ).join(F.broadcast(centroids.select("code", "centroid")), "code")
+        new = (
+            assigned.select(
+                F.col(id_col).alias("_id"),
+                "code",
+                F.col(vec_col).cast("array<double>").alias("_v"),
+                cosine(vec_col, "centroid").alias("_cc"),
+            )
+            .withColumn("_dbkt", id_bucket_expr(n_buckets))
+            .localCheckpoint(eager=True)
+        )
+        batch_ids = F.broadcast(new.select("_id"))
+        codes = {r[0] for r in new.select("code").distinct().collect()}
+        dbkts = sorted(
+            r[0] for r in new.select("_dbkt").distinct().collect()
+        )
+        published = os.path.exists(os.path.join(scored_dir, "_SUCCESS"))
+        if published:
+            _check_bucket_meta(scored_dir, n_buckets, "semantic index")
+            # OLD codes of re-ingested ids (id-bucket-pruned lookup;
+            # collected BEFORE any publish flips a symlink)
+            ids_tbl = spark.read.parquet(ids_dir)
+            old_codes = {
+                r[0]
+                for r in ids_tbl.filter(F.col("_dbkt").isin(dbkts))
+                .join(batch_ids, "_id")
+                .select("code")
+                .distinct()
+                .collect()
+            }
+            codes = codes | old_codes
+        touched_codes = sorted(codes)
+        kb = F.pmod(
+            F.xxhash64(F.col("code")), F.lit(int(n_buckets))
+        ).cast("int")
+        kbkts = sorted(
+            {
+                r[0]
+                for r in new.sparkSession.createDataFrame(
+                    [(c,) for c in touched_codes], "code long"
+                )
+                .select(kb.alias("b"))
+                .distinct()
+                .collect()
+            }
+        )
+        if published:
+            idx = spark.read.parquet(scored_dir)
+            in_touched = F.col("code").isin(touched_codes)
+            pool = (
+                idx.filter(F.col("_kbkt").isin(kbkts))
+                .filter(in_touched)
+                .join(batch_ids, "_id", "left_anti")
+                .select("_id", "code", "_v", "_cc")
+                .unionByName(new.select("_id", "code", "_v", "_cc"))
+            )
+            # bucket-mates of untouched clusters republish unchanged
+            bystanders = (
+                idx.filter(F.col("_kbkt").isin(kbkts))
+                .filter(~in_touched)
+                .select("_id", "code", "_v", "_cc", "kept", "_kbkt")
+            )
+            out = (
+                _tournament(pool)
+                .withColumn("_kbkt", code_bucket_expr(n_buckets))
+                .unionByName(bystanders)
+            )
+            cf_scored = (os.path.realpath(scored_dir), kbkts)
+            merged_ids = (
+                ids_tbl.filter(F.col("_dbkt").isin(dbkts))
+                .join(batch_ids, "_id", "left_anti")
+                .unionByName(new.select("_id", "code", "_dbkt"))
+            )
+            cf_ids = (os.path.realpath(ids_dir), dbkts)
+        else:
+            out = _tournament(
+                new.select("_id", "code", "_v", "_cc")
+            ).withColumn("_kbkt", code_bucket_expr(n_buckets))
+            cf_scored = None
+            merged_ids = new.select("_id", "code", "_dbkt")
+            cf_ids = None
+        _publish_version(
+            out, scored_dir, vs, ls, _publish_grace(),
+            meta={"n_buckets": int(n_buckets)}, partition_by="_kbkt",
+            copy_forward=cf_scored,
+        )
+        _publish_version(
+            merged_ids, ids_dir, vi, li, _publish_grace(),
+            meta={"n_buckets": int(n_buckets)}, partition_by="_dbkt",
+            copy_forward=cf_ids,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -655,3 +655,141 @@ def test_neardup_zero_key_batch_preserves_state(spark):
         ) == [1, 2, 3]
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _semdd_drain(spark, base, cents, schema, threshold=0.95, n_buckets=8):
+    from mevi_spark.streaming.incremental import incremental_semdedup
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in/s*")
+    )
+    q = incremental_semdedup(
+        stream, cents, f"{base}/out", f"{base}/ckpt",
+        threshold=threshold, n_buckets=n_buckets,
+    )
+    q.awaitTermination()
+    return {
+        r._id: (r.code, r.kept)
+        for r in spark.read.parquet(f"{base}/out/scored").collect()
+    }
+
+
+def test_semdedup_cross_batch_demotion(spark):
+    """A later arrival with LOWER centroid cosine must demote the
+    already-kept member of its duplicate group — the cross-batch state
+    transition that makes this maintenance, not append."""
+    import shutil
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "code long, centroid array<double>"
+    )
+    b1 = spark.createDataFrame(
+        [(1, [1.0, 0.10])], "vec_id long, embedding array<double>"
+    )
+    b2 = spark.createDataFrame(
+        [(2, [1.0, 0.12])], "vec_id long, embedding array<double>"
+    )
+    base = tempfile.mkdtemp(prefix="mevi_sdd_t_")
+    try:
+        b1.coalesce(1).write.mode("overwrite").parquet(f"{base}/in/s00")
+        got = _semdd_drain(spark, base, cents, b1.schema)
+        assert got == {1: (0, 1)}  # alone → kept
+        b2.coalesce(1).write.mode("overwrite").parquet(f"{base}/in/s01")
+        got = _semdd_drain(spark, base, cents, b1.schema)
+        # doc 2 is farther from the centroid → it wins, doc 1 demoted
+        assert got == {1: (0, 0), 2: (0, 1)}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_semdedup_reingest_moves_cluster_and_promotes_orphan(spark):
+    """A re-ingested vector that moves clusters must (a) leave exactly
+    one row, in the NEW cluster, and (b) re-run its OLD cluster's
+    tournament — its departure promotes the member it had demoted."""
+    import shutil
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "code long, centroid array<double>",
+    )
+    # batch 1: ids 1 and 2 near-identical in cluster 0; id 1 farther
+    # from the centroid → id 2 demoted
+    b1 = spark.createDataFrame(
+        [(1, [1.0, 0.12]), (2, [1.0, 0.10])],
+        "vec_id long, embedding array<double>",
+    )
+    # batch 2: id 1 re-ingested pointing into cluster 1
+    b2 = spark.createDataFrame(
+        [(1, [0.05, 1.0])], "vec_id long, embedding array<double>"
+    )
+    base = tempfile.mkdtemp(prefix="mevi_sdd_ri_")
+    try:
+        b1.coalesce(1).write.mode("overwrite").parquet(f"{base}/in/s00")
+        got = _semdd_drain(spark, base, cents, b1.schema)
+        assert got == {1: (0, 1), 2: (0, 0)}
+        b2.coalesce(1).write.mode("overwrite").parquet(f"{base}/in/s01")
+        got = _semdd_drain(spark, base, cents, b1.schema)
+        # one row per id; id 1 now in cluster 1; id 2 promoted
+        assert got == {1: (1, 1), 2: (0, 1)}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_semdedup_untouched_buckets_copy_forward(spark):
+    """A batch that touches one cluster leaves every other scored
+    bucket directory inode-identical (hardlinked forward)."""
+    import glob
+    import os
+    import shutil
+
+    # 8 clusters spread across buckets; batch 2 touches only cluster 0
+    cents = spark.createDataFrame(
+        [(c, [float(c + 1), float(8 - c)]) for c in range(8)],
+        "code long, centroid array<double>",
+    )
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [float(c + 1) + rng.uniform(-0.01, 0.01),
+             float(8 - c) + rng.uniform(-0.01, 0.01)])
+        for i, c in enumerate(list(range(8)) * 3)
+    ]
+    b1 = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    b2 = spark.createDataFrame(
+        [(999, [1.0, 7.0])], "vec_id long, embedding array<double>"
+    )
+    base = tempfile.mkdtemp(prefix="mevi_sdd_cf_")
+    try:
+        b1.coalesce(1).write.mode("overwrite").parquet(f"{base}/in/s00")
+        _semdd_drain(spark, base, cents, b1.schema, n_buckets=8)
+
+        def snap():
+            real = os.path.realpath(f"{base}/out/scored")
+            return {
+                os.path.basename(d): {
+                    f: os.stat(os.path.join(d, f)).st_ino
+                    for f in os.listdir(d)
+                    if not f.startswith(("_", "."))
+                }
+                for d in glob.glob(f"{real}/_kbkt=*")
+            }
+
+        before = snap()
+        assert len(before) > 2
+        b2.coalesce(1).write.mode("overwrite").parquet(f"{base}/in/s01")
+        _semdd_drain(spark, base, cents, b1.schema, n_buckets=8)
+        after = snap()
+        changed = [k for k in before if after.get(k) != before[k]]
+        # exactly the bucket(s) of the touched cluster rewrote
+        assert len(changed) <= 2 and len(changed) >= 1, changed
+        untouched = [k for k in before if k not in changed]
+        assert untouched
+        for k in untouched:
+            assert after[k] == before[k], k
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
