@@ -820,12 +820,16 @@ def semantic_dedup(
     with_cent = assigned.join(
         F.broadcast(centroids.select("code", "centroid")), "code"
     )
-    scored = with_cent.select(
-        F.col(id_col).alias("_id"),
-        "code",
-        F.col(vec_col).cast("array<double>").alias("_v"),
-        cosine(vec_col, "centroid").alias("_cc"),
-    ).persist()
+    from mevi_spark.operators.cache import defer_unpersist
+
+    scored = defer_unpersist(
+        with_cent.select(
+            F.col(id_col).alias("_id"),
+            "code",
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            cosine(vec_col, "centroid").alias("_cc"),
+        ).persist()
+    )
     # three consumers (both self-join sides + the output rows) would
     # otherwise each re-run the scan + assignment + centroid-cosine
     # subtree — Spark does not exchange-reuse across self-join sides
@@ -835,6 +839,27 @@ def semantic_dedup(
     # and dedup stages; at deployment scale this persist is that
     # intermediate table (MEMORY_AND_DISK, spills, never recomputes
     # the corpus 3×).
+    return semdedup_tournament(scored, threshold).select(
+        F.col("_id").alias(id_col),
+        "code",
+        F.round("_cc", 6).alias("cent_cosine"),
+        "kept",
+    )
+
+
+def semdedup_tournament(scored: DataFrame, threshold: float) -> DataFrame:
+    """The SemDeDup within-cluster keep/prune rule on a scored frame
+    ``(_id, code, _v, _cc)`` → the same columns plus ``kept`` ∈ {0, 1}.
+
+    ONE definition shared by the batch operator above and the
+    streaming maintenance (``streaming/incremental.py::
+    incremental_semdedup``): the keep-priority (centroid-cosine ASC,
+    id ASC) and the threshold comparison must stay bit-identical
+    between the two or the maintained state silently diverges from
+    the batch answer (and from their shared DuckDB oracle).
+    """
+    from mevi_spark.functions.vector import cosine
+
     a, b = scored.alias("a"), scored.alias("b")
     beats = (F.col("b._cc") < F.col("a._cc")) | (
         (F.col("b._cc") == F.col("a._cc"))
@@ -852,14 +877,12 @@ def semantic_dedup(
         .select(F.col("a._id").alias("_id"))
         .distinct()
     )
-    return (
-        scored.join(
-            pruned.withColumn("_p", F.lit(1)), "_id", "left"
-        )
-        .select(
-            F.col("_id").alias(id_col),
-            "code",
-            F.round("_cc", 6).alias("cent_cosine"),
-            F.col("_p").isNull().cast("long").alias("kept"),
-        )
+    return scored.join(
+        pruned.withColumn("_p", F.lit(1)), "_id", "left"
+    ).select(
+        "_id",
+        "code",
+        "_v",
+        "_cc",
+        F.col("_p").isNull().cast("long").alias("kept"),
     )

@@ -2476,6 +2476,38 @@ def chunk_dedup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round-10: SemDeDup cluster-then-cosine semantic dedup
 
 
+def planted_embeddings(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
+    """The embeddings table with planted duplicates — exact copies
+    (``vec_id % 10`` → ``+100000``) and first-element-perturbed near
+    copies (``vec_id % 7`` → ``+200000``, +0.05 on element 1). ONE
+    definition shared by ``semantic_dedup`` and its streaming twin
+    (``plans/streaming_ops.py::streaming_semdedup``) — both check
+    against the same oracle (``_SQL_SEMDEDUP``'s ``evec`` CTE is the
+    SQL twin), so the plant must not fork."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    perturbed = F.concat(
+        F.array(F.element_at(v, 1) + F.lit(0.05)), F.slice(v, 2, dim - 1)
+    )
+    return (
+        emb.select("vec_id", "label", v.alias("embedding"))
+        .unionByName(
+            emb.filter(F.col("vec_id") % 10 == 0).select(
+                (F.col("vec_id") + 100000).alias("vec_id"),
+                "label",
+                v.alias("embedding"),
+            )
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") % 7 == 0).select(
+                (F.col("vec_id") + 200000).alias("vec_id"),
+                "label",
+                perturbed.alias("embedding"),
+            )
+        )
+    )
+
+
 _SQL_SEMDEDUP = """
 WITH evec AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
@@ -2548,29 +2580,7 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mevi_spark.operators.dedup import semantic_dedup
     from mevi_spark.operators.rq import rq_level_centroids
 
-    dim = 64
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    perturbed = F.concat(
-        F.array(F.element_at(v, 1) + F.lit(0.05)), F.slice(v, 2, dim - 1)
-    )
-    planted = (
-        emb.select("vec_id", "label", v.alias("embedding"))
-        .unionByName(
-            emb.filter(F.col("vec_id") % 10 == 0).select(
-                (F.col("vec_id") + 100000).alias("vec_id"),
-                "label",
-                v.alias("embedding"),
-            )
-        )
-        .unionByName(
-            emb.filter(F.col("vec_id") % 7 == 0).select(
-                (F.col("vec_id") + 200000).alias("vec_id"),
-                "label",
-                perturbed.alias("embedding"),
-            )
-        )
-    )
+    planted = planted_embeddings(spark, sf_dir)
     cents = rq_level_centroids(planted, code_col="label", vec_col="embedding")
     return semantic_dedup(
         planted, cents, id_col="vec_id", vec_col="embedding", threshold=0.95

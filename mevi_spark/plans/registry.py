@@ -72,7 +72,7 @@ _LOADED = False
 # Round-10 policy (recomputed from CORRECTNESS_r01-r09: 50 names have
 # a fresh r9 row, 50 are r8-green — 2-round-stale at r10 — and the 25
 # r7-green names the r9 window displaced are the OLDEST evidence in
-# the registry; round 10 adds 4 new zero-evidence queries and
+# the registry; round 10 adds 5 new zero-evidence queries and
 # materially CHANGES chunk_dedup_reconstruct's implementation, so 129
 # names compete for 50 slots).
 #
@@ -81,7 +81,7 @@ _LOADED = False
 # honoring it verbatim would push the 25 r7-green names to 3-round
 # stale, the exact regression class the r8 AND r9 verdicts flagged.
 # The policy is therefore OLDEST EVIDENCE FIRST (the minimal-max-
-# staleness round-robin; at 129 names / 50 slots the steady-state
+# staleness round-robin; at 130 names / 50 slots the steady-state
 # refresh period is 3 rounds and no policy can beat that):
 #
 #   tier 1 — the FIVE round-10-new queries (overlapping-grid chunk

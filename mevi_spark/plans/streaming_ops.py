@@ -782,31 +782,10 @@ def streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-shot batch SemDeDup over the full corpus — the identical
     oracle as ``semantic_dedup``."""
     from mevi_spark.operators.rq import rq_level_centroids
+    from mevi_spark.plans.pipeline_ops import planted_embeddings
     from mevi_spark.streaming.incremental import incremental_semdedup
 
-    dim = 64
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    perturbed = F.concat(
-        F.array(F.element_at(v, 1) + F.lit(0.05)), F.slice(v, 2, dim - 1)
-    )
-    planted = (
-        emb.select("vec_id", "label", v.alias("embedding"))
-        .unionByName(
-            emb.filter(F.col("vec_id") % 10 == 0).select(
-                (F.col("vec_id") + 100000).alias("vec_id"),
-                "label",
-                v.alias("embedding"),
-            )
-        )
-        .unionByName(
-            emb.filter(F.col("vec_id") % 7 == 0).select(
-                (F.col("vec_id") + 200000).alias("vec_id"),
-                "label",
-                perturbed.alias("embedding"),
-            )
-        )
-    )
+    planted = planted_embeddings(spark, sf_dir)
     cents = rq_level_centroids(planted, code_col="label", vec_col="embedding")
     base = _tmp("semdd")
     src = planted.select("vec_id", "embedding")

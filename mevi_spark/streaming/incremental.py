@@ -569,7 +569,8 @@ def incremental_neardup(
             .localCheckpoint(eager=True)
         )  # 3 consumers; hash text once
         idx_legacy = False
-        if os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
+        idx_exists = os.path.exists(os.path.join(idx_dir, "_SUCCESS"))
+        if idx_exists:
             idx = spark.read.parquet(idx_dir)
             if "_dbkt" not in idx.columns:
                 # index published before doc-bucketing: derive the
@@ -651,10 +652,12 @@ def incremental_neardup(
         batch_ids = F.broadcast(new.select("doc_id"))
         # a re-ingested doc's OLD band rows live in the buckets of its
         # OLD signature's keys — recompute them (bucket-pruned idx
-        # fetch, batch-proportional) so their buckets rewrite too and
-        # the stale rows actually drop. Collected BEFORE the idx
-        # publish flips the symlink (the lookup reads the old files).
-        if ib is not None and not idx_legacy:
+        # fetch when the index is doc-bucketed; a one-time full read
+        # on a legacy index, which must ALSO sweep or its first
+        # post-upgrade batch leaks stale rows) so their buckets
+        # rewrite too and the stale rows actually drop. Collected
+        # BEFORE any publish flips a symlink.
+        if ib is not None and idx_exists:
             old_rows = idx.filter(F.col("_dbkt").isin(dbkts)).join(
                 batch_ids, "doc_id"
             )
@@ -667,28 +670,15 @@ def incremental_neardup(
             ]
         else:
             old_bkts = []
-        if idx_legacy:
-            merged_idx = idx.join(batch_ids, "doc_id", "left_anti").unionByName(
-                new
-            )
-            idx_cf = None
-        else:
-            merged_idx = (
-                idx.filter(F.col("_dbkt").isin(dbkts))
-                .join(batch_ids, "doc_id", "left_anti")
-                .unionByName(new)
-            )
-            idx_cf = (os.path.realpath(idx_dir), dbkts)
-        _publish_version(
-            merged_idx,
-            idx_dir,
-            vi,
-            li,
-            _publish_grace(),
-            meta={"n_buckets": int(n_buckets)},
-            partition_by="_dbkt",
-            copy_forward=idx_cf,
-        )
+        # PUBLISH ORDER MATTERS for crash-replay: bands BEFORE idx.
+        # The old-signature lookup above reads the docs index, so the
+        # index flip must be the LAST publish — a crash between the
+        # two then replays against the OLD index (old sigs intact →
+        # the same touched set), while re-publishing the already-new
+        # band table is idempotent (its batch-id rows are anti-joined
+        # and re-unioned). Flipping idx first would make the replay
+        # derive "old" buckets from the NEW signature and strand the
+        # genuinely old band rows in copy-forwarded buckets forever.
         anti_ids = F.broadcast(new.select(F.col("doc_id").alias("_id")))
         if ib is None:
             _publish_version(
@@ -717,6 +707,28 @@ def incremental_neardup(
                 meta={"n_buckets": int(n_buckets)}, partition_by="_bkt",
                 copy_forward=(os.path.realpath(bands_dir), touched),
             )
+        if idx_legacy:
+            merged_idx = idx.join(batch_ids, "doc_id", "left_anti").unionByName(
+                new
+            )
+            idx_cf = None
+        else:
+            merged_idx = (
+                idx.filter(F.col("_dbkt").isin(dbkts))
+                .join(batch_ids, "doc_id", "left_anti")
+                .unionByName(new)
+            )
+            idx_cf = (os.path.realpath(idx_dir), dbkts)
+        _publish_version(
+            merged_idx,
+            idx_dir,
+            vi,
+            li,
+            _publish_grace(),
+            meta={"n_buckets": int(n_buckets)},
+            partition_by="_dbkt",
+            copy_forward=idx_cf,
+        )
 
     return (
         stream_df.writeStream.foreachBatch(sink)
@@ -1328,44 +1340,46 @@ def incremental_semdedup(
 
     def _tournament(scored: DataFrame) -> DataFrame:
         """Within-cluster keep/prune on a (bounded: touched clusters ∪
-        batch) scored frame — same rule as the batch operator."""
-        from mevi_spark.functions.vector import cosine
+        batch) scored frame — the SHARED rule
+        (:func:`mevi_spark.operators.dedup.semdedup_tournament`), so
+        the streaming state cannot drift from the batch operator."""
+        from mevi_spark.operators.dedup import semdedup_tournament
 
-        a, b = scored.alias("a"), scored.alias("b")
-        beats = (F.col("b._cc") < F.col("a._cc")) | (
-            (F.col("b._cc") == F.col("a._cc"))
-            & (F.col("b._id") < F.col("a._id"))
-        )
-        pruned = (
-            a.join(
-                b,
-                (F.col("a.code") == F.col("b.code"))
-                & (F.col("a._id") != F.col("b._id")),
-            )
-            .filter(
-                (cosine(F.col("a._v"), F.col("b._v")) >= threshold) & beats
-            )
-            .select(F.col("a._id").alias("_id"))
-            .distinct()
-        )
-        return scored.join(
-            pruned.withColumn("_p", F.lit(1)), "_id", "left"
-        ).select(
-            "_id",
-            "code",
-            "_v",
-            "_cc",
-            F.col("_p").isNull().cast("long").alias("kept"),
-        )
+        return semdedup_tournament(scored, threshold)
 
     def sink(batch: DataFrame, _batch_id: int) -> None:
         from mevi_spark.functions.vector import cosine
 
+        from pyspark.sql import Window
+
         spark = batch.sparkSession
         _migrate_legacy_dir(scored_dir, vs, ls)
         _migrate_legacy_dir(ids_dir, vi, li)
+        # intra-batch duplicate ids resolve DETERMINISTICALLY (max
+        # vector-hash wins — dropDuplicates keeps an arbitrary row,
+        # which would break replay-idempotence when the duplicates
+        # carry different vectors); same pick rule as
+        # incremental_neardup's text-hash tie-break
+        batch = (
+            batch.withColumn(
+                "_vh",
+                F.md5(
+                    F.concat_ws(
+                        ",", F.col(vec_col).cast("array<string>")
+                    )
+                ),
+            )
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(F.col("_vh").desc())
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_vh", "_rn")
+        )
         assigned = assign_nearest(
-            batch.dropDuplicates([id_col]),
+            batch,
             centroids,
             id_col=id_col,
             vec_col=vec_col,
@@ -1387,8 +1401,18 @@ def incremental_semdedup(
             r[0] for r in new.select("_dbkt").distinct().collect()
         )
         published = os.path.exists(os.path.join(scored_dir, "_SUCCESS"))
+        # the ids table is guarded by ITS OWN _SUCCESS: a crash between
+        # the first batch's scored publish and ids publish would
+        # otherwise wedge every replay on PATH_NOT_FOUND. When scored
+        # exists but ids is one publish behind (crash between the two
+        # on a later batch), ids still holds the PRE-batch state —
+        # exactly the old codes the sweep needs, so the replay stays
+        # correct; this is also why scored publishes BEFORE ids.
+        ids_exists = os.path.exists(os.path.join(ids_dir, "_SUCCESS"))
+        ids_tbl = None
         if published:
             _check_bucket_meta(scored_dir, n_buckets, "semantic index")
+        if published and ids_exists:
             # OLD codes of re-ingested ids (id-bucket-pruned lookup;
             # collected BEFORE any publish flips a symlink)
             ids_tbl = spark.read.parquet(ids_dir)
@@ -1438,12 +1462,18 @@ def incremental_semdedup(
                 .unionByName(bystanders)
             )
             cf_scored = (os.path.realpath(scored_dir), kbkts)
-            merged_ids = (
-                ids_tbl.filter(F.col("_dbkt").isin(dbkts))
-                .join(batch_ids, "_id", "left_anti")
-                .unionByName(new.select("_id", "code", "_dbkt"))
-            )
-            cf_ids = (os.path.realpath(ids_dir), dbkts)
+            if ids_tbl is not None:
+                merged_ids = (
+                    ids_tbl.filter(F.col("_dbkt").isin(dbkts))
+                    .join(batch_ids, "_id", "left_anti")
+                    .unionByName(new.select("_id", "code", "_dbkt"))
+                )
+                cf_ids = (os.path.realpath(ids_dir), dbkts)
+            else:
+                # first-batch crash replay: scored exists, ids never
+                # published — rebuild ids from this batch alone
+                merged_ids = new.select("_id", "code", "_dbkt")
+                cf_ids = None
         else:
             out = _tournament(
                 new.select("_id", "code", "_v", "_cc")

@@ -793,3 +793,88 @@ def test_semdedup_untouched_buckets_copy_forward(spark):
             assert after[k] == before[k], k
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_neardup_crash_between_bands_and_idx_publish_replays_clean(
+    spark, monkeypatch
+):
+    """Publish-order crash-safety (round-10 review finding): the docs
+    index must flip LAST. A crash after the bands publish but before
+    the idx publish, during a batch that re-ingests a doc with new
+    text, must on replay still sweep the doc's OLD-signature band rows
+    — the replay derives the old buckets from the still-unflipped
+    index. (With idx flipped first, the replay would compute 'old'
+    buckets from the NEW signature and strand the stale rows in
+    copy-forwarded buckets forever.)"""
+    import shutil
+
+    from mevi_spark.operators.dedup import banded_keys, minhash_frame
+    from mevi_spark.streaming import incremental as inc
+
+    old_text = " ".join(f"o{i}" for i in range(12))
+    new_text = " ".join(f"n{i}" for i in range(12))
+    b1 = spark.createDataFrame(
+        [(5, old_text), (6, "some other entirely unrelated words go here")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame([(5, new_text)], "doc_id long, text string")
+    base = tempfile.mkdtemp(prefix="mevi_test_ndcrash_")
+    real_publish = inc._publish_version
+    crash = {"armed": False}
+
+    def crashing_publish(out, output_dir, *a, **kw):
+        if crash["armed"] and output_dir.endswith("/index"):
+            crash["armed"] = False
+            raise RuntimeError("injected crash before idx publish")
+        return real_publish(out, output_dir, *a, **kw)
+
+    try:
+
+        def drain():
+            stream = (
+                spark.readStream.schema(b1.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{base}/in/s*")
+            )
+            q = inc.incremental_neardup(
+                stream, f"{base}/out", f"{base}/ckpt",
+                num_hashes=12, bands=4, threshold=0.5, n_buckets=16,
+            )
+            q.awaitTermination()
+
+        b1.coalesce(1).write.mode("overwrite").parquet(f"{base}/in/s00")
+        drain()
+        b2.coalesce(1).write.mode("overwrite").parquet(f"{base}/in/s01")
+        monkeypatch.setattr(inc, "_publish_version", crashing_publish)
+        crash["armed"] = True
+        import pyspark.errors
+
+        try:
+            drain()
+            raise AssertionError("injected crash did not fire")
+        except pyspark.errors.exceptions.captured.StreamingQueryException:
+            pass
+        assert not crash["armed"]  # it fired exactly once
+        # bands are already NEW, idx is still OLD — the wedge state.
+        # Replay (same checkpoint; offsets never committed):
+        drain()
+        want = {
+            (r.band, r.key)
+            for r in banded_keys(
+                minhash_frame(b2, "text", "doc_id", 12, 3),
+                "doc_id", "sig", 4, sig_len=12,
+            ).collect()
+        }
+        got = {
+            (r.band, r.key)
+            for r in spark.read.parquet(f"{base}/out/bands")
+            .filter(F.col("_id") == 5)
+            .collect()
+        }
+        assert got == want  # no stale old-signature rows anywhere
+        idx = spark.read.parquet(f"{base}/out/index").filter(
+            F.col("doc_id") == 5
+        ).collect()
+        assert len(idx) == 1
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

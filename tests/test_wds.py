@@ -138,10 +138,12 @@ def test_wds_append_batches_never_rewrite_published_shards(spark):
         }
         want = {(r.doc_id, bytes(r.payload)) for r in df.collect()}
         assert got == want
-        # a REPLAYED batch republishes byte-identical files (no-op)
+        # a REPLAYED batch republishes byte-identical files (no-op):
+        # pin EVERY shard's bytes before the replay, then compare
+        md5_pre_replay = _file_md5s(out)
         append_wds_shards(b2, out, batch_id=1, shards_per_batch=3).collect()
         md5_replay = _file_md5s(out)
-        assert md5_replay == _file_md5s(out)
+        assert md5_replay == md5_pre_replay
         for f, h in md5_before.items():
             assert md5_replay[f] == h
     finally:
