@@ -2030,9 +2030,7 @@ def events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # materialization (deterministic global shuffle → fixed-size blocks)
 
 
-@register(
-    "chunk_dedup_reconstruct",
-    oracle="""
+_SQL_CHUNK_DEDUP = """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS words,
          CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nc
@@ -2058,8 +2056,10 @@ SELECT d.doc_id,
        COALESCE(agg.n_kept, 0)::BIGINT AS n_kept,
        COALESCE(agg.rebuilt_md5, md5('')) AS rebuilt_md5
 FROM documents d LEFT JOIN agg USING (doc_id)
-""",
-)
+"""
+
+
+@register("chunk_dedup_reconstruct", oracle=_SQL_CHUNK_DEDUP)
 def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide exact-substring dedup at chunk granularity + document
     reconstruction — the distributed form of ExactSubstr dedup (Lee et
@@ -2635,6 +2635,72 @@ def shuffle_blocks_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             append_shuffle_blocks(spark, f"{base}/state", b, batch_id=i)
         out = read_shuffle_state(spark, f"{base}/state").localCheckpoint(
             eager=True
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+@register("chunk_dedup_append", oracle=_SQL_CHUNK_DEDUP)
+def chunk_dedup_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-substring first-occurrence index maintained
+    INCREMENTALLY (``streaming/incremental.py::append_chunk_kept``):
+    the corpus arrives as three doc-id-ascending batches; each batch's
+    within-batch winners probe the index bucket-pruned and only the
+    fresh chunks' buckets republish (untouched dirs hardlink forward).
+    Because batches ascend in doc_id, first-arrival equals the global
+    (doc_id, idx) minimum, so the drained index reconstructs documents
+    EXACTLY as the one-shot ``chunk_dedup_reconstruct`` — the
+    identical oracle checks n_chunks, n_kept, and the rebuilt-document
+    md5 per doc."""
+    import shutil
+    import tempfile
+
+    from mevi_spark.streaming.incremental import append_chunk_kept
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).first()[0] or 0
+    cuts = (int(mx) // 3, 2 * int(mx) // 3)
+    batches = [
+        docs.filter(F.col("doc_id") <= cuts[0]),
+        docs.filter(
+            (F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])
+        ),
+        docs.filter(F.col("doc_id") > cuts[1]),
+    ]
+    base = tempfile.mkdtemp(prefix="mevi_chapp_")
+    try:
+        for b in batches:
+            append_chunk_kept(spark, f"{base}/state", b)
+        kept = spark.read.parquet(f"{base}/state")
+        agg = kept.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("idx", "chunk"))
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                    " ",
+                )
+            ).alias("rebuilt_md5"),
+        )
+        words = F.split(F.col("text"), " ")
+        n_chunks = F.ceil(F.size(words) / 8).cast("long")
+        out = (
+            docs.select("doc_id", n_chunks.alias("n_chunks"))
+            .join(agg, "doc_id", "left")
+            .select(
+                "doc_id",
+                "n_chunks",
+                F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+                F.coalesce("rebuilt_md5", F.md5(F.lit(""))).alias(
+                    "rebuilt_md5"
+                ),
+            )
+            .localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)

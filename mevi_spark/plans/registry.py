@@ -72,7 +72,7 @@ _LOADED = False
 # Round-10 policy (recomputed from CORRECTNESS_r01-r09: 50 names have
 # a fresh r9 row, 50 are r8-green — 2-round-stale at r10 — and the 25
 # r7-green names the r9 window displaced are the OLDEST evidence in
-# the registry; round 10 adds 5 new zero-evidence queries and
+# the registry; round 10 adds 6 new zero-evidence queries and
 # materially CHANGES chunk_dedup_reconstruct's implementation, so 129
 # names compete for 50 slots).
 #
@@ -81,11 +81,12 @@ _LOADED = False
 # honoring it verbatim would push the 25 r7-green names to 3-round
 # stale, the exact regression class the r8 AND r9 verdicts flagged.
 # The policy is therefore OLDEST EVIDENCE FIRST (the minimal-max-
-# staleness round-robin; at 130 names / 50 slots the steady-state
+# staleness round-robin; at 131 names / 50 slots the steady-state
 # refresh period is 3 rounds and no policy can beat that):
 #
-#   tier 1 — the FIVE round-10-new queries (overlapping-grid chunk
-#            dedup, SemDeDup and its streaming twin, WDS shard append,
+#   tier 1 — the SIX round-10-new queries (overlapping-grid chunk
+#            dedup, SemDeDup and its streaming twin, incremental
+#            exact-substring chunk dedup, WDS shard append,
 #            shuffle-block append)
 #            plus chunk_dedup_reconstruct, whose first-occurrence
 #            shuffle was REKEYED to md5 this round (changed plans get
@@ -95,7 +96,7 @@ _LOADED = False
 #            still skipping the three the BENCH executes at sf0.1
 #            every round (coarse_to_fine_retrieval, rq_beam_search,
 #            rq_encode_two_level);
-#   tier 3 — 22 of the 50 r8-green names, prioritized exactly as the
+#   tier 3 — 21 of the 50 r8-green names, prioritized exactly as the
 #            r9 verdict ranks the regression risk: the streaming-
 #            maintenance set (streaming_neardup_ingest FIRST — its
 #            publish engine changed this round: bucket copy-forward),
@@ -104,10 +105,10 @@ _LOADED = False
 #            heavy_hitters_terms, ensemble_hybrid, bpe_roundtrip),
 #            then CDC/quantization/dedup anchors.
 #
-# Rotated out (130 − 50 = 80, by evidence age): 49 of the 50 r9-green
+# Rotated out (131 − 50 = 81, by evidence age): 49 of the 50 r9-green
 # names (1-round-stale — freshest possible outside the window;
 # chunk_dedup_reconstruct re-enters via tier 1), the three
-# bench-exercised r7-green names above, and these 28 r8-green names —
+# bench-exercised r7-green names above, and these 29 r8-green names —
 # 2-round-stale now, FIRST IN LINE FOR R11 (at r11 they would be
 # 3-round-stale, so the r11 window must start with them plus any
 # r11-new tier 1): stratified_sample_exact, ngram_lm_quality,
@@ -119,13 +120,15 @@ _LOADED = False
 # negatives_cluster, negatives_notclus, nq_hit_test,
 # rq_assign_nearest, rq_centroids_label, rq_ema_step,
 # rq_kmeans_invariant, sessionize_events_window, text_redact_pii,
-# tokenize_padded, ann_adc_topk — all re-validated against the identical oracle by
+# tokenize_padded, ann_adc_topk, dedup_components — all re-validated against the identical oracle by
 # the full local gate (tools/check_correctness.py) every round. EVERY
 # round-11-new query must go to tier 1 with the displacement
 # documented here; otherwise it sorts after the window. (ann_adc_topk
 # joined the deferral when streaming_semdedup took its tier-1 slot:
 # its ADC scoring path keeps window coverage through pq_adc_topk and
-# pq_ivf_adc_topk.)
+# pq_ivf_adc_topk; dedup_components likewise when chunk_dedup_append
+# landed — its connected-components kernel stays exercised by the
+# local gate and dedup_canonicalize, r9-green.)
 _PRIORITY_ORDER: list[str] = [
     # tier 1 — new in round 10 (or materially changed), zero/stale
     # driver evidence on the new plan
@@ -134,6 +137,7 @@ _PRIORITY_ORDER: list[str] = [
     "wds_shards_append",
     "shuffle_blocks_append",
     "streaming_semdedup",
+    "chunk_dedup_append",
     "chunk_dedup_reconstruct",
     # tier 2 — r7-green, displaced by the r9 window (oldest evidence)
     "events_range_pairs",
@@ -180,7 +184,6 @@ _PRIORITY_ORDER: list[str] = [
     "sq8_encode_reconstruct",
     "pq_encode_reconstruct",
     "dedup_embedding_cosine",
-    "dedup_components",
 ]
 
 

@@ -1498,3 +1498,128 @@ def incremental_semdedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def chunk_bucket_expr(n_buckets: int):
+    """The bucket a kept-chunk row lives in (keyed on the chunk's md5,
+    the probe key) — shared by the index writer and the probe."""
+    return F.pmod(F.xxhash64("_h"), F.lit(int(n_buckets))).cast("int")
+
+
+def append_chunk_kept(
+    spark,
+    state_dir: str,
+    batch_docs: DataFrame,
+    w_words: int = 8,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Exact-substring chunk dedup maintained under ingest: extend the
+    corpus-wide first-occurrence chunk index with one batch — the
+    incremental form of ``chunk_dedup_reconstruct``, completing the
+    incremental-dedup family (near-dup, semantic, exact-substring).
+
+    State is ONE published table of surviving chunk occurrences
+    ``(_h, doc_id, idx, chunk)`` hive-partitioned by
+    ``pmod(hash64(_h), n_buckets)``. Per batch:
+
+    1. map-side chunk explode of the BATCH + within-batch first
+       occurrence (the hash-keyed partial-aggregable min-struct — the
+       one-shot kernel applied batch-locally);
+    2. probe: batch winners anti-join the index ON ONLY the batch's
+       hash buckets (partition-pruned — batch-proportional reads);
+       a chunk already in the index keeps its existing owner;
+    3. publish: the surviving new winners' buckets rewrite, untouched
+       bucket dirs hardlink forward (the shared ``copy_forward``
+       crash-atomic flip).
+
+    Convergence: when batches arrive doc-id-ascending (the packer
+    discipline), first-arrival == global (doc_id, idx) minimum, so the
+    drained index equals the one-shot pass — pinned by the registered
+    query's shared oracle. Out-of-order ingest degrades gracefully to
+    first-ARRIVAL-wins (any-one-occurrence is a valid ExactSubstr
+    policy; the docstring contract a deployment chooses knowingly).
+
+    Replay-idempotent with no merge step: a replayed batch's winners
+    all anti-join away against the already-updated index, the touched
+    set is empty, and the publish is a pure copy-forward.
+    """
+    import os
+
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / w_words).cast("long")
+    chunked = batch_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+                lambda i: F.array_join(
+                    F.slice(words, i * w_words + 1, w_words), " "
+                ),
+            )
+        ).alias("idx", "chunk"),
+    )
+    winners = (
+        chunked.groupBy(F.md5("chunk").alias("_h"))
+        .agg(F.min(F.struct("doc_id", "idx", "chunk")).alias("w"))
+        .select(
+            "_h",
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.idx").alias("idx"),
+            F.col("w.chunk").alias("chunk"),
+        )
+        .withColumn("_hbkt", chunk_bucket_expr(n_buckets))
+        .localCheckpoint(eager=True)  # probe + bucket-list + publish
+    )
+    v_prefix, ln_prefix = _link_prefixes(state_dir, "chidx")
+    _migrate_legacy_dir(state_dir, v_prefix, ln_prefix)
+    if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+        _check_bucket_meta(state_dir, n_buckets, "chunk index")
+        idx = spark.read.parquet(state_dir)
+        bkts = [r[0] for r in winners.select("_hbkt").distinct().collect()]
+        fresh = winners.join(
+            idx.filter(F.col("_hbkt").isin(bkts)).select("_h"),
+            "_h",
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        touched = sorted(
+            r[0] for r in fresh.select("_hbkt").distinct().collect()
+        )
+        merged = idx.filter(F.col("_hbkt").isin(touched)).unionByName(fresh)
+        cf = (os.path.realpath(state_dir), touched)
+    else:
+        merged, cf = winners, None
+    _publish_version(
+        merged, state_dir, v_prefix, ln_prefix, _publish_grace(),
+        meta={"n_buckets": int(n_buckets)}, partition_by="_hbkt",
+        copy_forward=cf,
+    )
+
+
+def incremental_chunk_dedup(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    w_words: int = 8,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming wrapper over :func:`append_chunk_kept` — the
+    exact-substring first-occurrence index kept current as documents
+    arrive."""
+
+    def sink(batch: DataFrame, _batch_id: int) -> None:
+        append_chunk_kept(
+            batch.sparkSession, state_dir, batch,
+            w_words=w_words, n_buckets=n_buckets,
+            text_col=text_col, id_col=id_col,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -878,3 +878,87 @@ def test_neardup_crash_between_bands_and_idx_publish_replays_clean(
         assert len(idx) == 1
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_chunk_kept_incremental_first_owner_wins_and_copy_forward(spark):
+    """Exact-substring index under ingest: a chunk's first-arrival
+    owner survives later repeats; only fresh chunks' buckets rewrite
+    (untouched dirs inode-identical); a replayed batch is a pure
+    copy-forward no-op."""
+    import glob
+    import os
+    import shutil
+
+    from mevi_spark.streaming.incremental import (
+        append_chunk_kept,
+        incremental_chunk_dedup,
+    )
+
+    w1 = " ".join(f"a{i}" for i in range(8))
+    w2 = " ".join(f"b{i}" for i in range(8))
+    w3 = " ".join(f"c{i}" for i in range(8))
+    b1 = spark.createDataFrame(
+        [(1, w1 + " " + w2)], "doc_id long, text string"
+    )
+    # doc 2 repeats w1 (owned by doc 1) and introduces w3
+    b2 = spark.createDataFrame(
+        [(2, w1 + " " + w3)], "doc_id long, text string"
+    )
+    base = tempfile.mkdtemp(prefix="mevi_chk_t_")
+    try:
+        append_chunk_kept(spark, f"{base}/s", b1, n_buckets=8)
+
+        def snap():
+            real = os.path.realpath(f"{base}/s")
+            return {
+                os.path.basename(d): {
+                    f: os.stat(os.path.join(d, f)).st_ino
+                    for f in os.listdir(d)
+                    if not f.startswith(("_", "."))
+                }
+                for d in glob.glob(f"{real}/_hbkt=*")
+            }
+
+        before = snap()
+        append_chunk_kept(spark, f"{base}/s", b2, n_buckets=8)
+        kept = {
+            (r.doc_id, r.idx): r.chunk
+            for r in spark.read.parquet(f"{base}/s").collect()
+        }
+        # w1 still owned by (1, 0); w3 fresh at (2, 1); doc 2's repeat
+        # of w1 never entered the index
+        assert kept == {(1, 0): w1, (1, 1): w2, (2, 1): w3}
+        after = snap()
+        # at least one batch-1 bucket untouched and carried by inode
+        untouched = [
+            k for k in before if after.get(k) == before[k]
+        ]
+        assert untouched or set(before) <= set(after)
+        # replay of batch 2: nothing fresh → state content unchanged
+        append_chunk_kept(spark, f"{base}/s", b2, n_buckets=8)
+        kept2 = {
+            (r.doc_id, r.idx): r.chunk
+            for r in spark.read.parquet(f"{base}/s").collect()
+        }
+        assert kept2 == kept
+        # streaming wrapper equals direct calls
+        for i, b in enumerate((b1, b2)):
+            b.coalesce(1).write.mode("overwrite").parquet(
+                f"{base}/in/s{i:02d}"
+            )
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/in/s*")
+        )
+        q = incremental_chunk_dedup(
+            stream, f"{base}/s2", f"{base}/ckpt", n_buckets=8
+        )
+        q.awaitTermination()
+        kept_s = {
+            (r.doc_id, r.idx): r.chunk
+            for r in spark.read.parquet(f"{base}/s2").collect()
+        }
+        assert kept_s == kept
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

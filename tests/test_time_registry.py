@@ -39,12 +39,13 @@ R10_NEW = [
     "wds_shards_append",
     "shuffle_blocks_append",
     "streaming_semdedup",
+    "chunk_dedup_append",
     "chunk_dedup_reconstruct",
 ]
 
 # the only names allowed to lack both an r9 driver row AND an r10
 # window slot (the registry rotation note documents each: three are
-# bench-exercised at sf0.1 every round; the 28 r8-green names are the
+# bench-exercised at sf0.1 every round; the 29 r8-green names are the
 # documented deferral, first in line for r11; all re-validated by the
 # full local gate every round)
 R10_ROTATED_OUT = {
@@ -79,6 +80,7 @@ R10_ROTATED_OUT = {
     "text_redact_pii",
     "tokenize_padded",
     "ann_adc_topk",
+    "dedup_components",
 }
 
 
