@@ -2092,12 +2092,26 @@ def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_kept=0, md5('')) — dropping them silently is how dedup bugs
     hide.
     """
-    w_words = 8
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
+    kept = chunk_winners(chunk_grid(docs, 8))
+    return rebuild_kept_docs(docs, kept, 8)
+
+
+def chunk_grid(
+    docs: DataFrame,
+    w_words: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Map-side explode of ``docs`` into aligned w-word chunks →
+    ``(doc_id, idx, chunk)``. ONE definition shared by the batch query
+    (``chunk_dedup_reconstruct``), the incremental index
+    (``streaming/incremental.py::append_chunk_kept``), and their
+    shared oracle — the chunk geometry must not fork."""
+    words = F.split(F.col(text_col), " ")
     n_chunks = F.ceil(F.size(words) / w_words).cast("long")
-    chunked = docs.select(
-        "doc_id",
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
@@ -2107,15 +2121,34 @@ def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("idx", "chunk"),
     )
-    kept = (
+
+
+def chunk_winners(chunked: DataFrame) -> DataFrame:
+    """Global first occurrence per chunk — the hash-keyed
+    partial-aggregable min-struct kernel → ``(_h, doc_id, idx,
+    chunk)``. Shared by the batch pass and the incremental index
+    (collision accounting in ``chunk_dedup_reconstruct``)."""
+    return (
         chunked.groupBy(F.md5("chunk").alias("_h"))
         .agg(F.min(F.struct("doc_id", "idx", "chunk")).alias("w"))
         .select(
+            "_h",
             F.col("w.doc_id").alias("doc_id"),
             F.col("w.idx").alias("idx"),
             F.col("w.chunk").alias("chunk"),
         )
     )
+
+
+def rebuild_kept_docs(
+    docs: DataFrame, kept: DataFrame, w_words: int
+) -> DataFrame:
+    """Per-doc reconstruction from surviving chunk occurrences →
+    ``(doc_id, n_chunks, n_kept, rebuilt_md5)``; fully-deduplicated
+    docs stay visible at n_kept=0 / md5(''). Shared by the one-shot
+    and incremental chunk-dedup queries against the one oracle."""
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / w_words).cast("long")
     agg = kept.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_kept"),
         F.md5(
@@ -2673,35 +2706,7 @@ def chunk_dedup_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in batches:
             append_chunk_kept(spark, f"{base}/state", b)
         kept = spark.read.parquet(f"{base}/state")
-        agg = kept.groupBy("doc_id").agg(
-            F.count("*").cast("long").alias("n_kept"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("idx", "chunk"))
-                        ),
-                        lambda s: s["chunk"],
-                    ),
-                    " ",
-                )
-            ).alias("rebuilt_md5"),
-        )
-        words = F.split(F.col("text"), " ")
-        n_chunks = F.ceil(F.size(words) / 8).cast("long")
-        out = (
-            docs.select("doc_id", n_chunks.alias("n_chunks"))
-            .join(agg, "doc_id", "left")
-            .select(
-                "doc_id",
-                "n_chunks",
-                F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-                F.coalesce("rebuilt_md5", F.md5(F.lit(""))).alias(
-                    "rebuilt_md5"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
+        out = rebuild_kept_docs(docs, kept, 8).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out

@@ -639,7 +639,22 @@ def incremental_neardup(
         verified = jaccard_verify(cands, shingled, threshold)
         if os.path.exists(os.path.join(pairs_dir, "_SUCCESS")):
             old = spark.read.parquet(pairs_dir)
-            pairs = old.unionByName(verified).dropDuplicates(["id_a", "id_b"])
+            # a re-ingested doc's OLD-text pairs are stale state just
+            # like its old band/index rows: drop every old pair that
+            # touches a batch id — this batch's own probe re-verifies
+            # (and re-adds) any of them that still qualify against the
+            # NEW text, so the drained pair set stays equal to the
+            # batch dedup over the final corpus. Also what makes the
+            # merge replay-idempotent: a crashed batch's pairs all
+            # touch batch ids, are dropped, and re-add identically.
+            ia = F.broadcast(new.select(F.col("doc_id").alias("id_a")))
+            ib_ids = F.broadcast(new.select(F.col("doc_id").alias("id_b")))
+            kept_old = old.join(ia, "id_a", "left_anti").join(
+                ib_ids, "id_b", "left_anti"
+            )
+            pairs = kept_old.unionByName(verified).dropDuplicates(
+                ["id_a", "id_b"]
+            )
         else:
             pairs = verified
         _publish_version(pairs, pairs_dir, vp, lp, _publish_grace())
@@ -1547,27 +1562,15 @@ def append_chunk_kept(
     """
     import os
 
-    words = F.split(F.col(text_col), " ")
-    n_chunks = F.ceil(F.size(words) / w_words).cast("long")
-    chunked = batch_docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
-                lambda i: F.array_join(
-                    F.slice(words, i * w_words + 1, w_words), " "
-                ),
-            )
-        ).alias("idx", "chunk"),
-    )
+    # the chunk geometry and winner rule are the SHARED kernels
+    # (plans/pipeline_ops.py::chunk_grid / chunk_winners) — forking
+    # them would silently desynchronize the incremental index from
+    # the batch query and their shared oracle
+    from mevi_spark.plans.pipeline_ops import chunk_grid, chunk_winners
+
     winners = (
-        chunked.groupBy(F.md5("chunk").alias("_h"))
-        .agg(F.min(F.struct("doc_id", "idx", "chunk")).alias("w"))
-        .select(
-            "_h",
-            F.col("w.doc_id").alias("doc_id"),
-            F.col("w.idx").alias("idx"),
-            F.col("w.chunk").alias("chunk"),
+        chunk_winners(
+            chunk_grid(batch_docs, w_words, text_col=text_col, id_col=id_col)
         )
         .withColumn("_hbkt", chunk_bucket_expr(n_buckets))
         .localCheckpoint(eager=True)  # probe + bucket-list + publish

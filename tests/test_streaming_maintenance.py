@@ -556,8 +556,11 @@ def test_neardup_reingest_drops_stale_band_rows_everywhere(spark):
 
     old_text = " ".join(f"o{i}" for i in range(12))
     new_text = " ".join(f"n{i}" for i in range(12))
+    # doc 6 is a near-dup of doc 5's OLD text, so batch 1 publishes the
+    # verified pair (5, 6) — which must DISAPPEAR when doc 5's text
+    # changes (stale pairs are state like stale band rows)
     b1 = spark.createDataFrame(
-        [(5, old_text), (6, "filler words here for another doc entirely ok")],
+        [(5, old_text), (6, old_text + " extra")],
         "doc_id long, text string",
     )
     b2 = spark.createDataFrame([(5, new_text)], "doc_id long, text string")
@@ -578,8 +581,14 @@ def test_neardup_reingest_drops_stale_band_rows_everywhere(spark):
             q.awaitTermination()
 
         drain()
+        assert {
+            (r.id_a, r.id_b)
+            for r in spark.read.parquet(f"{base}/out/pairs").collect()
+        } == {(5, 6)}
         b2.coalesce(1).write.mode("overwrite").parquet(f"{base}/in/s01")
         drain()
+        # the (5, 6) pair was about doc 5's OLD text — it must be gone
+        assert spark.read.parquet(f"{base}/out/pairs").count() == 0
 
         want = {
             (r.band, r.key)
@@ -929,11 +938,15 @@ def test_chunk_kept_incremental_first_owner_wins_and_copy_forward(spark):
         # of w1 never entered the index
         assert kept == {(1, 0): w1, (1, 1): w2, (2, 1): w3}
         after = snap()
-        # at least one batch-1 bucket untouched and carried by inode
+        # at least one batch-1 bucket must be untouched AND carried by
+        # inode (hardlink) — a hard assertion, not a fallback: if a
+        # bucket-layout change ever makes every batch-1 bucket
+        # collide with the fresh chunk's, fail loudly and re-pick the
+        # fixture words instead of silently not testing copy-forward
         untouched = [
             k for k in before if after.get(k) == before[k]
         ]
-        assert untouched or set(before) <= set(after)
+        assert untouched, (before, after)
         # replay of batch 2: nothing fresh → state content unchanged
         append_chunk_kept(spark, f"{base}/s", b2, n_buckets=8)
         kept2 = {

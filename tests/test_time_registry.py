@@ -33,7 +33,8 @@ def test_epoch_us_ltz_arm(spark):
 
 
 R10_NEW = [
-    # 4 new + the one whose plan materially changed (shuffle rekeyed)
+    # the 6 round-10-new queries + the one whose plan materially
+    # changed (chunk_dedup_reconstruct, shuffle rekeyed to md5)
     "chunk_dedup_overlap",
     "semantic_dedup",
     "wds_shards_append",
@@ -89,7 +90,7 @@ def test_driver_window_invariants():
     registered queries, so the priority window must (a) hold exactly 50
     names, (b) name only registered queries, (c) contain every query
     that has never received a driver row (or whose plan changed) —
-    this round, the R10_NEW five — and (d) every name with no r9
+    this round, the R10_NEW seven — and (d) every name with no r9
     driver row except the documented rotations (r9-green names are
     1-round-stale and allowed out). A drifted window silently starves
     new queries of evidence."""
