@@ -782,6 +782,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     entries: list | None = None,
+    giant_cluster_cap: int = 100_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", 2023): k-means-cluster
@@ -808,12 +809,18 @@ def semantic_dedup(
     and the prune aggregation, both keyed on the cluster code. Cost is
     Σ|cluster|² pair rows — bounded by choosing k proportional to
     corpus size so clusters stay ~10⁴-10⁵ rows (the paper runs k=50k
-    over 1.3B examples for exactly this reason); a skewed giant
-    cluster is a k-too-small symptom, not a plan problem.
+    over 1.3B examples for exactly this reason) AND, because k is
+    fixed before the data is seen and one degenerate cluster can
+    swallow the corpus, by ``giant_cluster_cap``: any cluster above
+    the cap switches from the full self-join to sign-LSH banded
+    candidates with the identical cosine + priority verify (see
+    :func:`semdedup_tournament`).
     """
     from mevi_spark.functions.vector import cosine
-    from mevi_spark.operators.rq import assign_nearest
+    from mevi_spark.operators.rq import assign_nearest, centroid_entries
 
+    if entries is None:
+        entries = centroid_entries(centroids)
     assigned = assign_nearest(
         df, centroids, id_col=id_col, vec_col=vec_col, entries=entries
     )
@@ -839,7 +846,12 @@ def semantic_dedup(
     # and dedup stages; at deployment scale this persist is that
     # intermediate table (MEMORY_AND_DISK, spills, never recomputes
     # the corpus 3×).
-    return semdedup_tournament(scored, threshold).select(
+    return semdedup_tournament(
+        scored,
+        threshold,
+        giant_cluster_cap=giant_cluster_cap,
+        dim=len(entries[0][1]),
+    ).select(
         F.col("_id").alias(id_col),
         "code",
         F.round("_cc", 6).alias("cent_cosine"),
@@ -847,7 +859,14 @@ def semantic_dedup(
     )
 
 
-def semdedup_tournament(scored: DataFrame, threshold: float) -> DataFrame:
+def semdedup_tournament(
+    scored: DataFrame,
+    threshold: float,
+    giant_cluster_cap: int = 100_000,
+    lsh_planes: int = 16,
+    lsh_bands: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
     """The SemDeDup within-cluster keep/prune rule on a scored frame
     ``(_id, code, _v, _cc)`` → the same columns plus ``kept`` ∈ {0, 1}.
 
@@ -857,14 +876,65 @@ def semdedup_tournament(scored: DataFrame, threshold: float) -> DataFrame:
     id ASC) and the threshold comparison must stay bit-identical
     between the two or the maintained state silently diverges from
     the batch answer (and from their shared DuckDB oracle).
+
+    Giant-cluster guard (the 100 TB skew path): the cluster-keyed
+    self-join generates Σ|cluster|² pair rows. k is chosen BEFORE the
+    data is seen, so one degenerate cluster (boilerplate mass,
+    embedding collapse) of 10⁷ rows is 10¹⁴ pairs on a single join key
+    — a straggler that never finishes. Clusters whose size exceeds
+    ``giant_cluster_cap`` therefore run their within-cluster
+    comparison through the deterministic sign-LSH banding already used
+    by :func:`embedding_near_dup`: candidates = same-cluster pairs
+    sharing at least one of ``lsh_bands`` bands of
+    ``lsh_planes/lsh_bands`` sign bits, verified by the SAME exact
+    cosine + (centroid-cosine ASC, id ASC) priority rule. Above the
+    cap the result is approximate in one direction only (a true dup
+    pair whose vectors disagree on every band is missed, so its loser
+    survives) — at the 0.95-cosine thresholds SemDeDup runs, per-bit
+    collision probability is ``1 - θ/π ≈ 0.90`` and the per-pair miss
+    probability ``(1 - 0.9^4)^4 ≈ 0.04`` at the defaults; the paper's
+    own cluster-then-compare step is already a sampling of the true
+    pair set. Below the cap the result is bit-identical to the
+    unguarded tournament.
+
+    The routing is DECLARATIVE, not driver-side: every row is tagged
+    with its cluster size via a broadcast join against the k-row size
+    frame and filtered into the exact / banded branch by ``_csz``, so
+    no plan-build-time job runs and no cluster-size snapshot is baked
+    into the plan — skew is handled per run, the same way AQE handles
+    it, and with no giant cluster the banded branch is runtime-empty.
+    ``dim`` (the embedding width, known to both callers from their
+    codebook) is required for the guard because the ±1 hyperplanes are
+    plan-time literals; ``dim=None`` keeps the legacy unguarded
+    tournament for callers without a codebook at hand.
     """
     from mevi_spark.functions.vector import cosine
 
-    a, b = scored.alias("a"), scored.alias("b")
+    if dim is None:
+        small, giant = scored, None
+    else:
+        from mevi_spark.operators.cache import defer_unpersist
+
+        # the k-row size frame is consumed by all four join sides
+        # (small a/b, giant a/b) — persist it so the corpus-wide count
+        # aggregation runs ONCE; without this each side re-aggregates
+        # (self-join sides defeat exchange reuse here, same finding as
+        # the scored persist in semantic_dedup)
+        sizes = defer_unpersist(
+            scored.groupBy("code")
+            .agg(F.count(F.lit(1)).alias("_csz"))
+            .persist()
+        )
+        tagged = scored.join(F.broadcast(sizes), "code")
+        cap = F.lit(int(giant_cluster_cap))
+        small = tagged.filter(F.col("_csz") <= cap).drop("_csz")
+        giant = tagged.filter(F.col("_csz") > cap).drop("_csz")
+
     beats = (F.col("b._cc") < F.col("a._cc")) | (
         (F.col("b._cc") == F.col("a._cc"))
         & (F.col("b._id") < F.col("a._id"))
     )
+    a, b = small.alias("a"), small.alias("b")
     pruned = (
         a.join(
             b,
@@ -875,8 +945,30 @@ def semdedup_tournament(scored: DataFrame, threshold: float) -> DataFrame:
             (cosine(F.col("a._v"), F.col("b._v")) >= threshold) & beats
         )
         .select(F.col("a._id").alias("_id"))
-        .distinct()
     )
+    if giant is not None:
+        banded = _semdedup_lsh_banded(giant, lsh_planes, lsh_bands, dim)
+        ga, gb = banded.alias("a"), banded.alias("b")
+        pruned_giant = (
+            ga.join(
+                gb,
+                (F.col("a.code") == F.col("b.code"))
+                & (F.col("a._band") == F.col("b._band"))
+                & (F.col("a._key") == F.col("b._key"))
+                & (F.col("a._id") != F.col("b._id")),
+            )
+            .filter(
+                (cosine(F.col("a._v"), F.col("b._v")) >= threshold) & beats
+            )
+            .select(F.col("a._id").alias("_id"))
+        )
+        pruned = pruned.unionByName(pruned_giant)
+    # ONE distinct AFTER the union (not per branch): keeps the pruned
+    # side provably unique on the join key so Catalyst can still
+    # eliminate the outer join for aggregates that don't touch `kept`
+    # (a union of two distincts loses that proof), and dedups the
+    # multi-band giant candidates in the same exchange
+    pruned = pruned.distinct()
     return scored.join(
         pruned.withColumn("_p", F.lit(1)), "_id", "left"
     ).select(
@@ -886,3 +978,54 @@ def semdedup_tournament(scored: DataFrame, threshold: float) -> DataFrame:
         "_cc",
         F.col("_p").isNull().cast("long").alias("kept"),
     )
+
+
+def _semdedup_lsh_banded(
+    giant: DataFrame, lsh_planes: int, lsh_bands: int, dim: int
+) -> DataFrame:
+    """Explode a giant-cluster scored frame ``(_id, code, _v, _cc)``
+    into one row per sign-LSH band: ``(_id, code, _v, _cc, _band,
+    _key)``. The tournament joins on ``(code, _band, _key)`` instead of
+    ``code`` alone, bounding pair fan-out to same-bucket rows. Planes
+    are the deterministic ±1 md5 hyperplanes of
+    :func:`deterministic_planes` — reproducible across batch and
+    streaming so the two paths cannot diverge on candidates. ``dim``
+    comes from the caller's codebook (plan-time literal; no data
+    probe)."""
+    if lsh_planes % lsh_bands:
+        raise ValueError(
+            f"lsh_planes {lsh_planes} not divisible by bands="
+            f"{lsh_bands}: the trailing bits would silently join no band"
+        )
+    planes = deterministic_planes(int(dim), lsh_planes)
+    per_band = lsh_planes // lsh_bands
+
+    # ONE selectExpr of SQL text, not per-plane Column churn — the
+    # Column-API form cost >1 s of py4j round trips per plan build
+    # (the same finding banded_keys documents). Plane weights are ±1,
+    # so each projection folds to a flat signed sum ±_v[d] — the same
+    # left-to-right association (and therefore the same bits) as
+    # _sign_key's sequential aggregate of x·w, with no lambda
+    # interpretation at runtime.
+    def _proj(plane: list[int]) -> str:
+        s = "".join(
+            ("+" if w > 0 else "-") + f"_v[{d}]"
+            for d, w in enumerate(plane)
+        )
+        return s[1:] if s.startswith("+") else s
+
+    def _key(bb: int) -> str:
+        bits = " + ".join(
+            f"IF(({_proj(planes[bb * per_band + p])}) > 0D, {1 << p}, 0)"
+            for p in range(per_band)
+        )
+        return f"CAST({bits} AS BIGINT)"
+
+    structs = ", ".join(
+        f"named_struct('_band', {bb}, '_key', {_key(bb)})"
+        for bb in range(lsh_bands)
+    )
+    return giant.selectExpr(
+        "_id", "code", "_v", "_cc",
+        f"explode(array({structs})) AS _bk",
+    ).select("_id", "code", "_v", "_cc", "_bk._band", "_bk._key")

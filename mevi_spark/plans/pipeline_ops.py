@@ -1441,15 +1441,21 @@ def packed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-# the BM25 run as a reusable oracle CTE chain (ends in `bm25ranked`);
-# shared by bm25_search and the hybrid ensemble's lexical leg
-# (plans/retrieval.py::ensemble_hybrid)
-_SQL_BM25_CTES = r"""
+# the SQL twin of functions/text.py::tokens(normalize_text(...)) — the
+# tokenization every lexical oracle must share (bm25_search, the hybrid
+# ensemble's lexical leg, streaming_lexical_stats)
+_SQL_BTOKS = r"""
 btoks AS (
   SELECT doc_id,
          string_split(trim(regexp_replace(regexp_replace(lower(text),
            '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
-  FROM documents),
+  FROM documents)"""
+
+# the BM25 run as a reusable oracle CTE chain (ends in `bm25ranked`);
+# shared by bm25_search and the hybrid ensemble's lexical leg
+# (plans/retrieval.py::ensemble_hybrid)
+_SQL_BM25_CTES = f"""
+{_SQL_BTOKS},
 bdl AS (SELECT doc_id, t, len(t) AS dl FROM btoks),
 bstats AS (SELECT COUNT(*) AS n, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM bdl),
 btf AS (
@@ -2366,6 +2372,15 @@ def chunk_cut_positions(
     chunk's occurrence group, which for boilerplate chunks is
     corpus-sized and would OOM an executor.
     """
+    if len({int(o) % int(w_words) for o in offsets}) != len(offsets) or any(
+        not (0 <= int(o) < int(w_words)) for o in offsets
+    ):
+        # offsets equal modulo w duplicate every aligned start row,
+        # double-counting n_cut and corrupting cut_md5
+        raise ValueError(
+            f"grid offsets {offsets} must be distinct and in [0, "
+            f"{w_words})"
+        )
     words = F.split(F.col("text"), " ")
     n = F.size(words)
     grids = []
@@ -2402,6 +2417,29 @@ def chunk_cut_positions(
             | (F.col("start") != F.col("f.start"))
         )
         .select("doc_id", "start")
+    )
+
+
+def planted_shifted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table planted with exact copies (``doc_id % 7`` →
+    ``+100000``, verbatim) and SHIFTED copies (``doc_id % 5`` →
+    ``+200000``, 4-word deterministic prefix). ONE definition shared by
+    ``chunk_dedup_overlap`` and ``chunk_dedup_overlap_reconstruct`` —
+    both oracles repeat the same plant in SQL, so it must not fork."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        ).unionByName(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(
+                    F.lit("shift0 shift1 shift2 shift3 "), F.col("text")
+                ).alias("text"),
+            )
+        )
     )
 
 
@@ -2459,21 +2497,7 @@ def chunk_dedup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, number of cut positions, and the md5 of the sorted cut
     start list — position-exact, so a grid-phase bug cannot hide
     behind counts."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = (
-        docs.unionByName(
-            docs.filter(F.col("doc_id") % 7 == 0).select(
-                (F.col("doc_id") + 100000).alias("doc_id"), "text"
-            )
-        ).unionByName(
-            docs.filter(F.col("doc_id") % 5 == 0).select(
-                (F.col("doc_id") + 200000).alias("doc_id"),
-                F.concat(
-                    F.lit("shift0 shift1 shift2 shift3 "), F.col("text")
-                ).alias("text"),
-            )
-        )
-    )
+    planted = planted_shifted_docs(spark, sf_dir)
     cuts = chunk_cut_positions(planted, w_words=8, offsets=(0, 4))
     agg = cuts.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_cut"),
@@ -2502,6 +2526,109 @@ def chunk_dedup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_cut", F.lit(0)).cast("long").alias("n_cut"),
             F.coalesce("cut_md5", F.md5(F.lit(""))).alias("cut_md5"),
         )
+    )
+
+
+@register(
+    "chunk_dedup_overlap_reconstruct",
+    oracle=r"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         'shift0 shift1 shift2 shift3 ' || text AS text
+  FROM documents WHERE doc_id % 5 = 0),
+w AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         len(string_split(text, ' ')) AS n
+  FROM src),
+c AS (
+  SELECT doc_id, s AS start,
+         array_to_string(words[(s+1):(s+8)], ' ') AS chunk
+  FROM (SELECT doc_id, words,
+               unnest(list_concat(
+                 generate_series(0, n - 1, 8),
+                 CASE WHEN n > 4 THEN generate_series(4, n - 1, 8)
+                      ELSE []::BIGINT[] END)) AS s
+        FROM w)),
+r AS (
+  SELECT doc_id, start,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, start) AS rn
+  FROM c),
+cuts AS (SELECT doc_id, start FROM r WHERE rn > 1),
+cov AS (
+  SELECT DISTINCT c.doc_id, c.start + o.o AS pos
+  FROM cuts c CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS o) o),
+wp AS (
+  SELECT doc_id, words, unnest(generate_series(0, n - 1)) AS pos FROM w),
+wp2 AS (SELECT doc_id, pos, words[pos + 1] AS word FROM wp),
+kept AS (SELECT wp2.* FROM wp2 ANTI JOIN cov USING (doc_id, pos)),
+agg AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_kept_words,
+         md5(string_agg(word, ' ' ORDER BY pos)) AS rebuilt_md5
+  FROM kept GROUP BY doc_id)
+SELECT w.doc_id, w.n::BIGINT AS n_words,
+       COALESCE(agg.n_kept_words, 0)::BIGINT AS n_kept_words,
+       COALESCE(agg.rebuilt_md5, md5('')) AS rebuilt_md5
+FROM w LEFT JOIN agg USING (doc_id)
+""",
+)
+def chunk_dedup_overlap_reconstruct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Document REBUILD under overlapping-grid exact-substring dedup —
+    the operator a trainer actually runs (VERDICT r10 next-round #3:
+    ``chunk_dedup_overlap`` emits cut positions only; this consumes
+    them). Cut spans from the two pooled grids (offsets 0 and w/2)
+    overlap and interleave, so the kept-text rule is defined at WORD
+    granularity: a word is dropped iff it is covered by ANY cut span
+    ``[start, start+w)``; the document is rebuilt from the surviving
+    words in order. Same plant as ``chunk_dedup_overlap`` (exact copy
+    at +100000, 4-word-shifted copy at +200000 — the shifted copy's
+    cuts come from the half-offset grid).
+
+    Plan shape (100 TB): cut extraction is :func:`chunk_cut_positions`
+    (hash-keyed first-occurrence, equi-join back — no all-pairs,
+    16-byte exchange keys); the rebuild joins each doc's cut list back
+    as ONE sorted array (per-doc bounded: ≤ n_words/ (w/2) cuts) and
+    drops covered words in a single map-side higher-order filter —
+    word-level coverage never explodes to one row per covered word on
+    the Spark side (the oracle does explode; it only needs to be
+    correct, not fast)."""
+    planted = planted_shifted_docs(spark, sf_dir)
+    cuts = chunk_cut_positions(planted, w_words=8, offsets=(0, 4))
+    return rebuild_covered_words(planted, cuts, w_words=8)
+
+
+def rebuild_covered_words(
+    docs: DataFrame, cuts: DataFrame, w_words: int
+) -> DataFrame:
+    """Word-granularity rebuild from a cut-position set → ``(doc_id,
+    n_words, n_kept_words, rebuilt_md5)``: drop every word covered by
+    any cut span ``[start, start+w)``, keep the rest in order. One
+    doc-keyed aggregation of the (per-doc bounded) cut list + one
+    broadcast-or-shuffle join back to the docs; the coverage test is a
+    map-side ``filter(words, (word, i) -> NOT exists(cut <= i < cut+w))``
+    — O(words × cuts) per row with both factors bounded by document
+    length, never a corpus-sized explode."""
+    cut_arr = cuts.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("start")).alias("_cuts")
+    )
+    words = F.split(F.col("text"), " ")
+    cut_col = F.coalesce(F.col("_cuts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        words,
+        lambda w, i: ~F.exists(
+            cut_col, lambda c: (i >= c) & (i < c + F.lit(int(w_words)))
+        ),
+    )
+    return docs.join(cut_arr, "doc_id", "left").select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(kept).cast("long").alias("n_kept_words"),
+        F.md5(F.array_join(kept, " ")).alias("rebuilt_md5"),
     )
 
 
@@ -2613,10 +2740,27 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mevi_spark.operators.dedup import semantic_dedup
     from mevi_spark.operators.rq import rq_level_centroids
 
+    return semantic_dedup_frame(spark, sf_dir)
+
+
+def semantic_dedup_frame(
+    spark: SparkSession, sf_dir: str, giant_cluster_cap: int = 100_000
+) -> DataFrame:
+    """The registered SemDeDup plan with an overridable giant-cluster
+    cap — the scale bench (``tools/bench_compare.py``) times the
+    GUARDED path (cap below the planted cluster size) at sf1, the plan
+    a 100 TB deployment with a skewed cluster would actually run,
+    while the registered query keeps the default cap (exact at fixture
+    scale, oracle-checked)."""
     planted = planted_embeddings(spark, sf_dir)
     cents = rq_level_centroids(planted, code_col="label", vec_col="embedding")
     return semantic_dedup(
-        planted, cents, id_col="vec_id", vec_col="embedding", threshold=0.95
+        planted,
+        cents,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.95,
+        giant_cluster_cap=giant_cluster_cap,
     )
 
 

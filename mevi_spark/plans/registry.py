@@ -69,121 +69,105 @@ _LOADED = False
 # queries crowd out never-driver-tested ones (round 3 silently dropped
 # 16 of 66), so the exposure order is now explicit:
 #
-# Round-10 policy (recomputed from CORRECTNESS_r01-r09: 50 names have
-# a fresh r9 row, 50 are r8-green — 2-round-stale at r10 — and the 25
-# r7-green names the r9 window displaced are the OLDEST evidence in
-# the registry; round 10 adds 6 new zero-evidence queries and
-# materially CHANGES chunk_dedup_reconstruct's implementation, so 129
-# names compete for 50 slots).
+# Round-11 policy (oldest evidence first — the minimal-max-staleness
+# round-robin adopted in r10; at 133 names / 50 slots the steady-state
+# refresh period is 3 rounds). Evidence state after r10: 50 names have
+# a fresh r10 row; 49 r9-green names are 1-round... now 2-round-stale
+# at r11; the 29 r8-green names deferred at r10 would hit 3-round
+# staleness, so they go first, exactly as the r10 note promised.
 #
-# VERDICT r9 next-round #1 asks for "the 50 r8-green queries" — the
-# window arithmetic cannot hold all 50 alongside the staler cohorts:
-# honoring it verbatim would push the 25 r7-green names to 3-round
-# stale, the exact regression class the r8 AND r9 verdicts flagged.
-# The policy is therefore OLDEST EVIDENCE FIRST (the minimal-max-
-# staleness round-robin; at 131 names / 50 slots the steady-state
-# refresh period is 3 rounds and no policy can beat that):
+#   tier 1 — the TWO round-11-new queries (incremental lexical stats,
+#            the lexical tier's streaming twin; and word-level rebuild
+#            under the overlapping chunk grid) — zero driver evidence;
+#   tier 2 — the 29 r8-green names queued by the r10 rotation note
+#            (including twice-deferred ann_adc_topk and
+#            dedup_components), now the oldest evidence in the
+#            registry;
+#   tier 3 — 19 of the 49 r9-green names, risk-ranked: the dedup
+#            family first (operators/dedup.py changed this round —
+#            SemDeDup giant-cluster guard lives beside the sign-LSH
+#            kernel embedding_near_dup shares), bm25_search (its
+#            oracle's token CTE was refactored into the shared
+#            _SQL_BTOKS this round), wds_shards_roundtrip (wds.py
+#            gained the stride guard + manifest compaction),
+#            global_shuffle_blocks, then the retrieval/ANN
+#            heavyweights.
 #
-#   tier 1 — the SIX round-10-new queries (overlapping-grid chunk
-#            dedup, SemDeDup and its streaming twin, incremental
-#            exact-substring chunk dedup, WDS shard append,
-#            shuffle-block append)
-#            plus chunk_dedup_reconstruct, whose first-occurrence
-#            shuffle was REKEYED to md5 this round (changed plans get
-#            fresh driver evidence, not just local-gate evidence);
-#   tier 2 — the 22 r7-green names the r9 window displaced (the
-#            alphabetical r7 tail; oldest evidence in the registry),
-#            still skipping the three the BENCH executes at sf0.1
-#            every round (coarse_to_fine_retrieval, rq_beam_search,
-#            rq_encode_two_level);
-#   tier 3 — 21 of the 50 r8-green names, prioritized exactly as the
-#            r9 verdict ranks the regression risk: the streaming-
-#            maintenance set (streaming_neardup_ingest FIRST — its
-#            publish engine changed this round: bucket copy-forward),
-#            then the named heavyweights (pq_adc_topk, pq_ivf_adc_topk,
-#            packed_sequences, packed_append, cdc_time_travel,
-#            heavy_hitters_terms, ensemble_hybrid, bpe_roundtrip),
-#            then CDC/quantization/dedup anchors.
-#
-# Rotated out (131 − 50 = 81, by evidence age): 49 of the 50 r9-green
-# names (1-round-stale — freshest possible outside the window;
-# chunk_dedup_reconstruct re-enters via tier 1), the three
-# bench-exercised r7-green names above, and these 29 r8-green names —
-# 2-round-stale now, FIRST IN LINE FOR R11 (at r11 they would be
-# 3-round-stale, so the r11 window must start with them plus any
-# r11-new tier 1): stratified_sample_exact, ngram_lm_quality,
-# zorder_box_scan, weighted_sample_topk, line_boilerplate_strip,
-# events_value_winsorize, tsv_queries_roundtrip, tsv_run_roundtrip,
-# bucketed_join_rollup, cluster_projection, complement_qg10,
-# corpus_prep_pipeline, dataset_split, doc_query_sets,
-# inverse_answer_index, jsonl_roundtrip, media_meta_stats,
-# negatives_cluster, negatives_notclus, nq_hit_test,
-# rq_assign_nearest, rq_centroids_label, rq_ema_step,
-# rq_kmeans_invariant, sessionize_events_window, text_redact_pii,
-# tokenize_padded, ann_adc_topk, dedup_components — all re-validated against the identical oracle by
-# the full local gate (tools/check_correctness.py) every round. EVERY
-# round-11-new query must go to tier 1 with the displacement
-# documented here; otherwise it sorts after the window. (ann_adc_topk
-# joined the deferral when streaming_semdedup took its tier-1 slot:
-# its ADC scoring path keeps window coverage through pq_adc_topk and
-# pq_ivf_adc_topk; dedup_components likewise when chunk_dedup_append
-# landed — its connected-components kernel stays exercised by the
-# local gate and dedup_canonicalize, r9-green.)
+# Rotated out (85 = 133 − 50, by evidence age): the 50 r10-green names
+# (1-round-stale — freshest possible outside the window), the three
+# bench-exercised r7-green names (coarse_to_fine_retrieval,
+# rq_beam_search, rq_encode_two_level — executed at sf0.1 by BENCH
+# every round, deliberately never windowed), and these 30 r9-green
+# names — 2-round-stale now, FIRST IN LINE FOR R12 alongside any
+# r12-new tier 1: augment_spans, beam_constrained, brand_set_ops,
+# code_prefix_members, code_token_arith, corpus_sample_remap,
+# customer_order_rollup, customer_order_running_stats,
+# customers_without_orders, decontaminate_eval, doc2query_expand,
+# doc_fingerprints, domain_mix_sample, embed_determinism,
+# eval_all_codes, events_asof_attribution, events_cohort_retention,
+# events_funnel_stages, events_json_extract, image_resize,
+# media_decode_stats, nation_revenue, pq_ivf_recall_curve,
+# q1_pricing_summary, q3_shipping_priority, rq_assign_topr,
+# sessionize_events, streaming_event_window_counts,
+# text_quality_stats, video_frame_sample — all re-validated against
+# the identical oracle by the full local gate
+# (tools/check_correctness.py) every round. EVERY round-12-new query
+# must go to tier 1 with the displacement documented here; otherwise
+# it sorts after the window.
 _PRIORITY_ORDER: list[str] = [
-    # tier 1 — new in round 10 (or materially changed), zero/stale
-    # driver evidence on the new plan
-    "chunk_dedup_overlap",
-    "semantic_dedup",
-    "wds_shards_append",
-    "shuffle_blocks_append",
-    "streaming_semdedup",
-    "chunk_dedup_append",
-    "chunk_dedup_reconstruct",
-    # tier 2 — r7-green, displaced by the r9 window (oldest evidence)
-    "events_range_pairs",
-    "events_rolling_stats",
-    "events_type_pivot",
-    "events_type_stats",
-    "events_value_quantiles",
-    "memmap_roundtrip",
-    "order_priority_histogram",
-    "orders_merge_upsert",
-    "partition_pruning_stats",
-    "rq_model_roundtrip",
-    "rq_reconstruct",
-    "salted_hot_key_rollup",
-    "sequence_pack",
-    "streaming_cdc_apply",
-    "streaming_quantize_index",
-    "suppliers_in_region_semi",
-    "text_lang_id",
-    "text_repetition_stats",
-    "text_tfidf_topterms",
-    "text_token_counts",
-    "topk_orders_per_customer",
-    "tsv_corpus_roundtrip",
-    # tier 3 — r8-green, by r9-verdict regression-risk ranking
-    "streaming_neardup_ingest",
-    "streaming_hypertable_refresh",
-    "streaming_heavy_hitters",
-    "streaming_dedup_ingest",
-    "streaming_sessionize",
-    "streaming_sessionize_evict",
-    "streaming_sessionize_window",
-    "streaming_topk_maintenance",
-    "pq_adc_topk",
-    "pq_ivf_adc_topk",
-    "packed_sequences",
-    "packed_append",
-    "cdc_time_travel",
-    "heavy_hitters_terms",
-    "ensemble_hybrid",
-    "bpe_roundtrip",
-    "cdc_partitioned_merge",
-    "compaction_roundtrip",
-    "sq8_encode_reconstruct",
-    "pq_encode_reconstruct",
-    "dedup_embedding_cosine",
+    # tier 1 — new in round 11, zero driver evidence
+    "streaming_lexical_stats",
+    "chunk_dedup_overlap_reconstruct",
+    # tier 2 — r8-green, 2-round-stale, queued by the r10 rotation note
+    "stratified_sample_exact",
+    "ngram_lm_quality",
+    "zorder_box_scan",
+    "weighted_sample_topk",
+    "line_boilerplate_strip",
+    "events_value_winsorize",
+    "tsv_queries_roundtrip",
+    "tsv_run_roundtrip",
+    "bucketed_join_rollup",
+    "cluster_projection",
+    "complement_qg10",
+    "corpus_prep_pipeline",
+    "dataset_split",
+    "doc_query_sets",
+    "inverse_answer_index",
+    "jsonl_roundtrip",
+    "media_meta_stats",
+    "negatives_cluster",
+    "negatives_notclus",
+    "nq_hit_test",
+    "rq_assign_nearest",
+    "rq_centroids_label",
+    "rq_ema_step",
+    "rq_kmeans_invariant",
+    "sessionize_events_window",
+    "text_redact_pii",
+    "tokenize_padded",
+    "ann_adc_topk",
+    "dedup_components",
+    # tier 3 — r9-green (2-round-stale), risk-ranked
+    "dedup_minhash_pairs",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_dfcut",
+    "dedup_canonicalize",
+    "bm25_search",
+    "wds_shards_roundtrip",
+    "global_shuffle_blocks",
+    "retrieval_eval_metrics",
+    "ensemble_fuse",
+    "ensemble_grid",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "knn_topk_cosine",
+    "knn_topk_ip",
+    "opq_encode_reconstruct",
+    "events_hypertable_rollup",
+    "multi_assign_recall",
 ]
 
 

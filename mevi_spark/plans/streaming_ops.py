@@ -448,6 +448,86 @@ def streaming_hypertable_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drained(finalize_rollup(rollup_state(spark, f"{base}/out")), base)
 
 
+def _lexical_oracle() -> str:
+    """The shared-tokenization oracle for ``streaming_lexical_stats``
+    (composes ``pipeline_ops._SQL_BTOKS`` so the SQL twin cannot fork
+    from ``bm25_search``'s)."""
+    from mevi_spark.plans.pipeline_ops import _SQL_BTOKS
+
+    return f"""
+WITH {_SQL_BTOKS},
+bstats AS (SELECT COUNT(*) AS n, SUM(len(t)) AS sum_dl FROM btoks),
+bdf AS (
+  SELECT term, COUNT(*) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM btoks)
+  GROUP BY term),
+top AS (SELECT term, df FROM bdf ORDER BY df DESC, term ASC LIMIT 40)
+SELECT t.term, t.df::BIGINT AS df, s.n::BIGINT AS n_docs,
+       ROUND(s.sum_dl::DOUBLE / s.n, 6) AS avgdl
+FROM top t CROSS JOIN bstats s
+"""
+
+
+@register("streaming_lexical_stats", oracle=_lexical_oracle())
+def streaming_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25/TF-IDF corpus statistics maintained under ingest — the
+    lexical tier's streaming twin (VERDICT r10 next-round #4): the
+    documents table arrives in three doc-id-interleaved slices,
+    :func:`~mevi_spark.streaming.incremental.incremental_lexical_stats`
+    materializes each batch's mergeable (df, n_docs, sum_dl) partial,
+    ``compact_lexical`` folds the drained dirs into one published base
+    (asserted: fold count ≥ 1 and zero live dirs — the state-growth
+    bound), and the drained stats must equal the one-shot batch
+    statistics the ``bm25_search`` oracle scores with — the SAME
+    tokenization CTE (``pipeline_ops._SQL_BTOKS``) on the SQL side and
+    the SAME ``tokens(normalize_text(...))`` kernel on the Spark side.
+    Output: top-40 terms by (df DESC, term ASC) with the corpus-level
+    (n_docs, avgdl) carried on every row so one hash pins all three
+    statistics."""
+    from mevi_spark.streaming.incremental import (
+        _rollup_parts,
+        compact_lexical,
+        incremental_lexical_stats,
+        lexical_state,
+    )
+
+    base = _tmp("lexstats")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in/s{i:02d}")
+    stream = stream_parquet_source(
+        spark, f"{base}/in/s*", docs.schema, max_files_per_trigger=1
+    )
+    q = incremental_lexical_stats(stream, f"{base}/out", f"{base}/ckpt")
+    q.awaitTermination()
+    folded = compact_lexical(spark, f"{base}/out")
+    if folded < 1:
+        raise AssertionError("compaction folded no lexical partials")
+    _, _, live = _rollup_parts(f"{base}/out")
+    if live:
+        raise AssertionError(f"live partial dirs survived compaction: {live}")
+    st = lexical_state(spark, f"{base}/out").localCheckpoint(eager=True)
+    sent = st.filter(F.col("term").isNull()).first()
+    top = (
+        st.filter(F.col("term").isNotNull())
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(40)
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.lit(int(sent["n_docs"])).cast("long").alias("n_docs"),
+            F.round(
+                F.lit(float(sent["sum_dl"]))
+                / F.lit(float(sent["n_docs"])),
+                6,
+            ).alias("avgdl"),
+        )
+    )
+    return _drained(top, base)
+
+
 def _flavor_safe_ntz(col: str) -> F.Column:
     """LTZ → NTZ without a session-timezone dependency (epoch micros
     re-anchored on the NTZ epoch — same trick as windowed counts)."""

@@ -259,6 +259,14 @@ def append_wds_shards(
     os.makedirs(out_dir, exist_ok=True)
     bid = int(batch_id)
     stride = int(shards_per_batch)
+    if stride > _BATCH_STRIDE:
+        # the global manifest shard_id is batch_id*_BATCH_STRIDE + sid;
+        # a larger per-batch shard count would silently collide
+        # shard_ids across batches while file stems stay distinct
+        raise ValueError(
+            f"shards_per_batch={stride} exceeds the shard_id stride "
+            f"{_BATCH_STRIDE}; manifest keys would collide across batches"
+        )
 
     def write_partition(
         batches: Iterator[pd.DataFrame],
@@ -337,14 +345,28 @@ def incremental_wds(
 
 
 def read_wds_manifest(spark: SparkSession, output_dir: str) -> DataFrame:
-    """Union of the per-batch manifest dirs maintained by
-    :func:`incremental_wds`."""
-    man_dir = os.path.join(output_dir, "manifest")
-    dirs = sorted(
-        os.path.join(man_dir, d)
-        for d in os.listdir(man_dir)
-        if d.startswith("b")
+    """The current manifest: compacted base (if any) ⊎ live per-batch
+    manifest dirs — the same partial-dir read discipline as the rollup
+    and lexical stores (``streaming/incremental.py::_merged_partials``;
+    manifest rows are immutable facts, so the merge kernel is the
+    identity union)."""
+    from mevi_spark.streaming.incremental import _merged_partials
+
+    return _merged_partials(
+        spark, os.path.join(output_dir, "manifest"), lambda df: df
     )
-    if not dirs:
-        raise FileNotFoundError(f"no manifest batches under {man_dir}")
-    return spark.read.parquet(*dirs)
+
+
+def compact_wds_manifest(spark: SparkSession, output_dir: str) -> int:
+    """Fold drained per-batch manifest dirs into one published base,
+    bounding directory growth under long ingest (VERDICT r10 next-round
+    #5 — previously the manifest grew one dir per batch forever).
+    Returns the number of batch dirs folded. Crash-safe via the shared
+    watermark-named-base machinery (``compact_rollup``'s argument): a
+    replayed batch ≤ the fold watermark rewrites its dir but readers
+    exclude it by name, so replay-after-compaction never duplicates."""
+    from mevi_spark.streaming.incremental import _compact_partials
+
+    return _compact_partials(
+        spark, os.path.join(output_dir, "manifest"), lambda df: df
+    )

@@ -633,8 +633,16 @@ def incremental_neardup(
         cands = (
             internal if cross is None else cross.unionByName(internal)
         ).distinct()
-        shingled = idx.select("doc_id", "shingles").unionByName(
-            new.select("doc_id", "shingles")
+        # a re-ingested doc_id must verify against its NEW text only:
+        # keeping the old index row too would fan out the verify join
+        # and can score a candidate pair on the OLD shingles —
+        # re-adding a just-dropped stale pair (or publishing a stale
+        # jaccard) whenever the new signature still band-collides with
+        # a former partner but the new text is below threshold
+        shingled = (
+            idx.select("doc_id", "shingles")
+            .join(F.broadcast(new.select("doc_id")), "doc_id", "left_anti")
+            .unionByName(new.select("doc_id", "shingles"))
         )
         verified = jaccard_verify(cands, shingled, threshold)
         if os.path.exists(os.path.join(pairs_dir, "_SUCCESS")):
@@ -830,16 +838,24 @@ def _rollup_parts(output_dir: str) -> tuple[str | None, int, list[str]]:
     return base, upto, live
 
 
+def _merged_partials(spark, output_dir: str, merge_fn) -> DataFrame:
+    """Current state of a partial-dir store: base (if compacted) ⊎
+    unfolded batch dirs, folded by the store's merge kernel. The
+    generic core behind :func:`rollup_state` and
+    :func:`lexical_state`."""
+    base, _, live = _rollup_parts(output_dir)
+    paths = ([base] if base else []) + live
+    if not paths:
+        raise FileNotFoundError(f"no partial-dir state under {output_dir}")
+    return merge_fn(spark.read.parquet(*paths))
+
+
 def rollup_state(spark, output_dir: str) -> DataFrame:
     """The current merged rollup: base (if compacted) ⊎ unfolded batch
     partial dirs, folded by one keyed sum."""
     from mevi_spark.operators.rollup import merge_rollup_partials
 
-    base, _, live = _rollup_parts(output_dir)
-    paths = ([base] if base else []) + live
-    if not paths:
-        raise FileNotFoundError(f"no rollup state under {output_dir}")
-    return merge_rollup_partials(spark.read.parquet(*paths))
+    return _merged_partials(spark, output_dir, merge_rollup_partials)
 
 
 def compact_rollup(spark, output_dir: str) -> int:
@@ -851,11 +867,18 @@ def compact_rollup(spark, output_dir: str) -> int:
     watermark — so the post-publish removals are garbage collection,
     not correctness. After compaction the state is one dir of
     buckets×types rows regardless of how many batches arrived."""
+    from mevi_spark.operators.rollup import merge_rollup_partials
+
+    return _compact_partials(spark, output_dir, merge_rollup_partials)
+
+
+def _compact_partials(spark, output_dir: str, merge_fn) -> int:
+    """Generic fold-partial-dirs-into-base (see :func:`compact_rollup`
+    for the crash-safety argument; shared by the rollup, lexical, and
+    WDS-manifest stores)."""
     import os
     import re
     import uuid as _uuid
-
-    from mevi_spark.operators.rollup import merge_rollup_partials
 
     base_link = os.path.join(output_dir, _ROLLUP_BASE)
     base, upto, live = _rollup_parts(output_dir)
@@ -866,7 +889,7 @@ def compact_rollup(spark, output_dir: str) -> int:
     # rollup_state could absorb a batch dir committed between the two
     # listings while the published watermark (hi) predates it, leaving
     # that batch double-counted by every subsequent read
-    merged = merge_rollup_partials(
+    merged = merge_fn(
         spark.read.parquet(*(([base] if base else []) + live))
     )
     version = os.path.join(
@@ -890,6 +913,65 @@ def compact_rollup(spark, output_dir: str) -> int:
             stale.append(full)
     reap_stale(stale, grace=_publish_grace())
     return len(live)
+
+
+def incremental_lexical_stats(
+    stream_df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """BM25/TF-IDF corpus statistics maintained under document ingest —
+    the streaming twin the lexical tier lacked (every other retrieval
+    path has one: dense quantize, near-dup, semantic, chunk, top-k).
+
+    Per-term document frequency, document count, and total token
+    length are SUMS of per-document contributions
+    (``operators/lexical.py``), so the maintenance is the
+    :func:`incremental_rollup` pattern verbatim: each micro-batch
+    writes its mergeable partial to its own ``b<batch_id>`` dir with
+    deterministic content + overwrite mode (a crashed batch's replay
+    overwrites itself — never double-counts), current stats =
+    :func:`lexical_state`'s one keyed sum, and
+    :func:`compact_lexical` folds drained dirs into a published base
+    so state stays vocabulary-sized regardless of batch count.
+
+    Ingest contract: append-only doc ids (see ``operators/lexical.py``
+    — id reuse needs old-term retraction, which needs a per-doc index
+    the stats tier deliberately does not carry)."""
+    from mevi_spark.operators.lexical import lexical_partials
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        part = lexical_partials(batch, text_col, id_col)
+        part.write.mode("overwrite").parquet(
+            f"{output_dir}/b{int(batch_id):09d}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def lexical_state(spark, output_dir: str) -> DataFrame:
+    """Current lexical stats ``(term, df, n_docs, sum_dl)``: term rows
+    carry df, the NULL-term sentinel row carries (n_docs, sum_dl).
+    Must equal the one-shot partial over the full drained corpus —
+    pinned by the shared oracle of ``streaming_lexical_stats``."""
+    from mevi_spark.operators.lexical import merge_lexical_partials
+
+    return _merged_partials(spark, output_dir, merge_lexical_partials)
+
+
+def compact_lexical(spark, output_dir: str) -> int:
+    """Fold drained lexical partial dirs into one published base (the
+    :func:`compact_rollup` machinery with the lexical merge kernel)."""
+    from mevi_spark.operators.lexical import merge_lexical_partials
+
+    return _compact_partials(spark, output_dir, merge_lexical_partials)
 
 
 def dedup_stream(
@@ -1298,6 +1380,7 @@ def incremental_semdedup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_buckets: int = 8,
+    giant_cluster_cap: int = 100_000,
 ):
     """SemDeDup maintained under ingest: keep the cluster-scoped
     keep/prune decision current as embeddings arrive, without ever
@@ -1360,7 +1443,12 @@ def incremental_semdedup(
         the streaming state cannot drift from the batch operator."""
         from mevi_spark.operators.dedup import semdedup_tournament
 
-        return semdedup_tournament(scored, threshold)
+        return semdedup_tournament(
+            scored,
+            threshold,
+            giant_cluster_cap=giant_cluster_cap,
+            dim=len(entries[0][1]),
+        )
 
     def sink(batch: DataFrame, _batch_id: int) -> None:
         from mevi_spark.functions.vector import cosine

@@ -78,3 +78,46 @@ def test_registered_query_runs(spark, sf_dir):
     # first in (doc_id, start) order, so they are never cut unless the
     # corpus itself repeats; spot-check columns exist and are sane
     assert all(0 <= r.n_cut <= r.n_chunks for r in rows)
+
+
+def test_rebuild_covered_words_drops_exact_span_union(spark):
+    """Word-level rebuild: exactly the words inside the union of cut
+    spans drop, in-order survivors rebuild the text."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+    from mevi_spark.plans.pipeline_ops import rebuild_covered_words
+
+    texts = {1: _W1, 2: "p0 p1 p2 p3 " + _W1}
+    docs = _frame(spark, texts)
+    cuts = chunk_cut_positions(docs, w_words=8, offsets=(0, 4))
+    out = {r.doc_id: r for r in rebuild_covered_words(
+        docs, cuts, w_words=8
+    ).collect()}
+    # doc 1 is every chunk's first occurrence: untouched
+    assert out[1].n_words == 16 and out[1].n_kept_words == 16
+    assert out[1].rebuilt_md5 == hashlib.md5(_W1.encode()).hexdigest()
+    # doc 2: the half-offset grid cuts at starts 4 and 12 → spans
+    # [4,12) and [12,20) clip to words 4..19 = w0..w15; the 4-word
+    # prefix survives
+    assert out[2].n_words == 20 and out[2].n_kept_words == 4
+    assert out[2].rebuilt_md5 == hashlib.md5(b"p0 p1 p2 p3").hexdigest()
+
+
+def test_rebuild_covered_words_overlapping_spans_union(spark):
+    """Overlapping spans from the two grids union (a word covered twice
+    drops once); a doc with no cuts passes through bit-identical."""
+    import hashlib
+
+    from mevi_spark.plans.pipeline_ops import rebuild_covered_words
+
+    docs = _frame(spark, {7: "a b c d e f g h i j"})
+    cuts = spark.createDataFrame(
+        [(7, 2), (7, 4)], "doc_id long, start int"
+    )
+    out = {r.doc_id: r for r in rebuild_covered_words(
+        docs, cuts, w_words=4
+    ).collect()}
+    # spans [2,6) ∪ [4,8) cover words c..h → keep a b i j
+    assert out[7].n_kept_words == 4
+    assert out[7].rebuilt_md5 == hashlib.md5(b"a b i j").hexdigest()

@@ -614,6 +614,80 @@ def test_neardup_reingest_drops_stale_band_rows_everywhere(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_neardup_reingest_below_threshold_collision_stays_dropped(spark):
+    """Re-ingest where the NEW text still band-collides with the old
+    partner but falls BELOW the Jaccard threshold: the stale pair must
+    stay dropped. Regression for the verify-corpus bug where a
+    re-ingested id kept BOTH its old index row and its new batch row in
+    the shingle frame, so the verify join fanned out and could re-admit
+    the pair scored against the OLD text."""
+    import shutil
+
+    from mevi_spark.operators.dedup import banded_keys, minhash_frame
+    from mevi_spark.streaming.incremental import incremental_neardup
+
+    old_text = " ".join(f"o{i}" for i in range(16))
+    # new text keeps half the words: shares a shingle prefix with doc
+    # 6 (the x1w* suffix was picked so the deterministic minhash DOES
+    # band-collide at 12 one-hash bands — double hashing correlates
+    # bands, so not every below-threshold text collides) while exact
+    # Jaccard is 6/22 — well under the 0.5 threshold; both premises
+    # asserted below so a hash change fails loudly
+    new_text = " ".join(
+        [f"o{i}" for i in range(8)] + [f"x1w{i}" for i in range(8)]
+    )
+    b1 = spark.createDataFrame(
+        [(5, old_text), (6, old_text)], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame([(5, new_text)], "doc_id long, text string")
+
+    # premise 1: the new signature still band-collides with doc 6
+    sigs = minhash_frame(
+        spark.createDataFrame(
+            [(5, new_text), (6, old_text)], "doc_id long, text string"
+        ),
+        "text", "doc_id", 12, 3,
+    )
+    by_id: dict = {}
+    for r in banded_keys(sigs, "doc_id", "sig", 12, sig_len=12).collect():
+        by_id.setdefault(r._id, set()).add((r.band, r.key))
+    assert by_id[5] & by_id[6], "fixture must band-collide"
+    # premise 2: exact Jaccard of the new text vs doc 6 is < threshold
+    sh = {r.doc_id: set(r.shingles) for r in sigs.collect()}
+    jac = len(sh[5] & sh[6]) / len(sh[5] | sh[6])
+    assert jac < 0.5, f"fixture jaccard {jac} must be below threshold"
+
+    base = tempfile.mkdtemp(prefix="mevi_test_ndbt_")
+    try:
+        b1.coalesce(1).write.mode("overwrite").parquet(f"{base}/in/s00")
+
+        def drain():
+            stream = (
+                spark.readStream.schema(b1.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{base}/in/s*")
+            )
+            q = incremental_neardup(
+                stream, f"{base}/out", f"{base}/ckpt",
+                num_hashes=12, bands=12, threshold=0.5, n_buckets=16,
+            )
+            q.awaitTermination()
+
+        drain()
+        assert {
+            (r.id_a, r.id_b)
+            for r in spark.read.parquet(f"{base}/out/pairs").collect()
+        } == {(5, 6)}
+        b2.coalesce(1).write.mode("overwrite").parquet(f"{base}/in/s01")
+        drain()
+        # the band collision puts (5, 6) back in the candidate set, but
+        # the verify must score it against doc 5's NEW shingles only —
+        # below threshold, so the stale pair stays dropped
+        assert spark.read.parquet(f"{base}/out/pairs").count() == 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_neardup_zero_key_batch_preserves_state(spark):
     """A batch contributing no band keys (empty-shingle doc) must leave
     the band table's content intact — the touched set is empty, the
@@ -973,5 +1047,76 @@ def test_chunk_kept_incremental_first_owner_wins_and_copy_forward(spark):
             for r in spark.read.parquet(f"{base}/s2").collect()
         }
         assert kept_s == kept
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+def test_incremental_lexical_stats_converges_and_replays(spark):
+    """Lexical (BM25/TF-IDF) corpus stats as mergeable partials: the
+    merged state over three batch dirs equals an independently computed
+    batch answer; a crashed batch's replay (its dir rewritten) changes
+    nothing; compaction folds everything into one vocabulary-sized base
+    with identical state."""
+    import os
+    import shutil
+
+    from mevi_spark.operators.lexical import lexical_partials
+    from mevi_spark.streaming.incremental import (
+        _rollup_parts,
+        compact_lexical,
+        lexical_state,
+    )
+
+    texts = {
+        1: "the cat sat",
+        2: "the dog sat down",
+        3: "a cat ran",
+        4: "the the the",          # repeated term counts ONCE for df
+        5: "",                     # empty doc: dl 0, no terms
+        6: "dog park",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    # independent expectation, computed in Python
+    toksets = {k: set(v.split()) if v else set() for k, v in texts.items()}
+    want_df = {}
+    for s in toksets.values():
+        for t in s:
+            want_df[t] = want_df.get(t, 0) + 1
+    want_n = len(texts)
+    want_dl = sum(len(v.split()) if v else 0 for v in texts.values())
+
+    base = tempfile.mkdtemp(prefix="mevi_test_lex_")
+    out = f"{base}/out"
+    os.makedirs(out)
+    try:
+        for i in range(3):
+            lexical_partials(
+                docs.filter(F.col("doc_id") % 3 == i)
+            ).write.mode("overwrite").parquet(f"{out}/b{i:09d}")
+
+        def state():
+            rows = lexical_state(spark, out).collect()
+            dfs = {r.term: r.df for r in rows if r.term is not None}
+            sent = [r for r in rows if r.term is None]
+            assert len(sent) == 1
+            return dfs, sent[0].n_docs, sent[0].sum_dl
+
+        dfs, n, dl = state()
+        assert dfs == want_df and n == want_n and dl == want_dl
+        # replay-idempotence: batch 1 rewrites ITS OWN dir identically
+        lexical_partials(
+            docs.filter(F.col("doc_id") % 3 == 1)
+        ).write.mode("overwrite").parquet(f"{out}/b{1:09d}")
+        assert state() == (want_df, want_n, want_dl)
+        # compaction: all three folded, no live dirs, state identical,
+        # base bounded at vocabulary + sentinel rows
+        assert compact_lexical(spark, out) == 3
+        _, upto, live = _rollup_parts(out)
+        assert upto == 2 and live == []
+        assert state() == (want_df, want_n, want_dl)
+        assert (
+            spark.read.parquet(f"{out}/base").count() == len(want_df) + 1
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -32,56 +32,51 @@ def test_epoch_us_ltz_arm(spark):
     assert got == 1704067201_000000
 
 
-R10_NEW = [
-    # the 6 round-10-new queries + the one whose plan materially
-    # changed (chunk_dedup_reconstruct, shuffle rekeyed to md5)
-    "chunk_dedup_overlap",
-    "semantic_dedup",
-    "wds_shards_append",
-    "shuffle_blocks_append",
-    "streaming_semdedup",
-    "chunk_dedup_append",
-    "chunk_dedup_reconstruct",
+R11_NEW = [
+    # the 2 round-11-new queries (zero driver evidence)
+    "streaming_lexical_stats",
+    "chunk_dedup_overlap_reconstruct",
 ]
 
-# the only names allowed to lack both an r9 driver row AND an r10
+# the only names allowed to lack both an r10 driver row AND an r11
 # window slot (the registry rotation note documents each: three are
-# bench-exercised at sf0.1 every round; the 29 r8-green names are the
-# documented deferral, first in line for r11; all re-validated by the
+# bench-exercised at sf0.1 every round; the 30 r9-green names are the
+# documented deferral, first in line for r12; all re-validated by the
 # full local gate every round)
-R10_ROTATED_OUT = {
+R11_ROTATED_OUT = {
     "coarse_to_fine_retrieval",
     "rq_beam_search",
     "rq_encode_two_level",
-    "stratified_sample_exact",
-    "ngram_lm_quality",
-    "zorder_box_scan",
-    "weighted_sample_topk",
-    "line_boilerplate_strip",
-    "events_value_winsorize",
-    "tsv_queries_roundtrip",
-    "tsv_run_roundtrip",
-    "bucketed_join_rollup",
-    "cluster_projection",
-    "complement_qg10",
-    "corpus_prep_pipeline",
-    "dataset_split",
-    "doc_query_sets",
-    "inverse_answer_index",
-    "jsonl_roundtrip",
-    "media_meta_stats",
-    "negatives_cluster",
-    "negatives_notclus",
-    "nq_hit_test",
-    "rq_assign_nearest",
-    "rq_centroids_label",
-    "rq_ema_step",
-    "rq_kmeans_invariant",
-    "sessionize_events_window",
-    "text_redact_pii",
-    "tokenize_padded",
-    "ann_adc_topk",
-    "dedup_components",
+    "augment_spans",
+    "beam_constrained",
+    "brand_set_ops",
+    "code_prefix_members",
+    "code_token_arith",
+    "corpus_sample_remap",
+    "customer_order_rollup",
+    "customer_order_running_stats",
+    "customers_without_orders",
+    "decontaminate_eval",
+    "doc2query_expand",
+    "doc_fingerprints",
+    "domain_mix_sample",
+    "embed_determinism",
+    "eval_all_codes",
+    "events_asof_attribution",
+    "events_cohort_retention",
+    "events_funnel_stages",
+    "events_json_extract",
+    "image_resize",
+    "media_decode_stats",
+    "nation_revenue",
+    "pq_ivf_recall_curve",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "rq_assign_topr",
+    "sessionize_events",
+    "streaming_event_window_counts",
+    "text_quality_stats",
+    "video_frame_sample",
 }
 
 
@@ -90,8 +85,8 @@ def test_driver_window_invariants():
     registered queries, so the priority window must (a) hold exactly 50
     names, (b) name only registered queries, (c) contain every query
     that has never received a driver row (or whose plan changed) —
-    this round, the R10_NEW seven — and (d) every name with no r9
-    driver row except the documented rotations (r9-green names are
+    this round, the R11_NEW two — and (d) every name with no r10
+    driver row except the documented rotations (r10-green names are
     1-round-stale and allowed out). A drifted window silently starves
     new queries of evidence."""
     import json
@@ -102,19 +97,21 @@ def test_driver_window_invariants():
     assert len(set(REG._PRIORITY_ORDER)) == 50
     window = list(REG.get_queries())[:50]
     assert set(window) == set(REG._PRIORITY_ORDER)
-    missing = [n for n in R10_NEW if n not in window]
+    missing = [n for n in R11_NEW if n not in window]
     assert not missing, f"zero-evidence queries outside the window: {missing}"
-    r9 = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r09.json")
-    if os.path.exists(r9):
-        with open(r9, encoding="utf-8") as fh:
-            r9_names = set(json.load(fh))
+    r10 = os.path.join(
+        os.path.dirname(__file__), "..", "CORRECTNESS_r10.json"
+    )
+    if os.path.exists(r10):
+        with open(r10, encoding="utf-8") as fh:
+            r10_names = set(json.load(fh))
         stale = [
             n
             for n in REG.get_queries()
-            if n not in r9_names
+            if n not in r10_names
             and n not in window
-            and n not in R10_ROTATED_OUT
-            and n not in R10_NEW
+            and n not in R11_ROTATED_OUT
+            and n not in R11_NEW
         ]
         assert not stale, f"undocumented 2-round-stale evidence: {stale}"
     # every windowed query must also carry an oracle (strict row, not

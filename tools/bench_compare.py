@@ -76,6 +76,50 @@ def main() -> None:
         con.execute(sql).df()
         duck_t[name] = round(time.perf_counter() - t0, 3)
 
+    # --- scale tier: the round-10/11 dedup cost centers -------------
+    # (VERDICT r10 next-round #6). NOT folded into the headline totals
+    # — the headline set stays round-comparable; these report their own
+    # per-query rows. semantic_dedup runs the GUARDED path (cap below
+    # the planted cluster size — the plan a skewed 100 TB deployment
+    # runs), while its DuckDB column times the EXACT all-pairs oracle:
+    # the honest single-node comparison is "guarded distributed plan
+    # vs exact single-node tournament", flagged in the note.
+    from mevi_spark.plans.pipeline_ops import semantic_dedup_frame
+
+    def _timed(build) -> tuple[float, float]:
+        t0 = time.perf_counter()
+        build().toPandas()
+        cold = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        build().toPandas()
+        return cold, round(time.perf_counter() - t0, 3)
+
+    scale: dict[str, dict] = {}
+    for name in ("chunk_dedup_overlap", "chunk_dedup_overlap_reconstruct"):
+        fn = registry.get_queries()[name]
+        sc, sw = _timed(lambda fn=fn: fn(spark, sf_dir))
+        con.execute(oracles[name]).df()
+        t0 = time.perf_counter()
+        con.execute(oracles[name]).df()
+        scale[name] = {
+            "spark": sw,
+            "spark_cold": sc,
+            "duckdb": round(time.perf_counter() - t0, 3),
+        }
+    sc, sw = _timed(
+        lambda: semantic_dedup_frame(spark, sf_dir, giant_cluster_cap=1000)
+    )
+    con.execute(oracles["semantic_dedup"]).df()
+    t0 = time.perf_counter()
+    con.execute(oracles["semantic_dedup"]).df()
+    scale["semantic_dedup"] = {
+        "spark": sw,
+        "spark_cold": sc,
+        "duckdb": round(time.perf_counter() - t0, 3),
+        "note": "spark = guarded plan (giant_cluster_cap=1000, sign-LSH"
+        " banded); duckdb = exact all-pairs tournament oracle",
+    }
+
     s_cold = round(sum(spark_cold.values()), 3)
     s_warm = round(sum(spark_warm.values()), 3)
     d_total = round(sum(duck_t.values()), 3)
@@ -95,6 +139,7 @@ def main() -> None:
                     }
                     for n in spark_warm
                 },
+                "scale_tier": scale,
             }
         )
     )
