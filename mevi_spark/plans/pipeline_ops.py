@@ -2737,9 +2737,6 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     group. The oracle recomputes assignment, both cosines, and the
     keep-priority tournament in SQL, so a green row pins cluster
     routing AND the prune decision per vector."""
-    from mevi_spark.operators.dedup import semantic_dedup
-    from mevi_spark.operators.rq import rq_level_centroids
-
     return semantic_dedup_frame(spark, sf_dir)
 
 
@@ -2752,6 +2749,9 @@ def semantic_dedup_frame(
     a 100 TB deployment with a skewed cluster would actually run,
     while the registered query keeps the default cap (exact at fixture
     scale, oracle-checked)."""
+    from mevi_spark.operators.dedup import semantic_dedup
+    from mevi_spark.operators.rq import rq_level_centroids
+
     planted = planted_embeddings(spark, sf_dir)
     cents = rq_level_centroids(planted, code_col="label", vec_col="embedding")
     return semantic_dedup(
