@@ -908,10 +908,16 @@ def semdedup_tournament(
     plan-time literals; ``dim=None`` keeps the legacy unguarded
     tournament for callers without a codebook at hand.
     """
-    from mevi_spark.functions.vector import cosine
+    from mevi_spark.functions.vector import dot, l2_norm
 
+    # the pair verify needs cosine(a._v, b._v): staging ‖v‖ ONCE PER
+    # ROW before the self-join (instead of twice per pair inside
+    # cosine()) cuts the per-pair interpreted-fold work 3× — bit-
+    # identical, it is the same fold over the same array, and the
+    # division + zero-norm guard below replicate functions/vector.py::
+    # cosine exactly (den==0 → 0.0, the ANSI divide-by-zero guard)
     if dim is None:
-        small, giant = scored, None
+        small, giant = scored.withColumn("_nv", l2_norm("_v")), None
     else:
         from mevi_spark.operators.cache import defer_unpersist
 
@@ -925,7 +931,9 @@ def semdedup_tournament(
             .agg(F.count(F.lit(1)).alias("_csz"))
             .persist()
         )
-        tagged = scored.join(F.broadcast(sizes), "code")
+        tagged = scored.join(F.broadcast(sizes), "code").withColumn(
+            "_nv", l2_norm("_v")
+        )
         cap = F.lit(int(giant_cluster_cap))
         small = tagged.filter(F.col("_csz") <= cap).drop("_csz")
         giant = tagged.filter(F.col("_csz") > cap).drop("_csz")
@@ -934,6 +942,10 @@ def semdedup_tournament(
         (F.col("b._cc") == F.col("a._cc"))
         & (F.col("b._id") < F.col("a._id"))
     )
+    den = F.col("a._nv") * F.col("b._nv")
+    pair_cos = F.when(den == 0.0, F.lit(0.0)).otherwise(
+        dot(F.col("a._v"), F.col("b._v")) / den
+    )
     a, b = small.alias("a"), small.alias("b")
     pruned = (
         a.join(
@@ -941,9 +953,7 @@ def semdedup_tournament(
             (F.col("a.code") == F.col("b.code"))
             & (F.col("a._id") != F.col("b._id")),
         )
-        .filter(
-            (cosine(F.col("a._v"), F.col("b._v")) >= threshold) & beats
-        )
+        .filter((pair_cos >= threshold) & beats)
         .select(F.col("a._id").alias("_id"))
     )
     if giant is not None:
@@ -957,9 +967,7 @@ def semdedup_tournament(
                 & (F.col("a._key") == F.col("b._key"))
                 & (F.col("a._id") != F.col("b._id")),
             )
-            .filter(
-                (cosine(F.col("a._v"), F.col("b._v")) >= threshold) & beats
-            )
+            .filter((pair_cos >= threshold) & beats)
             .select(F.col("a._id").alias("_id"))
         )
         pruned = pruned.unionByName(pruned_giant)
@@ -1025,7 +1033,8 @@ def _semdedup_lsh_banded(
         f"named_struct('_band', {bb}, '_key', {_key(bb)})"
         for bb in range(lsh_bands)
     )
+    passthrough = [c for c in giant.columns]
     return giant.selectExpr(
-        "_id", "code", "_v", "_cc",
+        *passthrough,
         f"explode(array({structs})) AS _bk",
-    ).select("_id", "code", "_v", "_cc", "_bk._band", "_bk._key")
+    ).select(*passthrough, "_bk._band", "_bk._key")
