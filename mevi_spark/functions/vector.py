@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, functions as F
 
 
@@ -238,16 +240,33 @@ def dot_seq_arrow(a: Column | str, b: Column | str) -> Column:
         acc = A[:,0]*B[:,0]; acc += A[:,1]*B[:,1]; ...
 
     Per pair that is exactly the left-to-right float64 fold
-    ``((a0·b0) + a1·b1) + a2·b2 …`` of the interpreted form — IEEE
+    ``(0.0 + a0·b0) + a1·b1 + a2·b2 …`` of the interpreted form — IEEE
     ops applied in the same order give the same bits, so oracle
     hash-equality is preserved (pinned by
     ``tests/test_property.py::test_dot_seq_arrow_bit_identical``).
-    Use it where the dot sits on a pair-verify hot path; keep
-    :func:`dot` for plan-time-literal folds (codebooks) where the
-    Arrow round trip would cost more than it saves.
+
+    Measured (sf1 scale run, SemDeDup guarded tournament, dim=64): NO
+    net win over the interpreted fold there — extracting the UDF loses
+    the ``beats``-first And short-circuit (the UDF evaluates for ALL
+    join-output pairs, the fold only for the surviving half), and the
+    2× evaluation count cancels the ~2× per-eval vectorization gain
+    (medians 23.7 s vs 21.8 s, inside the box's noise band). It wins
+    only where the dot is UNCONDITIONAL per candidate row and dim is
+    large enough for the Arrow batch to amortize (≳256 at the measured
+    per-eval ratio); below that, or wherever a cheap predicate can
+    gate the fold, keep :func:`dot`. For bulk many-to-many scoring use
+    the blocked kernel in ``operators/topk.py`` instead — it ships
+    each vector once per block, not once per pair.
+
+    Precondition: non-null inputs whose partial products and running
+    sums stay FINITE. An overflowing pair produces ±inf/NaN identically
+    in both kernels, but the Arrow return path then diverges — pandas'
+    NaN is the null sentinel, so the UDF yields NULL where the fold
+    yields NaN. Real embedding dots sit far below DBL_MAX, so the
+    bit-identity contract is scoped to finite results.
     """
-    import numpy as np
-    import pandas as pd
+    # module-level np/pd imports exist so pyspark can resolve the
+    # stringified type hints (PEP 563 is active in this module)
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -256,7 +275,14 @@ def dot_seq_arrow(a: Column | str, b: Column | str) -> Column:
             return pd.Series(np.zeros(0, dtype=np.float64))
         A = np.stack([np.asarray(x, dtype=np.float64) for x in va])
         B = np.stack([np.asarray(x, dtype=np.float64) for x in vb])
-        acc = A[:, 0] * B[:, 0]
+        if A.shape[1] == 0:  # dot([]) == the fold's 0.0 seed
+            return pd.Series(np.zeros(len(va), dtype=np.float64))
+        # `+ 0.0` replicates the fold's 0.0 seed: it normalizes a -0.0
+        # first product to +0.0 exactly as `0.0 + (-0.0)` does (IEEE
+        # addition is commutative bitwise), and is an identity for
+        # every other finite value — without it a pair whose running
+        # sum stays -0.0 would hash-differ from dot()'s +0.0.
+        acc = A[:, 0] * B[:, 0] + 0.0
         for d in range(1, A.shape[1]):
             acc = acc + A[:, d] * B[:, d]
         return pd.Series(acc)

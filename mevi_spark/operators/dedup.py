@@ -946,6 +946,17 @@ def semdedup_tournament(
     pair_cos = F.when(den == 0.0, F.lit(0.0)).otherwise(
         dot(F.col("a._v"), F.col("b._v")) / den
     )
+    # `beats` FIRST in the verify conjunction: Catalyst pushes the
+    # post-join filter into the join condition with the filter's And
+    # order preserved AHEAD of the original condition, and codegen
+    # short-circuits left-to-right — beats is two scalar compares,
+    # antisymmetric (true for exactly one orientation of every
+    # unordered pair, and never for a self-pair), so the 2·dim-op
+    # interpreted cosine fold runs once per unordered pair. Measured
+    # at sf1 (guarded path): beats-first ~25-30 s warm vs cos-first
+    # ~32-38 s — the And order IS the optimization, don't "simplify"
+    # it into the join condition (that re-merges cos-first).
+    verify = beats & (pair_cos >= threshold)
     a, b = small.alias("a"), small.alias("b")
     pruned = (
         a.join(
@@ -953,7 +964,7 @@ def semdedup_tournament(
             (F.col("a.code") == F.col("b.code"))
             & (F.col("a._id") != F.col("b._id")),
         )
-        .filter((pair_cos >= threshold) & beats)
+        .filter(verify)
         .select(F.col("a._id").alias("_id"))
     )
     if giant is not None:
@@ -967,7 +978,7 @@ def semdedup_tournament(
                 & (F.col("a._key") == F.col("b._key"))
                 & (F.col("a._id") != F.col("b._id")),
             )
-            .filter((pair_cos >= threshold) & beats)
+            .filter(verify)
             .select(F.col("a._id").alias("_id"))
         )
         pruned = pruned.unionByName(pruned_giant)

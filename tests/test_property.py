@@ -141,3 +141,82 @@ def test_ivf_full_probe_equals_exact(spark, corpus, qvecs):
         ).collect()
     }
     assert ivf == exact
+
+
+# magnitudes bounded so partial products / running sums stay finite —
+# the kernel's documented precondition (an overflow yields NaN from the
+# fold but NULL from the Arrow path; see dot_seq_arrow's docstring)
+_finite = st.floats(
+    allow_nan=False,
+    allow_infinity=False,
+    width=64,
+    allow_subnormal=True,
+    min_value=-1e150,
+    max_value=1e150,
+)
+_pairs = st.integers(min_value=1, max_value=6).flatmap(
+    lambda d: st.lists(
+        st.tuples(
+            st.lists(_finite, min_size=d, max_size=d),
+            st.lists(_finite, min_size=d, max_size=d),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+
+
+def _bits(v: float) -> bytes:
+    import struct
+
+    return struct.pack("<d", v)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_pairs)
+def test_dot_seq_arrow_bit_identical(spark, pairs):
+    """The Arrow-vectorized dot kernel must be BIT-identical to the
+    interpreted ``F.aggregate(zip_with(...))`` fold on arbitrary finite
+    doubles (subnormals, signed zeros, magnitude extremes included) —
+    the contract ``functions/vector.py::dot_seq_arrow`` documents."""
+    from mevi_spark.functions.vector import dot, dot_seq_arrow
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "id long, va array<double>, vb array<double>",
+    )
+    rows = df.select(
+        "id",
+        dot("va", "vb").alias("d_fold"),
+        dot_seq_arrow("va", "vb").alias("d_arrow"),
+    ).collect()
+    assert len(rows) == len(pairs)
+    for r in rows:
+        assert _bits(r.d_fold) == _bits(r.d_arrow), (
+            r.id,
+            r.d_fold,
+            r.d_arrow,
+        )
+
+
+def test_dot_seq_arrow_negative_zero_seed(spark):
+    """Regression pin for the fold-seed edge: a pair whose running sum
+    stays ``-0.0`` must come back ``+0.0`` from BOTH paths (``dot``'s
+    0.0 seed normalizes it; the Arrow kernel's ``+ 0.0`` must too)."""
+    from mevi_spark.functions.vector import dot, dot_seq_arrow
+
+    df = spark.createDataFrame(
+        [(0, [-1.0, -2.0], [0.0, 0.0]), (1, [0.0], [-3.5])],
+        "id long, va array<double>, vb array<double>",
+    )
+    rows = df.select(
+        dot("va", "vb").alias("d_fold"),
+        dot_seq_arrow("va", "vb").alias("d_arrow"),
+    ).collect()
+    for r in rows:
+        assert _bits(r.d_fold) == _bits(0.0)
+        assert _bits(r.d_arrow) == _bits(0.0)
