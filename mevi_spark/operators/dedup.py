@@ -14,10 +14,11 @@ standard web-scale recipes):
   joined pair rows — a shuffle whose size is the candidate count, not
   n².
 
-Connected components uses plain min-label propagation (driver loop,
-converges in O(graph diameter) rounds — near-dup clusters are
-shallow), each round one shuffle; exhaustion without convergence is a
-loud error, never a silently-split cluster.
+Connected components uses min-label propagation with pointer jumping
+(driver loop, converges in O(log graph-diameter) rounds — the jump
+contracts label chains so even a degenerate million-long dup chain
+needs ~20 rounds, not 10⁶), each round two shuffles; exhaustion
+without convergence is a loud error, never a silently-split cluster.
 """
 
 from __future__ import annotations
@@ -647,16 +648,26 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 20,
 ) -> DataFrame:
-    """Min-label propagation over the dup-pair graph → ``(id,
-    component)`` where component = min id reachable.
+    """Min-label propagation + pointer jumping over the dup-pair graph
+    → ``(id, component)`` where component = min id reachable.
 
-    Driver loop of ≤ ``max_iter`` rounds; plain propagation converges
-    in O(graph diameter) rounds (near-dup clusters are shallow — a
-    30-deep chain needs 30 rounds, so ``max_iter`` must cover the
-    worst diameter). Exhausting ``max_iter`` without convergence
-    RAISES rather than returning silently-split components. Each round
-    is one groupBy shuffle over the edge list plus a convergence
-    count; ``localCheckpoint`` truncates the lineage so the plan
+    Driver loop of ≤ ``max_iter`` rounds, each round two steps:
+    neighbor-min propagation (one groupBy shuffle over the edge list)
+    then ONE pointer jump ``component ← min(component,
+    component[component])`` (a labels⋈labels self-join). The jump is
+    what makes the loop diameter-INDEPENDENT: propagation alone moves
+    a label one hop per round — a 10⁶-long near-dup chain (pathological
+    but real at corpus scale: overlapping boilerplate shingles chain
+    page after page) would need 10⁶ rounds = 10⁶ shuffles; with the
+    label-of-label contraction the effective distance at least halves
+    per round, so convergence is O(log diameter) — ~20 rounds covers
+    any graph that fits on disk. Invariant kept by both steps: a
+    node's label is always the id of some node in its own component
+    and never below the component min, so the fixpoint (no label
+    changed — labels constant across every symmetrized edge) is
+    exactly component = min reachable id. Exhausting ``max_iter``
+    without convergence RAISES rather than returning silently-split
+    components; ``localCheckpoint`` truncates the lineage so the plan
     doesn't grow exponentially.
     """
     edges = (
@@ -681,15 +692,28 @@ def connected_components(
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("_nc").alias("_minn"))
         )
+        prop = labels.join(neigh, "id", "left").select(
+            "id",
+            F.least("component", F.coalesce("_minn", "component")).alias(
+                "_pc"
+            ),
+            F.col("component").alias("_old"),
+        )
+        # pointer jump: label values ARE node ids (the invariant), so
+        # label[label[u]] is one equi-join of the propagated labels
+        # against themselves; left join — a node whose label is itself
+        # matches trivially, coalesce only guards null-safety
+        parent = prop.select(
+            F.col("id").alias("_jid"), F.col("_pc").alias("_jc")
+        )
         updated = (
-            labels.join(neigh, "id", "left")
+            prop.join(parent, prop["_pc"] == parent["_jid"], "left")
             .select(
                 "id",
-                F.least(
-                    "component", F.coalesce("_minn", "component")
-                ).alias("component"),
+                F.least("_pc", F.coalesce("_jc", "_pc")).alias("component"),
                 (
-                    F.coalesce("_minn", "component") < F.col("component")
+                    F.least("_pc", F.coalesce("_jc", "_pc"))
+                    < F.col("_old")
                 ).alias("_changed"),
             )
         ).localCheckpoint(eager=True)

@@ -135,6 +135,23 @@ def test_connected_components_union_find(spark):
     }
 
 
+def test_connected_components_long_chain_log_rounds(spark):
+    # a 200-deep path graph — the pathological near-dup chain shape.
+    # Plain one-hop propagation needs 200 rounds; the pointer-jumping
+    # loop must close it within max_iter=12 (O(log d)) and label every
+    # node with the chain head. Failure mode guarded: exhausting
+    # max_iter raises, so a convergence regression fails loudly here.
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in D.connected_components(pairs, max_iter=12).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
+
+
 def test_ngram_dfcut_bounds_frequent_shingle(spark):
     # 40 docs all share one hot shingle ("alpha beta gamma") — without a
     # df-cut the inverted-index self-join builds 40*39/2 = 780 candidate
