@@ -330,9 +330,11 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # connected components over near-dup pairs
 
 
-@register(
-    "dedup_components",
-    oracle=f"""
+# shared by dedup_components AND its streaming twin
+# (plans/streaming_ops.py::streaming_components): the drained
+# incremental state must equal the one-shot batch answer, so both
+# queries certify against the identical transitive closure
+COMPONENTS_ORACLE = f"""
 WITH RECURSIVE {_SQL_CORPUS}, {_SQL_TOKS},
 pairs AS (
   SELECT id_a, id_b FROM (
@@ -350,8 +352,10 @@ reach(id, m) AS (
   UNION
   SELECT e.src, r.m FROM edges e JOIN reach r ON r.id = e.dst)
 SELECT id, MIN(m) AS component FROM reach GROUP BY id
-""",
-)
+"""
+
+
+@register("dedup_components", oracle=COMPONENTS_ORACLE)
 def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonicalization: connected components (min-label propagation)
     over the Jaccard ≥ 0.6 near-dup graph — each dup cluster collapses

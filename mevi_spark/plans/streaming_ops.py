@@ -890,3 +890,46 @@ def streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         base,
     )
+
+
+def _components_oracle() -> str:
+    from mevi_spark.plans.pipeline_ops import COMPONENTS_ORACLE
+
+    return COMPONENTS_ORACLE
+
+
+@register("streaming_components", oracle=_components_oracle())
+def streaming_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labels maintained under edge ingest (the
+    streaming twin of ``dedup_components``, closing the last batch-only
+    step of the dedup family): the Jaccard ≥ 0.6 near-dup edge set
+    arrives in three slices keyed on ``(id_a + id_b) % 3`` — so a dup
+    CHAIN's edges land in different batches and the drained state is
+    produced by cross-batch component MERGES (the remap path), not by
+    any single batch seeing a whole component — and
+    :func:`~mevi_spark.streaming.incremental.apply_components_batch`
+    keeps the min-id labels current per batch. The drained ``labels``
+    table must equal the one-shot
+    ``connected_components`` over the full pair set: the identical
+    transitive-closure oracle as the batch query."""
+    from mevi_spark.operators import dedup as D
+    from mevi_spark.plans.pipeline_ops import _corpus
+    from mevi_spark.streaming.incremental import incremental_components
+
+    base = _tmp("cc")
+    pairs = D.ngram_jaccard_pairs(
+        _corpus(spark, sf_dir), threshold=0.6
+    ).select("id_a", "id_b")
+    for i in range(3):
+        pairs.filter(
+            (F.col("id_a") + F.col("id_b")) % 3 == i
+        ).coalesce(1).write.mode("overwrite").parquet(f"{base}/in/s{i:02d}")
+    stream = stream_parquet_source(
+        spark, f"{base}/in/s*", pairs.schema, max_files_per_trigger=1
+    )
+    q = incremental_components(stream, f"{base}/out", f"{base}/ckpt")
+    q.awaitTermination()
+    state = spark.read.parquet(f"{base}/out/labels")
+    return _drained(
+        state.select(F.col("_id").alias("id"), "component"), base
+    )

@@ -1714,3 +1714,280 @@ def incremental_chunk_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def component_bucket_expr(n_buckets: int):
+    """The bucket a components ``labels`` row lives in (keyed on the
+    component, the relabel/fetch unit — a merge rewrites whole
+    components, so their rows must co-locate)."""
+    return F.pmod(F.xxhash64("component"), F.lit(int(n_buckets))).cast("int")
+
+
+def apply_components_batch(
+    spark,
+    state_dir: str,
+    edges: DataFrame,
+    batch_id: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    n_buckets: int = 8,
+) -> None:
+    """Connected components maintained under edge ingest — the
+    canonicalization twin completing the incremental-dedup family:
+    :func:`incremental_neardup` keeps the near-dup PAIRS current, this
+    keeps their min-id component labels current, so the trainer-facing
+    "canonical doc per dup cluster" view no longer re-runs
+    :func:`mevi_spark.operators.dedup.connected_components` over ALL
+    pairs per batch (O(corpus) shuffles) but pays O(batch + members of
+    components whose canonical label changed).
+
+    State is two published tables under ``state_dir`` (the dual-layout
+    split of :func:`incremental_semdedup`'s scored/ids):
+
+    * ``labels`` — ``(_id, component)`` hive-partitioned by
+      ``pmod(hash64(component), n_buckets)``: the relabel unit. A merge
+      fetches the losing components' members bucket-pruned;
+    * ``ids`` — the same mapping partitioned by
+      ``pmod(hash64(_id), n_buckets)``: the endpoint-lookup unit.
+
+    Per micro-batch: (1) look up the batch endpoints' current roots
+    id-bucket-pruned from ``ids`` (absent id → itself); (2) contract
+    the batch's edges to ROOT edges — at most one per batch edge — and
+    union-find them ON THE DRIVER (a batch-bounded collect, the same
+    sanctioned class as codebooks and bucket-id lists; the corpus never
+    leaves the cluster) with the min-root winner rule; (3) the write
+    set = batch endpoints with final roots ∪ the LOSING roots' members
+    relabeled (fetched component-bucket-pruned from ``labels``);
+    (4) publish ``labels`` then ``ids`` — touched buckets rewritten,
+    untouched dirs hardlink-forward.
+
+    Cost shape at scale: when ingest ids arrive ascending (the
+    append-only corpus), an existing component's min id is below every
+    batch id, so existing roots always WIN merges and the write set is
+    batch-sized; a relabel of an existing component only happens on
+    re-ingest/out-of-order arrivals and costs that component's member
+    count — the eager-canonical-label floor (union-find pays it on
+    whichever side loses; the min-id rule is what the batch operator
+    and the shared oracle define as canonical).
+
+    Crash-replay: ``labels`` publishes FIRST and carries the applied
+    ``batch_id`` in its ``_meta.json``. A replayed batch whose id
+    matches the sidecar means ``labels`` may already be relabeled (the
+    crash window is between the two publishes), so the losing members
+    are fetched from ``ids`` instead — pre-batch there by publish
+    order, at the price of an unpruned scan on that rare path. Root
+    lookups still see pre-batch ``ids``, so the recomputed merge map
+    is identical and both rewrites are reconstructive (replace-by-id),
+    making the replay a no-op on ``labels`` and the completing write
+    on ``ids``. A spurious id match (fresh checkpoint over old state)
+    only switches the fetch source between two tables that agree.
+    """
+    import json
+    import os
+
+    labels_dir = os.path.join(state_dir, "labels")
+    ids_dir = os.path.join(state_dir, "ids")
+    vl, ll = _link_prefixes(labels_dir, "ccl")
+    vi, li = _link_prefixes(ids_dir, "cci")
+    _migrate_legacy_dir(labels_dir, vl, ll)
+    _migrate_legacy_dir(ids_dir, vi, li)
+
+    e = (
+        edges.select(
+            F.col(id_a).cast("long").alias("_a"),
+            F.col(id_b).cast("long").alias("_b"),
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    eps = (
+        e.select(F.col("_a").alias("_id"))
+        .unionByName(e.select(F.col("_b").alias("_id")))
+        .distinct()
+        .withColumn("_dbkt", id_bucket_expr(n_buckets))
+        .localCheckpoint(eager=True)
+    )
+    labels_pub = os.path.exists(os.path.join(labels_dir, "_SUCCESS"))
+    ids_pub = os.path.exists(os.path.join(ids_dir, "_SUCCESS"))
+    replay = False
+    if labels_pub:
+        _check_bucket_meta(labels_dir, n_buckets, "components labels")
+        try:
+            with open(
+                os.path.join(labels_dir, _META_FILE), encoding="utf-8"
+            ) as fh:
+                replay = json.load(fh).get("batch_id") == batch_id
+        except (OSError, ValueError):
+            replay = False
+    ids_tbl = None
+    if ids_pub:
+        _check_bucket_meta(ids_dir, n_buckets, "components ids")
+        ids_tbl = spark.read.parquet(ids_dir)
+        dbkts = [r[0] for r in eps.select("_dbkt").distinct().collect()]
+        roots = eps.join(
+            ids_tbl.filter(F.col("_dbkt").isin(dbkts)).select(
+                "_id", "component"
+            ),
+            "_id",
+            "left",
+        ).select("_id", F.coalesce("component", "_id").alias("_root"))
+    else:
+        roots = eps.select("_id", F.col("_id").alias("_root"))
+    roots = roots.localCheckpoint(eager=True)
+
+    ra = roots.select(F.col("_id").alias("_a"), F.col("_root").alias("_ra"))
+    rb = roots.select(F.col("_id").alias("_b"), F.col("_root").alias("_rb"))
+    redges = sorted(
+        (r[0], r[1])
+        for r in e.join(ra, "_a")
+        .join(rb, "_b")
+        .filter(F.col("_ra") != F.col("_rb"))
+        .select("_ra", "_rb")
+        .distinct()
+        .collect()
+    )
+    parent: dict[int, int] = {}
+
+    def _find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in redges:
+        pa, pb = _find(a), _find(b)
+        if pa != pb:
+            lo, hi = (pa, pb) if pa < pb else (pb, pa)
+            parent[hi] = lo
+    remap = {x: _find(x) for x in list(parent)}
+    remap = {x: r for x, r in remap.items() if x != r}
+    losers = sorted(remap)
+    remap_df = spark.createDataFrame(
+        sorted(remap.items()), "old long, new long"
+    )
+
+    final_eps = roots.join(
+        F.broadcast(remap_df), roots["_root"] == remap_df["old"], "left"
+    ).select("_id", F.coalesce("new", "_root").alias("component"))
+    w = final_eps
+    if losers:
+        if replay and ids_tbl is not None:
+            src = ids_tbl.select("_id", "component")  # rare: see docstring
+        elif labels_pub:
+            lf = spark.createDataFrame(
+                [(v,) for v in losers], "component long"
+            )
+            lbkts = [
+                r[0]
+                for r in lf.select(
+                    component_bucket_expr(n_buckets).alias("_b")
+                )
+                .distinct()
+                .collect()
+            ]
+            src = (
+                spark.read.parquet(labels_dir)
+                .filter(F.col("_cbkt").isin(lbkts))
+                .select("_id", "component")
+            )
+        else:
+            src = None
+        if src is not None:
+            movers = (
+                src.filter(F.col("component").isin(losers))
+                .join(eps.select("_id"), "_id", "left_anti")
+                .join(
+                    F.broadcast(remap_df),
+                    F.col("component") == F.col("old"),
+                )
+                .select("_id", F.col("new").alias("component"))
+            )
+            w = final_eps.unionByName(movers)
+    w = (
+        w.withColumn("_cbkt", component_bucket_expr(n_buckets))
+        .withColumn("_dbkt", id_bucket_expr(n_buckets))
+        .localCheckpoint(eager=True)
+    )
+
+    meta = {"n_buckets": int(n_buckets), "batch_id": int(batch_id)}
+    if labels_pub:
+        lbl = spark.read.parquet(labels_dir)
+        cbkts = {r[0] for r in w.select("_cbkt").distinct().collect()}
+        if losers:
+            lf = spark.createDataFrame(
+                [(v,) for v in losers], "component long"
+            )
+            cbkts |= {
+                r[0]
+                for r in lf.select(
+                    component_bucket_expr(n_buckets).alias("_b")
+                )
+                .distinct()
+                .collect()
+            }
+        cbkts = sorted(cbkts)
+        pool = lbl.filter(F.col("_cbkt").isin(cbkts)).join(
+            w.select("_id"), "_id", "left_anti"
+        )
+        if losers:
+            # belt-and-suspenders: every loser member is in w by id,
+            # but a mid-crash labels/ids divergence must never leave a
+            # dead component label behind
+            pool = pool.filter(~F.col("component").isin(losers))
+        out_labels = pool.select("_id", "component", "_cbkt").unionByName(
+            w.select("_id", "component", "_cbkt")
+        )
+        cf_l = (os.path.realpath(labels_dir), cbkts)
+    else:
+        out_labels = w.select("_id", "component", "_cbkt")
+        cf_l = None
+    _publish_version(
+        out_labels, labels_dir, vl, ll, _publish_grace(),
+        meta=meta, partition_by="_cbkt", copy_forward=cf_l,
+    )
+    if ids_tbl is not None:
+        wdbkts = sorted(
+            {r[0] for r in w.select("_dbkt").distinct().collect()}
+        )
+        out_ids = (
+            ids_tbl.filter(F.col("_dbkt").isin(wdbkts))
+            .join(w.select("_id"), "_id", "left_anti")
+            .select("_id", "component", "_dbkt")
+            .unionByName(w.select("_id", "component", "_dbkt"))
+        )
+        cf_i = (os.path.realpath(ids_dir), wdbkts)
+    else:
+        out_ids = w.select("_id", "component", "_dbkt")
+        cf_i = None
+    _publish_version(
+        out_ids, ids_dir, vi, li, _publish_grace(),
+        meta={"n_buckets": int(n_buckets)}, partition_by="_dbkt",
+        copy_forward=cf_i,
+    )
+
+
+def incremental_components(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    n_buckets: int = 8,
+):
+    """Streaming wrapper over :func:`apply_components_batch` — min-id
+    connected-component labels kept current as near-dup edges arrive."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        apply_components_batch(
+            batch.sparkSession, state_dir, batch, batch_id,
+            id_a=id_a, id_b=id_b, n_buckets=n_buckets,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

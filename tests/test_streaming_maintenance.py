@@ -1120,3 +1120,118 @@ def test_incremental_lexical_stats_converges_and_replays(spark):
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# incremental connected components (apply_components_batch)
+
+
+def _cc_state(spark, base):
+    labels = {
+        (r["_id"], r["component"])
+        for r in spark.read.parquet(f"{base}/labels").collect()
+    }
+    ids = {
+        (r["_id"], r["component"])
+        for r in spark.read.parquet(f"{base}/ids").collect()
+    }
+    return labels, ids
+
+
+def _cc_apply(spark, base, edges, bid):
+    from mevi_spark.streaming.incremental import apply_components_batch
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    apply_components_batch(spark, base, df, bid, n_buckets=4)
+
+
+def test_components_cross_batch_chain_and_merge(spark):
+    """Three batches: two separate components grow, then one edge MERGES
+    them — the loser component's existing members (never re-ingested)
+    must relabel to the winning min id, and labels/ids must agree with
+    the one-shot batch operator over all edges."""
+    import shutil
+    import tempfile
+
+    from mevi_spark.operators.dedup import connected_components
+
+    base = tempfile.mkdtemp(prefix="cc_test_")
+    try:
+        b0 = [(10, 11), (1, 2)]
+        b1 = [(20, 21), (2, 3)]          # chain 1-2 extends to 3
+        b2 = [(11, 20), (30, 31)]        # MERGES {10,11} with {20,21}
+        for i, b in enumerate((b0, b1, b2)):
+            _cc_apply(spark, base, b, i)
+        labels, ids = _cc_state(spark, base)
+        assert labels == ids
+        all_edges = spark.createDataFrame(
+            b0 + b1 + b2, "id_a long, id_b long"
+        )
+        want = {
+            (r["id"], r["component"])
+            for r in connected_components(all_edges).collect()
+        }
+        assert labels == want
+        # the merge relabeled 20 and 21 (members of the loser, only 20
+        # was an endpoint of the merging edge)
+        assert (21, 10) in labels
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_components_replay_and_crash_window(spark):
+    """(a) Re-running a batch with the same batch_id is a no-op; (b) the
+    documented crash window — labels published (sidecar carries the
+    batch id), ids still pre-batch — must complete to the clean state
+    on replay, including the loser members ids would otherwise keep
+    stale forever."""
+    import os
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="cc_crash_")
+    try:
+        _cc_apply(spark, base, [(5, 6), (100, 101)], 0)
+        # pre-batch-1 ids snapshot (resolve the published symlink)
+        ids_dir = f"{base}/ids"
+        pre = os.path.join(base, "ids_pre_copy")
+        shutil.copytree(os.path.realpath(ids_dir), pre)
+        merge_edge = [(6, 100)]          # merges {5,6} and {100,101}
+        _cc_apply(spark, base, merge_edge, 1)
+        clean = _cc_state(spark, base)
+        assert clean[0] == clean[1]
+        assert (101, 5) in clean[0]      # loser member relabeled
+        # replay with the same batch id: identical state
+        _cc_apply(spark, base, merge_edge, 1)
+        assert _cc_state(spark, base) == clean
+        # crash simulation: wind ids back to its pre-batch-1 content
+        # while labels stays post-batch-1 (meta batch_id == 1), then
+        # replay batch 1 — the kernel must fetch the loser members from
+        # ids (labels no longer carries the loser component) and bring
+        # ids back in sync
+        os.remove(ids_dir)
+        os.symlink(pre, ids_dir)
+        stale = _cc_state(spark, base)
+        assert stale[1] != clean[1] and stale[0] == clean[0]
+        _cc_apply(spark, base, merge_edge, 1)
+        assert _cc_state(spark, base) == clean
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_components_monotone_ingest_touches_batch_buckets_only(spark):
+    """Ascending-id ingest (the append-only corpus): existing roots win
+    every merge, so no existing component relabels and the write set is
+    batch-sized — new members adopt the old root."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="cc_mono_")
+    try:
+        _cc_apply(spark, base, [(1, 2)], 0)
+        _cc_apply(spark, base, [(2, 50)], 1)   # 50 joins component 1
+        _cc_apply(spark, base, [(50, 60)], 2)  # 60 joins component 1
+        labels, ids = _cc_state(spark, base)
+        assert labels == ids == {(1, 1), (2, 1), (50, 1), (60, 1)}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

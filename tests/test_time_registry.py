@@ -33,7 +33,9 @@ def test_epoch_us_ltz_arm(spark):
 
 
 R11_NEW = [
-    # the 2 round-11-new queries (zero driver evidence)
+    # the 3 round-11-new queries (zero driver evidence; the
+    # incremental-components twin landed late in the round)
+    "streaming_components",
     "streaming_lexical_stats",
     "chunk_dedup_overlap_reconstruct",
 ]
@@ -77,6 +79,8 @@ R11_ROTATED_OUT = {
     "streaming_event_window_counts",
     "text_quality_stats",
     "video_frame_sample",
+    # displaced from tier 3 by the late-r11 streaming_components
+    "multi_assign_recall",
 }
 
 
