@@ -148,3 +148,247 @@ def heavy_hitters(
         )
     cands = misra_gries_candidates(df, col, capacity)
     return exact_recount(df, col, cands, min_support_num, min_support_den)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mergeable quantile summaries (Munro-Paterson-style)
+#
+# The corpus-scale "what is the p95 of this value" question under
+# ingest. Exact grouped quantiles (events_value_quantiles) sort per
+# group — fine one-shot, but re-sorting the accumulated corpus per
+# micro-batch is O(history). The classic fix is a MERGEABLE bounded
+# summary: per batch, fold the batch's values into a multi-level
+# compactor (level-l items carry weight 2^l); merging two summaries is
+# concatenate-then-compact. The compactor here is the DETERMINISTIC
+# variant (Munro & Paterson 1980 selection-with-limited-storage
+# lineage; KLL's layout without the randomization): a full level sorts
+# its buffer and promotes the odd-indexed half. Determinism is what
+# the maintenance store needs — a replayed batch rebuilds an IDENTICAL
+# partial, so crash-replay over the partial-dir store is a no-op — and
+# costs only a worse (but still certified) constant than KLL's
+# random-offset choice.
+#
+# Soundness of the tracked bound: compacting an even sorted buffer of
+# weight-w items shifts est_rank(v) = Σ weight(items ≤ v) by at most w
+# for ANY v (an odd prefix count rounds down by one item), so the
+# summary's total rank error is ≤ the sum of 2^l over the compactions
+# actually performed — tracked EXPLICITLY in the summary's sentinel
+# row and certified against exact ranks by mp_certify, rather than
+# assumed from an asymptotic formula.
+
+#: sentinel levels carrying summary metadata as ordinary rows (so one
+#: parquet schema covers items + state): accumulated rank-error bound,
+#: absorbed non-null value count, and the capacity the summary was
+#: built with (merge refuses mixed capacities — the bound would lie)
+MP_ERR_LEVEL = -1
+MP_N_LEVEL = -2
+MP_K_LEVEL = -3
+
+
+def _mp_compact_levels(levels: dict[int, list[float]], k: int) -> int:
+    """Compact every over-full level bottom-up; mutates ``levels`` and
+    returns the rank error introduced (Σ 2^l per compaction). An odd
+    buffer leaves its maximum at the level so only an even count
+    compacts (keeps the per-compaction error exactly ≤ 2^l)."""
+    err = 0
+    lvl = 0
+    while levels and lvl <= max(levels):
+        buf = levels.get(lvl, [])
+        if len(buf) > k:
+            buf = sorted(buf)
+            carry: list[float] = []
+            if len(buf) % 2:
+                carry = [buf[-1]]
+                buf = buf[:-1]
+            levels[lvl] = carry
+            levels.setdefault(lvl + 1, []).extend(buf[1::2])
+            err += 1 << lvl
+        lvl += 1
+    for dead in [l for l, b in levels.items() if not b]:
+        del levels[dead]
+    return err
+
+
+def mp_merge_summaries(
+    parts: DataFrame, type_col: str = "event_type", k: int = 128
+) -> DataFrame:
+    """Fold summary-row partials (any mix of raw level-0 rows and
+    already-compacted summaries, across any number of partial dirs)
+    into ONE summary per ``type_col`` group: the shared kernel behind
+    both the per-batch builder (:func:`mp_batch_partials`) and the
+    merge-on-read of the maintenance store — one definition, so the
+    maintained state cannot drift from the batch construction.
+
+    One keyed shuffle (groupBy type); the per-group pandas fold sorts
+    buffers of ≤ batch/summary size. Group state is a micro-batch's or
+    summary's values for one type — the bounded unit, same contract as
+    the sessionization state."""
+    import numpy as np  # noqa: F401  (pandas fold only)
+
+    schema = f"{type_col} string, level int, value double"
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf[type_col].iloc[0]
+        ks = set(pdf.loc[pdf["level"] == MP_K_LEVEL, "value"].astype(int))
+        if ks and ks != {int(k)}:
+            raise ValueError(
+                f"mixed summary capacities {sorted(ks)} vs k={k} for "
+                f"type {t!r} — the tracked error bound is per-capacity"
+            )
+        err = float(pdf.loc[pdf["level"] == MP_ERR_LEVEL, "value"].sum())
+        n = float(pdf.loc[pdf["level"] == MP_N_LEVEL, "value"].sum())
+        levels: dict[int, list[float]] = {}
+        items = pdf[pdf["level"] >= 0]
+        for lvl, grp in items.groupby("level"):
+            levels[int(lvl)] = grp["value"].tolist()
+        err += float(_mp_compact_levels(levels, int(k)))
+        rows = [
+            (t, lvl, v)
+            for lvl in sorted(levels)
+            for v in sorted(levels[lvl])
+        ]
+        rows.append((t, MP_ERR_LEVEL, err))
+        rows.append((t, MP_N_LEVEL, n))
+        rows.append((t, MP_K_LEVEL, float(k)))
+        return pd.DataFrame(rows, columns=[type_col, "level", "value"])
+
+    return parts.groupBy(type_col).applyInPandas(_merge, schema)
+
+
+def mp_batch_partials(
+    df: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    k: int = 128,
+) -> DataFrame:
+    """One micro-batch's summary partial: the batch's non-null values
+    as weight-1 (level-0) rows plus the metadata sentinels, folded
+    through the SAME merge kernel — deterministic content, so the
+    partial-dir store's overwrite-on-replay is a no-op. Nulls are
+    excluded exactly as the exact pass excludes them (Spark
+    ``percentile`` and DuckDB ``quantile_cont`` both ignore nulls)."""
+    vals = df.filter(F.col(value_col).isNotNull())
+    raw = vals.select(
+        F.col(type_col).cast("string").alias(type_col),
+        F.lit(0).alias("level"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    sent = vals.groupBy(F.col(type_col).cast("string").alias(type_col)).agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    sentinels = sent.select(
+        type_col,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(MP_ERR_LEVEL).alias("level"),
+                    F.lit(0.0).alias("value"),
+                ),
+                F.struct(
+                    F.lit(MP_N_LEVEL).alias("level"),
+                    F.col("_n").alias("value"),
+                ),
+                F.struct(
+                    F.lit(MP_K_LEVEL).alias("level"),
+                    F.lit(float(k)).alias("value"),
+                ),
+            )
+        ).alias("_s"),
+    ).select(type_col, "_s.level", "_s.value")
+    return mp_merge_summaries(raw.unionByName(sentinels), type_col, k)
+
+
+def mp_certify(
+    summary: DataFrame,
+    corpus: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    k: int = 128,
+) -> dict[str, float]:
+    """Certify a drained summary against the EXACT corpus: at every
+    probe point, the weighted estimated rank must sit within the
+    summary's own tracked error bound of the true rank, and no level
+    may exceed the capacity. Raises on any violation; returns per-type
+    ``err/n`` (the certified relative rank error) for reporting.
+
+    Probe points are the summary items PLUS the midpoints of
+    consecutive items: the deterministic odd-index compaction keeps
+    exactly the values whose own prefix count stays even, so the
+    estimate is structurally near-exact AT kept items — the error
+    lives in the gaps where values were dropped, and a certificate
+    that only probed items would pass a summary whose tracked bound
+    lies (caught by
+    ``tests/test_streaming_maintenance.py::
+    test_quantile_certify_catches_lying_bound``).
+
+    The exact-rank pass is fixture-scale instrumentation (corpus ×
+    probes fan-out bounded by 2× the summary size); at deployment
+    scale the summary IS the answer and this pass is what the tracked
+    bound replaces."""
+    rows = summary.collect()
+    by_type: dict[str, dict] = {}
+    for r in rows:
+        s = by_type.setdefault(
+            r[type_col], {"items": [], "err": 0.0, "n": 0.0}
+        )
+        lvl = r["level"]
+        if lvl == MP_ERR_LEVEL:
+            s["err"] = r["value"]
+        elif lvl == MP_N_LEVEL:
+            s["n"] = r["value"]
+        elif lvl == MP_K_LEVEL:
+            if int(r["value"]) != int(k):
+                raise AssertionError(
+                    f"summary built with k={int(r['value'])}, "
+                    f"certifying with k={k}"
+                )
+        else:
+            s["items"].append((float(r["value"]), 1 << int(lvl), int(lvl)))
+    spark = summary.sparkSession
+    item_rows = []
+    for t, s in by_type.items():
+        per_level: dict[int, int] = {}
+        for _, _, lvl in s["items"]:
+            per_level[lvl] = per_level.get(lvl, 0) + 1
+        over = {l: c for l, c in per_level.items() if c > k}
+        if over:
+            raise AssertionError(
+                f"type {t!r}: levels over capacity {k}: {over}"
+            )
+        vals = sorted({v for v, _, _ in s["items"]})
+        probes = vals + [
+            (a + b) / 2.0 for a, b in zip(vals, vals[1:])
+        ]
+        for i, p in enumerate(sorted(probes)):
+            est = sum(w2 for v2, w2, _ in s["items"] if v2 <= p)
+            item_rows.append((t, i, p, float(est)))
+    if not item_rows:
+        return {}
+    items_df = spark.createDataFrame(
+        item_rows, f"{type_col} string, _iid int, _iv double, _est double"
+    )
+    true_ranks = {
+        (r[type_col], r["_iid"]): r["_true"]
+        for r in corpus.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(type_col).cast("string").alias(type_col),
+            F.col(value_col).cast("double").alias("_cv"),
+        )
+        .join(F.broadcast(items_df), type_col)
+        .filter(F.col("_cv") <= F.col("_iv"))
+        .groupBy(type_col, "_iid")
+        .agg(F.count(F.lit(1)).cast("double").alias("_true"))
+        .collect()
+    }
+    out = {}
+    for t, iid, v, est in item_rows:
+        true = true_ranks.get((t, iid), 0.0)
+        err = by_type[t]["err"]
+        if abs(est - true) > err:
+            raise AssertionError(
+                f"type {t!r} item {v}: |est {est} - true {true}| > "
+                f"tracked bound {err}"
+            )
+    for t, s in by_type.items():
+        out[t] = (s["err"] / s["n"]) if s["n"] else 0.0
+    return out

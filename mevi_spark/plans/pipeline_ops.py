@@ -909,9 +909,10 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_value_quantiles",
-    oracle="""
+# shared by events_value_quantiles AND its maintenance twin
+# (plans/streaming_ops.py::streaming_quantiles): the streaming query's
+# exact drain pass must equal the one-shot grouped quantiles
+EV_QUANTILES_ORACLE = """
 WITH q AS (
   SELECT event_type,
          quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS qs,
@@ -923,7 +924,12 @@ FROM (
          unnest(['p25','p50','p75','p95']) AS p,
          unnest(qs) AS v
   FROM q)
-""",
+"""
+
+
+@register(
+    "events_value_quantiles",
+    oracle=EV_QUANTILES_ORACLE,
 )
 def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped quantiles (R-7 linear interpolation — Spark
@@ -933,8 +939,15 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     for grouped profiles (group state bounds it); corpus-wide
     single-key quantiles at 100 TB switch to ``approx_percentile``
     (t-digest, mergeable partial aggregation) — documented tradeoff,
-    same API shape."""
-    ev = load_table(spark, sf_dir, "events")
+    same API shape. Under INGEST the maintained form is the
+    deterministic compactor summary (``streaming_quantiles``), whose
+    drain shares :func:`exact_grouped_quantiles` and this oracle."""
+    return exact_grouped_quantiles(load_table(spark, sf_dir, "events"))
+
+
+def exact_grouped_quantiles(ev: DataFrame) -> DataFrame:
+    """The exact pass shared by the batch query and the streaming
+    twin's drain — one definition, one oracle."""
     q = ev.groupBy("event_type").agg(
         F.expr(
             "percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D))"

@@ -116,11 +116,14 @@ _LOADED = False
 # it sorts after the window.
 _PRIORITY_ORDER: list[str] = [
     # tier 1 — new in round 11, zero driver evidence
-    # (streaming_components landed late in r11: the incremental
-    # connected-components twin; its slot displaces multi_assign_recall
-    # — the youngest-evidence tier-3 name, r9-green and re-validated by
-    # the full local gate every round)
+    # (streaming_components and streaming_quantiles landed late in
+    # r11: the incremental connected-components twin and the certified
+    # mergeable quantile maintenance; their slots displace
+    # multi_assign_recall and events_hypertable_rollup — the
+    # youngest-evidence tier-3 names, r9-green and re-validated by the
+    # full local gate every round)
     "streaming_components",
+    "streaming_quantiles",
     "streaming_lexical_stats",
     "chunk_dedup_overlap_reconstruct",
     # tier 2 — r8-green, 2-round-stale, queued by the r10 rotation note
@@ -171,9 +174,9 @@ _PRIORITY_ORDER: list[str] = [
     "knn_topk_cosine",
     "knn_topk_ip",
     "opq_encode_reconstruct",
-    "events_hypertable_rollup",
-    # multi_assign_recall displaced by the late-r11 streaming_components
-    # (tier 1) — first in line for r12 with the other displaced names
+    # multi_assign_recall and events_hypertable_rollup displaced by the
+    # late-r11 streaming_components / streaming_quantiles (tier 1) —
+    # first in line for r12 with the other displaced names
 ]
 
 

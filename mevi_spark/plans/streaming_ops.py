@@ -933,3 +933,51 @@ def streaming_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drained(
         state.select(F.col("_id").alias("id"), "component"), base
     )
+
+
+def _ev_quantiles_oracle() -> str:
+    from mevi_spark.plans.pipeline_ops import EV_QUANTILES_ORACLE
+
+    return EV_QUANTILES_ORACLE
+
+
+@register("streaming_quantiles", oracle=_ev_quantiles_oracle())
+def streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped quantile summaries maintained under ingest (the
+    maintenance twin of ``events_value_quantiles``): the events table
+    arrives in three event-id-interleaved slices and
+    :func:`~mevi_spark.streaming.incremental.incremental_quantiles`
+    folds each batch into a deterministic mergeable compactor partial.
+    After the drain the merged summary must (a) respect its capacity
+    at every level and (b) place every summary item's weighted rank
+    estimate within the summary's own TRACKED error bound of the exact
+    rank — certified here by ``mp_certify`` against the accumulated
+    corpus (the streaming_heavy_hitters pattern: bounded maintained
+    state, certificate asserted, exact pass returned). The returned
+    rows are the shared exact pass over the drained corpus, matching
+    the identical oracle as the batch query."""
+    from mevi_spark.operators.sketch import mp_certify
+    from mevi_spark.plans.pipeline_ops import exact_grouped_quantiles
+    from mevi_spark.streaming.incremental import (
+        incremental_quantiles,
+        quantile_state,
+    )
+
+    k = 128
+    base = _tmp("mpq")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in/s{i:02d}")
+    stream = stream_parquet_source(
+        spark, f"{base}/in/s*", ev.schema, max_files_per_trigger=1
+    )
+    q = incremental_quantiles(stream, f"{base}/out", f"{base}/ckpt", k=k)
+    q.awaitTermination()
+    summary = quantile_state(spark, f"{base}/out", k=k)
+    corpus = spark.read.schema(ev.schema).parquet(f"{base}/in/s*")
+    mp_certify(summary, corpus, "event_type", "value", k=k)
+    return _drained(exact_grouped_quantiles(corpus), base)

@@ -1991,3 +1991,61 @@ def incremental_components(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_quantiles(
+    stream_df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    k: int = 128,
+):
+    """Grouped quantile summaries maintained under event ingest: each
+    micro-batch folds its values into a deterministic mergeable
+    compactor partial (``operators/sketch.py::mp_batch_partials``)
+    written to the rollup store's per-batch dir — replay overwrites
+    identical content, the same no-merge-in-sink idempotence as
+    :func:`incremental_rollup`. The current summary is
+    :func:`quantile_state` (base ⊎ live dirs through the shared merge
+    kernel); :func:`compact_quantiles` bounds directory growth. The
+    summary answers any-quantile queries at any time without a corpus
+    pass, with a TRACKED rank-error bound certified by
+    ``mp_certify``."""
+    from mevi_spark.operators.sketch import mp_batch_partials
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        mp_batch_partials(batch, type_col, value_col, k).write.mode(
+            "overwrite"
+        ).parquet(f"{output_dir}/b{int(batch_id):09d}")
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def quantile_state(
+    spark, output_dir: str, type_col: str = "event_type", k: int = 128
+) -> DataFrame:
+    """The current merged quantile summary: base (if compacted) ⊎
+    unfolded batch partial dirs through the shared compactor kernel."""
+    from mevi_spark.operators.sketch import mp_merge_summaries
+
+    return _merged_partials(
+        spark, output_dir, lambda df: mp_merge_summaries(df, type_col, k)
+    )
+
+
+def compact_quantiles(
+    spark, output_dir: str, type_col: str = "event_type", k: int = 128
+) -> int:
+    """Fold live quantile partial dirs into a published base (the
+    crash-safe watermark fold of :func:`compact_rollup`)."""
+    from mevi_spark.operators.sketch import mp_merge_summaries
+
+    return _compact_partials(
+        spark, output_dir, lambda df: mp_merge_summaries(df, type_col, k)
+    )

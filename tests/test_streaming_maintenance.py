@@ -1235,3 +1235,108 @@ def test_components_monotone_ingest_touches_batch_buckets_only(spark):
         assert labels == ids == {(1, 1), (2, 1), (50, 1), (60, 1)}
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# incremental quantile summaries (mp_batch_partials / quantile_state)
+
+
+def test_quantile_summary_small_is_exact_and_certifies(spark):
+    """n ≤ k: no compaction ever fires, the tracked error stays 0, and
+    every weighted rank estimate is exactly the true rank."""
+    from mevi_spark.operators.sketch import (
+        MP_ERR_LEVEL,
+        mp_batch_partials,
+        mp_certify,
+    )
+
+    rows = [("a", float(v)) for v in range(20)] + [("b", 5.0), ("b", 7.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    s = mp_batch_partials(df, k=64)
+    errs = {
+        r["event_type"]: r["value"]
+        for r in s.filter(F.col("level") == MP_ERR_LEVEL).collect()
+    }
+    assert errs == {"a": 0.0, "b": 0.0}
+    rel = mp_certify(s, df, k=64)
+    assert rel == {"a": 0.0, "b": 0.0}
+
+
+def test_quantile_store_batches_compact_and_certify(spark):
+    """Three batch partials merged on read: capacity respected at every
+    level, tracked bound certifies against the accumulated corpus,
+    compaction fold leaves the drained state identical, and a replayed
+    batch dir rewrites identical content."""
+    import shutil
+    import tempfile
+
+    from mevi_spark.operators.sketch import mp_batch_partials, mp_certify
+    from mevi_spark.streaming.incremental import (
+        compact_quantiles,
+        quantile_state,
+    )
+
+    k = 16
+    base = tempfile.mkdtemp(prefix="mpq_test_")
+    try:
+        n = 900
+        df = spark.createDataFrame(
+            [("t", float((i * 37) % n)) for i in range(n)],
+            "event_type string, value double",
+        )
+        for i in range(3):
+            mp_batch_partials(
+                df.filter(F.col("value").cast("long") % 3 == i), k=k
+            ).write.mode("overwrite").parquet(f"{base}/b{i:09d}")
+
+        def state_rows():
+            return sorted(
+                (r["event_type"], r["level"], r["value"])
+                for r in quantile_state(spark, base, k=k).collect()
+            )
+
+        before = state_rows()
+        rel = mp_certify(quantile_state(spark, base, k=k), df, k=k)
+        assert 0.0 < rel["t"] < 0.25  # compactions fired, bound small
+        # replay: batch 1 rewrites its own dir with identical content
+        mp_batch_partials(
+            df.filter(F.col("value").cast("long") % 3 == 1), k=k
+        ).write.mode("overwrite").parquet(f"{base}/b{1:09d}")
+        assert state_rows() == before
+        # compaction fold: state identical, dirs absorbed
+        assert compact_quantiles(spark, base, k=k) == 3
+        assert state_rows() == before
+        mp_certify(quantile_state(spark, base, k=k), df, k=k)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_quantile_certify_catches_lying_bound(spark):
+    """A summary whose tracked error is tampered below the real error
+    must FAIL certification — the certificate is what stands between
+    the maintained state and a silently-wrong bound."""
+    import pytest as _pytest
+
+    from mevi_spark.operators.sketch import (
+        MP_ERR_LEVEL,
+        mp_batch_partials,
+        mp_certify,
+    )
+
+    k = 8
+    df = spark.createDataFrame(
+        [("t", float(i)) for i in range(200)],
+        "event_type string, value double",
+    )
+    s = mp_batch_partials(df, k=k)
+    assert s.filter(
+        (F.col("level") == MP_ERR_LEVEL) & (F.col("value") > 0)
+    ).count() == 1  # compactions really fired
+    lied = s.withColumn(
+        "value",
+        F.when(F.col("level") == MP_ERR_LEVEL, F.lit(0.0)).otherwise(
+            F.col("value")
+        ),
+    )
+    with _pytest.raises(AssertionError, match="tracked bound"):
+        mp_certify(lied, df, k=k)

@@ -33,9 +33,11 @@ def test_epoch_us_ltz_arm(spark):
 
 
 R11_NEW = [
-    # the 3 round-11-new queries (zero driver evidence; the
-    # incremental-components twin landed late in the round)
+    # the 4 round-11-new queries (zero driver evidence; the
+    # incremental-components twin and the certified quantile
+    # maintenance landed late in the round)
     "streaming_components",
+    "streaming_quantiles",
     "streaming_lexical_stats",
     "chunk_dedup_overlap_reconstruct",
 ]
@@ -79,8 +81,10 @@ R11_ROTATED_OUT = {
     "streaming_event_window_counts",
     "text_quality_stats",
     "video_frame_sample",
-    # displaced from tier 3 by the late-r11 streaming_components
+    # displaced from tier 3 by the late-r11 streaming_components and
+    # streaming_quantiles
     "multi_assign_recall",
+    "events_hypertable_rollup",
 }
 
 
