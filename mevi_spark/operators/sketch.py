@@ -392,3 +392,63 @@ def mp_certify(
     for t, s in by_type.items():
         out[t] = (s["err"] / s["n"]) if s["n"] else 0.0
     return out
+
+
+def mp_quantile_estimates(
+    summary: DataFrame,
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Answer quantile queries FROM the maintained summary — no corpus
+    pass: for each target p, the smallest summary value whose weighted
+    estimated rank reaches ``p·n`` (the deployment read path;
+    ``mp_certify``'s exact pass exists only as fixture-scale
+    instrumentation). Returns ``(type_col, p, v, est_rank, n, err)``
+    rows; the certified guarantee is
+    ``|true_rank(v) − p·n| ≤ err + weight(v)`` — the tracked
+    compaction error plus the selection granularity of the item's own
+    level (est_rank(v) lands in ``[p·n, p·n + weight(v))`` by choice
+    of the smallest qualifying value). Summary frames are bounded
+    (types × k × levels rows), so this folds driver-side after one
+    collect — the same bounded-collect class as the certificate."""
+    rows = summary.collect()
+    by_type: dict[str, dict] = {}
+    for r in rows:
+        s = by_type.setdefault(
+            r[type_col], {"items": [], "err": 0.0, "n": 0.0}
+        )
+        lvl = r["level"]
+        if lvl == MP_ERR_LEVEL:
+            s["err"] = r["value"]
+        elif lvl == MP_N_LEVEL:
+            s["n"] = r["value"]
+        elif lvl >= 0:
+            s["items"].append((float(r["value"]), 1 << int(lvl)))
+    out = []
+    for t in sorted(by_type):
+        s = by_type[t]
+        items = sorted(s["items"])
+        acc = 0.0
+        ranks = []
+        for v, w in items:
+            acc += w
+            ranks.append((v, w, acc))
+        for p in ps:
+            target = p * s["n"]
+            pick = None
+            for v, w, est in ranks:
+                if est >= target:
+                    pick = (v, w, est)
+                    break
+            if pick is None and ranks:
+                pick = ranks[-1]
+            if pick is not None:
+                out.append(
+                    (t, float(p), pick[0], pick[2], s["n"], s["err"])
+                )
+    spark = summary.sparkSession
+    return spark.createDataFrame(
+        out,
+        f"{type_col} string, p double, v double, est_rank double, "
+        f"n double, err double",
+    )

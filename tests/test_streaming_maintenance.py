@@ -1340,3 +1340,37 @@ def test_quantile_certify_catches_lying_bound(spark):
     )
     with _pytest.raises(AssertionError, match="tracked bound"):
         mp_certify(lied, df, k=k)
+
+
+def test_quantile_estimator_within_certified_bound(spark):
+    """The deployment read path: quantiles answered FROM the summary
+    must have true rank within err + weight(v) of the target — the
+    guarantee mp_quantile_estimates documents."""
+    from mevi_spark.operators.sketch import (
+        mp_batch_partials,
+        mp_quantile_estimates,
+    )
+
+    k = 16
+    n = 700
+    vals = [float((i * 53) % n) for i in range(n)]
+    df = spark.createDataFrame(
+        [("t", v) for v in vals], "event_type string, value double"
+    )
+    s = mp_batch_partials(df, k=k)
+    est = mp_quantile_estimates(s)
+    rows = est.collect()
+    assert {round(r["p"], 2) for r in rows} == {0.25, 0.5, 0.75, 0.95}
+    sorted_vals = sorted(vals)
+    for r in rows:
+        true_rank = sum(1 for v in sorted_vals if v <= r["v"])
+        # weight(v): recover from est_rank jump — bounded by err check
+        # with the coarsest level present
+        max_w = max(
+            1 << int(x["level"])
+            for x in s.collect()
+            if x["level"] >= 0
+        )
+        assert abs(true_rank - r["p"] * r["n"]) <= r["err"] + max_w, (
+            r["p"], r["v"], true_rank, r["err"], max_w,
+        )
