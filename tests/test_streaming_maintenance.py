@@ -1374,3 +1374,30 @@ def test_quantile_estimator_within_certified_bound(spark):
         assert abs(true_rank - r["p"] * r["n"]) <= r["err"] + max_w, (
             r["p"], r["v"], true_rank, r["err"], max_w,
         )
+
+
+def test_components_empty_batches(spark):
+    """A zero-edge batch publishes pure copy-forward (state unchanged);
+    an empty FIRST batch still creates readable (empty) state instead
+    of wedging later reads."""
+    import shutil
+    import tempfile
+
+    base1 = tempfile.mkdtemp(prefix="cc_empty1_")
+    base2 = tempfile.mkdtemp(prefix="cc_empty2_")
+    try:
+        _cc_apply(spark, base1, [(1, 2)], 0)
+        before = _cc_state(spark, base1)
+        _cc_apply(spark, base1, [], 1)
+        assert _cc_state(spark, base1) == before
+        _cc_apply(spark, base1, [(2, 3)], 2)
+        labels, ids = _cc_state(spark, base1)
+        assert labels == ids == {(1, 1), (2, 1), (3, 1)}
+        # empty first batch: readable empty state, then normal growth
+        _cc_apply(spark, base2, [], 0)
+        assert _cc_state(spark, base2) == (set(), set())
+        _cc_apply(spark, base2, [(7, 8)], 1)
+        assert _cc_state(spark, base2) == ({(7, 7), (8, 7)},) * 2
+    finally:
+        shutil.rmtree(base1, ignore_errors=True)
+        shutil.rmtree(base2, ignore_errors=True)
