@@ -1534,10 +1534,12 @@ def bm25_run(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """The lexical run ``(query_id, doc_id, score, rnk)`` — BM25 top-k
     per query (see :func:`bm25_search` for scoring + determinism
     rules). Shared by the registered query (k=5) and the hybrid
-    ensemble's lexical leg (k=10, ``plans/retrieval.py``)."""
-    from mevi_spark.functions.agg import scaled_long
+    ensemble's lexical leg (k=10, ``plans/retrieval.py``). The
+    corpus-wide statistics (df, n, avgdl) are recomputed inline here;
+    ``plans/streaming_ops.py::streaming_bm25_serve`` runs the SAME
+    scorer (:func:`bm25_score_with_stats`) against stats read from the
+    maintained lexical state instead."""
     from mevi_spark.functions.text import normalize_text as _n, tokens
-    from mevi_spark.operators.topk import topk_per_group
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", tokens(_n("text")).alias("t")).select(
@@ -1550,6 +1552,28 @@ def bm25_run(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         "doc_id", "dl", "term"
     ).agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return bm25_score_with_stats(toks, tf, dfreq, float(n), float(avgdl), k)
+
+
+def bm25_score_with_stats(
+    toks: DataFrame,
+    tf: DataFrame,
+    dfreq: DataFrame,
+    n: float,
+    avgdl: float,
+    k: int,
+) -> DataFrame:
+    """The BM25 scorer proper, with the corpus-wide statistics
+    (``dfreq``/``n``/``avgdl``) taken as INPUTS — one definition shared
+    by the batch path (:func:`bm25_run`, stats recomputed inline) and
+    the maintained-state serving path
+    (``streaming_ops.py::streaming_bm25_serve``, stats read from the
+    lexical maintenance store), so serving from state cannot drift from
+    the batch searcher. ``toks`` is ``(doc_id, t, dl)`` from the shared
+    tokenizer; ``tf`` is the per-``(doc_id, dl, term)`` counts frame."""
+    from mevi_spark.functions.agg import scaled_long
+    from mevi_spark.operators.topk import topk_per_group
+
     q = (
         toks.filter(F.col("doc_id") % 50 == 0)
         .select(

@@ -528,6 +528,75 @@ def streaming_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drained(top, base)
 
 
+def _bm25_oracle() -> str:
+    """``bm25_search``'s exact oracle — serving from the maintained
+    stats must be bit-identical to the batch searcher."""
+    from mevi_spark.plans.pipeline_ops import _SQL_BM25_CTES
+
+    return f"""
+WITH {_SQL_BM25_CTES}
+SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rnk
+FROM bm25ranked WHERE rnk <= 5
+"""
+
+
+@register("streaming_bm25_serve", oracle=_bm25_oracle())
+def streaming_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 search SERVED from the maintained lexical state — the
+    deployment read path completing the lexical tier's streaming twin
+    (``streaming_lexical_stats`` shows the stats converge; this shows a
+    query ANSWERED from them): the documents table arrives in three
+    doc-id-interleaved slices, the maintenance store accumulates
+    per-batch (df, n_docs, sum_dl) partials, and the searcher then
+    scores BM25 with the corpus-wide statistics read from the DRAINED
+    STATE — merge-on-read over the uncompacted partial dirs, the path a
+    live deployment takes between compactions — instead of recomputing
+    them with a corpus pass. Scoring goes through the SHARED kernel
+    (``pipeline_ops.bm25_score_with_stats``, the same function
+    ``bm25_run`` calls), so serving from state cannot drift from the
+    batch searcher; the oracle is ``bm25_search``'s own, verbatim.
+
+    100 TB shape: the state is vocabulary-sized (not corpus-sized), the
+    sentinel read is one row, and the query-side plan is identical to
+    ``bm25_search``'s (query terms broadcast, postings term-keyed) —
+    the corpus-wide stats scan is the ONLY work maintenance removes,
+    which at deployment scale is the difference between touching 100 TB
+    per query batch and touching a GB-scale df table."""
+    from mevi_spark.functions.text import normalize_text as _n, tokens
+    from mevi_spark.plans.pipeline_ops import bm25_score_with_stats
+    from mevi_spark.streaming.incremental import (
+        incremental_lexical_stats,
+        lexical_state,
+    )
+
+    base = _tmp("bm25serve")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in/s{i:02d}")
+    stream = stream_parquet_source(
+        spark, f"{base}/in/s*", docs.schema, max_files_per_trigger=1
+    )
+    q = incremental_lexical_stats(stream, f"{base}/out", f"{base}/ckpt")
+    q.awaitTermination()
+    st = lexical_state(spark, f"{base}/out").localCheckpoint(eager=True)
+    sent = st.filter(F.col("term").isNull()).first()
+    n, avgdl = float(sent["n_docs"]), float(sent["sum_dl"]) / float(
+        sent["n_docs"]
+    )
+    dfreq = st.filter(F.col("term").isNotNull()).select("term", "df")
+    toks = docs.select("doc_id", tokens(_n("text")).alias("t")).select(
+        "doc_id", "t", F.size("t").alias("dl")
+    )
+    tf = toks.select(
+        "doc_id", "dl", F.explode("t").alias("term")
+    ).groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    return _drained(
+        bm25_score_with_stats(toks, tf, dfreq, n, avgdl, k=5), base
+    )
+
+
 def _flavor_safe_ntz(col: str) -> F.Column:
     """LTZ → NTZ without a session-timezone dependency (epoch micros
     re-anchored on the NTZ epoch — same trick as windowed counts)."""

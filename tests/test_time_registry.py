@@ -33,12 +33,13 @@ def test_epoch_us_ltz_arm(spark):
 
 
 R11_NEW = [
-    # the 4 round-11-new queries (zero driver evidence; the
-    # incremental-components twin and the certified quantile
-    # maintenance landed late in the round)
+    # the 5 round-11-new queries (zero driver evidence; the
+    # incremental-components twin, the certified quantile maintenance
+    # and BM25-served-from-state landed late in the round)
     "streaming_components",
     "streaming_quantiles",
     "streaming_lexical_stats",
+    "streaming_bm25_serve",
     "chunk_dedup_overlap_reconstruct",
 ]
 
@@ -81,10 +82,11 @@ R11_ROTATED_OUT = {
     "streaming_event_window_counts",
     "text_quality_stats",
     "video_frame_sample",
-    # displaced from tier 3 by the late-r11 streaming_components and
-    # streaming_quantiles
+    # displaced from tier 3 by the late-r11 streaming_components,
+    # streaming_quantiles and streaming_bm25_serve
     "multi_assign_recall",
     "events_hypertable_rollup",
+    "opq_encode_reconstruct",
 }
 
 
