@@ -220,3 +220,77 @@ def test_dot_seq_arrow_negative_zero_seed(spark):
     for r in rows:
         assert _bits(r.d_fold) == _bits(0.0)
         assert _bits(r.d_arrow) == _bits(0.0)
+
+
+# ---------------------------------------------------------------------------
+# quantile-compactor soundness (pure kernel, no Spark): the tracked
+# rank-error bound must hold for ANY value after ANY batch/merge
+# sequence, and the fold must be deterministic (replay = identical
+# summary). These are the two properties the maintenance store leans
+# on: mp_certify checks the first against the real corpus at fixture
+# scale; determinism is what makes crash-replay of a partial dir a
+# no-op.
+
+_mp_batches = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _mp_fold(batches, k):
+    from mevi_spark.operators.sketch import _mp_compact_levels
+
+    levels: dict[int, list[float]] = {}
+    err = 0
+    for batch in batches:
+        levels.setdefault(0, []).extend(batch)
+        err += _mp_compact_levels(levels, k)
+    return levels, err
+
+
+@settings(max_examples=200, deadline=None)
+@given(_mp_batches, st.integers(min_value=2, max_value=9))
+def test_mp_compactor_bound_and_capacity(batches, k):
+    """After any ingest sequence: every level holds <= k items, the
+    summary's total weight equals the ingested count, and for every
+    probe value the weighted estimated rank sits within the tracked
+    error of the true rank (probes = all ingested values AND midpoints
+    between adjacent distinct values — the gaps are where dropped
+    values hide, same probe rule as mp_certify)."""
+    levels, err = _mp_fold(batches, k)
+    all_vals = sorted(v for b in batches for v in b)
+    items = [(v, 1 << lvl) for lvl, buf in levels.items() for v in buf]
+    assert all(len(buf) <= k for buf in levels.values())
+    assert sum(w for _, w in items) == len(all_vals)
+    distinct = sorted(set(all_vals))
+    probes = distinct + [
+        (a + b) / 2.0 for a, b in zip(distinct, distinct[1:])
+    ]
+    for p in probes:
+        true = sum(1 for v in all_vals if v <= p)
+        est = sum(w for v, w in items if v <= p)
+        assert abs(est - true) <= err, (p, est, true, err)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_mp_batches, st.integers(min_value=2, max_value=9))
+def test_mp_compactor_deterministic_replay(batches, k):
+    """The same batch sequence folds to the IDENTICAL summary (levels,
+    contents, tracked error) — the deterministic-compaction property
+    that makes a replayed partial-dir overwrite byte-identical."""
+    a_levels, a_err = _mp_fold(batches, k)
+    b_levels, b_err = _mp_fold(batches, k)
+    assert a_err == b_err
+    assert {l: sorted(b) for l, b in a_levels.items()} == {
+        l: sorted(b) for l, b in b_levels.items()
+    }
