@@ -2305,6 +2305,118 @@ def shuffle_block_assign(
     return out, acc - int(start)
 
 
+_CURR_BUCKETS = 32
+
+
+@register(
+    "curriculum_order",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_SQL_NORM_T} AS t FROM documents),
+s AS (
+  SELECT doc_id,
+         ROUND(CASE WHEN len(t) = 0 THEN 0.0
+               ELSE len(list_filter(t, x -> list_contains({_STOP_SQL}, x)))::DOUBLE / len(t) END, 6) AS score
+  FROM d)
+SELECT doc_id, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score ASC, doc_id ASC) AS BIGINT)
+         AS global_rank
+FROM s
+""",
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: a TOTAL order over the corpus by a quality
+    score (stopword ratio here — the shared ``text_quality_stats``
+    kernel; ascending = noisiest text last-to-first removed, the
+    easy-to-hard schedule a curriculum dataloader consumes), with the
+    global rank materialized WITHOUT a single-partition sort.
+
+    The naive ``row_number() OVER (ORDER BY score)`` collapses the
+    final numbering onto one partition — the same trap
+    ``global_shuffle_blocks`` documents for hash order, now for a
+    VALUE order, where hash bucketing cannot work (buckets must be
+    order-aligned: every score in bucket b sorts before every score in
+    bucket b+1). The scale-correct plan:
+
+    1. range boundaries from ONE streaming-sketch pass
+       (``percentile_approx`` at P−1 equispaced quantiles — mergeable,
+       never a sort; boundaries only affect bucket BALANCE, never the
+       output, so sketch error is benign and a low-cardinality score
+       degrades balance, not correctness);
+    2. bucket = count of boundaries strictly below the score (a
+       map-side fold over the P−1-element literal array — ties land
+       in one bucket together);
+    3. exact per-bucket counts → prefix-sum offsets, collected and
+       inlined as a P-row literal map (the artifact-vs-corpus split of
+       ``shuffle_block_assign``);
+    4. ``global_rank = offset[bucket] + rank within bucket`` — P
+       parallel windows over (score, doc_id), one keyed shuffle.
+
+    The oracle pins the identical total order with a global
+    ROW_NUMBER (it only needs to be correct, not scale)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from mevi_spark.functions.text import normalize_text, tokens
+
+    scored = docs.select(
+        "doc_id",
+        F.round(
+            TA.stopword_ratio(
+                "text", toks=tokens(normalize_text("text"))
+            ),
+            6,
+        ).alias("score"),
+    )
+    return ranked_by_range_buckets(
+        scored, "score", ["doc_id"], n_buckets=_CURR_BUCKETS
+    )
+
+
+def ranked_by_range_buckets(
+    df: DataFrame,
+    score_col: str,
+    tie_cols: list[str],
+    n_buckets: int,
+) -> DataFrame:
+    """Attach ``global_rank`` = position in the total order
+    ``(score_col ASC, *tie_cols ASC)`` via order-aligned range buckets
+    — the value-ordered sibling of :func:`shuffle_block_assign`'s
+    bucket-major numbering (never a single-partition window)."""
+    probes = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(
+        F.percentile_approx(score_col, probes, 10_000).alias("b")
+    ).first()["b"]
+    bounds_arr = F.array(*[F.lit(float(b)) for b in bounds])
+    bucket = F.aggregate(
+        bounds_arr,
+        F.lit(0),
+        lambda acc, b: acc
+        + F.when(F.col(score_col) > b, F.lit(1)).otherwise(F.lit(0)),
+    )
+    keyed = df.withColumn("_bkt", bucket)
+    counts = {
+        r["_bkt"]: r["cnt"]
+        for r in keyed.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(n_buckets):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    off_expr = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(b) for b in range(n_buckets)]),
+            F.array(*[F.lit(offsets[b]) for b in range(n_buckets)]),
+        ),
+        F.col("_bkt").cast("int"),
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("_bkt").orderBy(
+            F.asc(score_col), *[F.asc(c) for c in tie_cols]
+        )
+    )
+    return keyed.select(
+        *df.columns, (off_expr + rank).cast("long").alias("global_rank")
+    )
+
+
 def append_shuffle_blocks(
     spark: SparkSession,
     state_dir: str,

@@ -184,3 +184,36 @@ def test_round8_session_broadcast_shapes(spark, sf_dir):
     # (covered by _NO_BLOWUP) and the broadcasts must still be present
     plan = _plan(get_queries()["pq_ivf_adc_topk"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_ranked_by_range_buckets_total_order_and_parallel_window(spark):
+    """The range-bucket ranking kernel must (a) produce the exact
+    total order under heavy score ties (all ties share one bucket, so
+    the tie-break column decides inside a single window), and (b)
+    never plan a single-partition window — the whole point vs the
+    naive global ROW_NUMBER."""
+    from pyspark.sql import functions as F
+
+    from mevi_spark.plans.pipeline_ops import ranked_by_range_buckets
+
+    rows = [(i, float(i % 7) / 7.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = ranked_by_range_buckets(df, "score", ["doc_id"], n_buckets=8)
+    got = [
+        (r["doc_id"], r["global_rank"])
+        for r in out.orderBy("global_rank").collect()
+    ]
+    want = [
+        (doc, i + 1)
+        for i, (doc, _) in enumerate(
+            sorted(rows, key=lambda t: (t[1], t[0]))
+        )
+    ]
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # every Window in the plan is keyed on the bucket — no global
+    # (empty partition-spec) window anywhere
+    for line in plan.splitlines():
+        if "Window [" in line or "RunningWindowFunction" in line:
+            assert "_bkt" in line, line

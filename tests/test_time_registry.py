@@ -33,13 +33,15 @@ def test_epoch_us_ltz_arm(spark):
 
 
 R11_NEW = [
-    # the 5 round-11-new queries (zero driver evidence; the
-    # incremental-components twin, the certified quantile maintenance
-    # and BM25-served-from-state landed late in the round)
+    # the 6 round-11-new queries (zero driver evidence; the
+    # incremental-components twin, the certified quantile maintenance,
+    # BM25-served-from-state and the range-bucketed curriculum order
+    # landed late in the round)
     "streaming_components",
     "streaming_quantiles",
     "streaming_lexical_stats",
     "streaming_bm25_serve",
+    "curriculum_order",
     "chunk_dedup_overlap_reconstruct",
 ]
 
@@ -87,6 +89,7 @@ R11_ROTATED_OUT = {
     "multi_assign_recall",
     "events_hypertable_rollup",
     "opq_encode_reconstruct",
+    "knn_topk_ip",
 }
 
 
