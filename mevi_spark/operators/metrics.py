@@ -90,6 +90,37 @@ def evaluate_run(
     A query with zero positives contributes 0 to every metric but still
     counts in ``n_queries`` (the reference iterates all queries in gts).
     """
+    return (
+        per_query_metrics(
+            run, gt, cutoffs, query_col, preds_col, gt_col, order_col
+        )
+        .groupBy("k")
+        .agg(
+            F.avg("q_recall").alias("recall"),
+            F.avg("q_mrr").alias("mrr"),
+            F.avg("q_hit").alias("hitrate"),
+            F.count("*").alias("n_queries"),
+        )
+        .orderBy("k")
+    )
+
+
+def per_query_metrics(
+    run: DataFrame,
+    gt: DataFrame,
+    cutoffs: tuple[int, ...] = (1, 5, 10, 20, 50, 100, 1000),
+    query_col: str = "query",
+    preds_col: str = "preds",
+    gt_col: str = "gt_ids",
+    order_col: str | None = None,
+) -> DataFrame:
+    """The per-``(k, query)`` metric contributions ``(k, q_recall,
+    q_mrr, q_hit)`` that :func:`evaluate_run` averages — exposed
+    separately so the streaming maintenance twin
+    (``streaming/incremental.py::incremental_eval_metrics``) can fold
+    them into mergeable per-batch partials through the SAME rules
+    (gt-denominator recall, min-rank MRR, zero-positive queries count
+    in the denominator)."""
     per_gt = ranks_of_ground_truth(run, gt, query_col, preds_col, gt_col, order_col)
 
     # per-query: number of positives, min rank, ranks list
@@ -106,25 +137,59 @@ def evaluate_run(
     kk = F.col("k")
     hits_at_k = F.size(F.filter(F.col("ranks"), lambda r: r < kk))
     found = F.col("min_rank").isNotNull() & (F.col("min_rank") < kk)
-    return (
-        exploded.select(
-            "k",
-            F.when(
-                F.col("n_gt") > 0, hits_at_k.cast("double") / F.col("n_gt")
-            )
-            .otherwise(F.lit(0.0))
-            .alias("q_recall"),
-            F.when(found, F.lit(1.0) / (F.col("min_rank") + 1))
-            .otherwise(F.lit(0.0))
-            .alias("q_mrr"),
-            F.when(found, F.lit(1.0)).otherwise(F.lit(0.0)).alias("q_hit"),
-        )
-        .groupBy("k")
-        .agg(
-            F.avg("q_recall").alias("recall"),
-            F.avg("q_mrr").alias("mrr"),
-            F.avg("q_hit").alias("hitrate"),
-            F.count("*").alias("n_queries"),
-        )
-        .orderBy("k")
+    return exploded.select(
+        "k",
+        F.when(F.col("n_gt") > 0, hits_at_k.cast("double") / F.col("n_gt"))
+        .otherwise(F.lit(0.0))
+        .alias("q_recall"),
+        F.when(found, F.lit(1.0) / (F.col("min_rank") + 1))
+        .otherwise(F.lit(0.0))
+        .alias("q_mrr"),
+        F.when(found, F.lit(1.0)).otherwise(F.lit(0.0)).alias("q_hit"),
     )
+
+
+def eval_metric_partials(perq: DataFrame) -> DataFrame:
+    """One batch's mergeable eval partial: per-cutoff scaled-long sums
+    of the per-query contributions plus the query count — associative,
+    commutative, order-independent (the registry's decimal-stabilized
+    sum convention), so merging any batch split reproduces the one-shot
+    aggregate exactly. Contract: each query's run rows arrive in ONE
+    batch (queries are the ingest unit — an eval sweep evaluates a
+    query exactly once), so per-query rows are complete when folded."""
+    from mevi_spark.functions.agg import scaled_long
+
+    return perq.groupBy("k").agg(
+        F.sum(scaled_long("q_recall")).alias("recall_s"),
+        F.sum(scaled_long("q_mrr")).alias("mrr_s"),
+        F.sum(scaled_long("q_hit")).alias("hit_s"),
+        F.count(F.lit(1)).alias("n_queries"),
+    )
+
+
+def merge_eval_partials(parts: DataFrame) -> DataFrame:
+    """Fold unioned eval partials — one k-keyed partial-aggregable
+    sum."""
+    return parts.groupBy("k").agg(
+        F.sum("recall_s").alias("recall_s"),
+        F.sum("mrr_s").alias("mrr_s"),
+        F.sum("hit_s").alias("hit_s"),
+        F.sum("n_queries").alias("n_queries"),
+    )
+
+
+def finalize_eval_metrics(state: DataFrame) -> DataFrame:
+    """Current metrics from the maintained sums: ``sum / 1e6 / n``,
+    rounded 6 — the exact decimal-stabilized mean the oracle computes
+    with ``SUM(CAST(x AS DECIMAL(18,6))) / COUNT(*)``."""
+    n = F.col("n_queries").cast("double")
+    as_mean = lambda c: F.round(  # noqa: E731
+        F.col(c).cast("double") / F.lit(1e6) / n, 6
+    )
+    return state.select(
+        "k",
+        as_mean("recall_s").alias("recall"),
+        as_mean("mrr_s").alias("mrr"),
+        as_mean("hit_s").alias("hitrate"),
+        F.col("n_queries").cast("long").alias("n_queries"),
+    ).orderBy("k")

@@ -70,17 +70,18 @@ _LOADED = False
 # 16 of 66), so the exposure order is now explicit:
 #
 # Round-11 policy (oldest evidence first — the minimal-max-staleness
-# round-robin adopted in r10; at 137 names / 50 slots the steady-state
+# round-robin adopted in r10; at 138 names / 50 slots the steady-state
 # refresh period is 3 rounds). Evidence state after r10: 50 names have
 # a fresh r10 row; 49 r9-green names are 1-round... now 2-round-stale
 # at r11; the 29 r8-green names deferred at r10 would hit 3-round
 # staleness, so they go first, exactly as the r10 note promised.
 #
-#   tier 1 — the SIX round-11-new queries (incremental lexical stats,
+#   tier 1 — the SEVEN round-11-new queries (incremental lexical stats,
 #            the lexical tier's streaming twin, plus BM25 SERVED from
 #            that maintained state through the shared scorer kernel;
 #            word-level rebuild under the overlapping chunk grid;
-#            range-bucketed curriculum ordering; and, landed late in
+#            range-bucketed curriculum ordering; eval metrics
+#            maintained as query waves arrive; and, landed late in
 #            the round, the incremental connected-components twin and
 #            the certified mergeable quantile maintenance) — zero
 #            driver evidence;
@@ -88,7 +89,7 @@ _LOADED = False
 #            (including twice-deferred ann_adc_topk and
 #            dedup_components), now the oldest evidence in the
 #            registry;
-#   tier 3 — 15 of the 49 r9-green names, risk-ranked: the dedup
+#   tier 3 — 14 of the 49 r9-green names, risk-ranked: the dedup
 #            family first (operators/dedup.py changed this round —
 #            SemDeDup giant-cluster guard lives beside the sign-LSH
 #            kernel embedding_near_dup shares), bm25_search (its
@@ -100,7 +101,7 @@ _LOADED = False
 #            events_hypertable_rollup displaced by the late tier-1
 #            pair).
 #
-# Rotated out (87 = 137 − 50, by evidence age): the 50 r10-green names
+# Rotated out (88 = 138 − 50, by evidence age): the 50 r10-green names
 # (1-round-stale — freshest possible outside the window), the three
 # bench-exercised r7-green names (coarse_to_fine_retrieval,
 # rq_beam_search, rq_encode_two_level — executed at sf0.1 by BENCH
@@ -134,6 +135,7 @@ _PRIORITY_ORDER: list[str] = [
     "streaming_lexical_stats",
     "streaming_bm25_serve",
     "curriculum_order",
+    "streaming_eval_metrics",
     "chunk_dedup_overlap_reconstruct",
     # tier 2 — r8-green, 2-round-stale, queued by the r10 rotation note
     "stratified_sample_exact",
@@ -180,12 +182,12 @@ _PRIORITY_ORDER: list[str] = [
     "ensemble_grid",
     "ann_ivf_topk",
     "ann_lsh_topk",
-    "knn_topk_cosine",
     # multi_assign_recall, events_hypertable_rollup,
-    # opq_encode_reconstruct and knn_topk_ip displaced by the late-r11
-    # streaming_components / streaming_quantiles / streaming_bm25_serve
-    # / curriculum_order (tier 1) — first in line for r12 with the
-    # other displaced names
+    # opq_encode_reconstruct, knn_topk_ip and knn_topk_cosine displaced
+    # by the late-r11 tier-1 cohort (streaming_components,
+    # streaming_quantiles, streaming_bm25_serve, curriculum_order,
+    # streaming_eval_metrics) — first in line for r12 with the other
+    # displaced names
 ]
 
 

@@ -597,6 +597,113 @@ def streaming_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _eval_metrics_oracle() -> str:
+    """``retrieval_eval_metrics``'s CTE chain with the means
+    decimal-stabilized (the maintained state sums scaled longs, so the
+    SQL twin must sum DECIMAL(18,6) — the registry convention)."""
+    from mevi_spark.plans.retrieval import _SQL_D, _SQL_Q
+
+    return f"""
+WITH q AS ({_SQL_Q}), d AS ({_SQL_D}),
+ranked AS (SELECT q.query_id, d.doc_id, (q.label = d.label) AS is_gt,
+                  ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                     ORDER BY list_dot_product(q.qv, d.dv) DESC, d.doc_id ASC) AS rnk
+           FROM q, d),
+gtr AS (SELECT query_id, rnk FROM ranked WHERE is_gt),
+perq AS (SELECT query_id, COUNT(*) AS n_gt, MIN(rnk) AS min_rnk, list(rnk) AS rnks
+         FROM gtr GROUP BY query_id),
+ks AS (SELECT unnest([1, 5, 10]) AS k),
+perqk AS (SELECT k, query_id,
+                 len(list_filter(rnks, r -> r <= k))::DOUBLE / n_gt AS q_recall,
+                 CASE WHEN min_rnk <= k THEN 1.0 / min_rnk ELSE 0.0 END AS q_mrr,
+                 CASE WHEN min_rnk <= k THEN 1.0 ELSE 0.0 END AS q_hit
+          FROM perq, ks)
+SELECT k,
+       ROUND(CAST(SUM(CAST(q_recall AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS recall,
+       ROUND(CAST(SUM(CAST(q_mrr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mrr,
+       ROUND(CAST(SUM(CAST(q_hit AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS hitrate,
+       COUNT(*) AS n_queries
+FROM perqk GROUP BY k
+"""
+
+
+@register("streaming_eval_metrics", oracle=_eval_metrics_oracle())
+def streaming_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval eval metrics maintained as queries arrive in waves —
+    the eval tier's maintenance twin (Recall/MRR/HitRate over all
+    queries evaluated SO FAR, the live dashboard of an eval sweep,
+    without re-scoring finished queries): the eval query set arrives in
+    three id-interleaved waves; each batch scores ONLY its queries
+    against the corpus (exact-IP top-10 — the same run
+    ``retrieval_eval_metrics`` evaluates), folds their per-query
+    contributions through the SHARED rules
+    (``operators/metrics.py::per_query_metrics`` — gt-denominator
+    recall, min-rank MRR) into a mergeable per-cutoff partial of
+    scaled-long sums, and writes it to the rollup store's
+    replay-idempotent per-batch dir. Drained state folded through
+    ``compact_eval_metrics`` (asserted: ≥1 fold, zero live dirs) then
+    finalized must equal the one-shot evaluation of the full query set
+    — the decimal-stabilized twin of ``retrieval_eval_metrics``'s own
+    oracle. 100 TB shape: per-wave cost is wave × corpus scoring (the
+    unavoidable part); the maintained state is |cutoffs| rows."""
+    from mevi_spark.operators.metrics import (
+        eval_metric_partials,
+        finalize_eval_metrics,
+        per_query_metrics,
+    )
+    from mevi_spark.operators.topk import exact_topk_join
+    from mevi_spark.plans.retrieval import _docs, _queries
+    from mevi_spark.streaming.incremental import (
+        _rollup_parts,
+        compact_eval_metrics,
+        eval_metrics_state,
+        incremental_eval_metrics,
+    )
+
+    base = _tmp("evalm")
+    queries = _queries(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    for i in range(3):
+        queries.filter(F.col("query_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in/s{i:02d}")
+    stream = stream_parquet_source(
+        spark, f"{base}/in/s*", queries.schema, max_files_per_trigger=1
+    )
+
+    def partial_fn(batch: DataFrame) -> DataFrame:
+        topk = exact_topk_join(batch, docs, k=10, metric="ip")
+        run = topk.groupBy("query_id").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rank", "doc_id"))),
+                lambda s: s["doc_id"],
+            ).alias("preds")
+        )
+        gt = (
+            batch.select("query_id", "label")
+            .join(docs.select("doc_id", "label"), "label")
+            .groupBy("query_id")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("gt_ids"))
+        )
+        return eval_metric_partials(
+            per_query_metrics(run, gt, cutoffs=(1, 5, 10), query_col="query_id")
+        )
+
+    q = incremental_eval_metrics(
+        stream, f"{base}/out", f"{base}/ckpt", partial_fn
+    )
+    q.awaitTermination()
+    folded = compact_eval_metrics(spark, f"{base}/out")
+    if folded < 1:
+        raise AssertionError("compaction folded no eval partials")
+    _, _, live = _rollup_parts(f"{base}/out")
+    if live:
+        raise AssertionError(f"live partial dirs survived compaction: {live}")
+    return _drained(
+        finalize_eval_metrics(eval_metrics_state(spark, f"{base}/out")), base
+    )
+
+
 def _flavor_safe_ntz(col: str) -> F.Column:
     """LTZ → NTZ without a session-timezone dependency (epoch micros
     re-anchored on the NTZ epoch — same trick as windowed counts)."""

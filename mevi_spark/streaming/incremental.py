@@ -974,6 +974,54 @@ def compact_lexical(spark, output_dir: str) -> int:
     return _compact_partials(spark, output_dir, merge_lexical_partials)
 
 
+def incremental_eval_metrics(
+    stream_df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    partial_fn,
+):
+    """Retrieval eval metrics maintained as QUERIES arrive in waves —
+    the eval tier's maintenance twin (an eval dashboard during a sweep:
+    Recall/MRR/HitRate over all queries evaluated so far, without
+    re-scoring history). ``partial_fn(batch) -> DataFrame`` scores the
+    batch's queries and folds their per-query contributions into the
+    mergeable per-cutoff partial
+    (``operators/metrics.py::eval_metric_partials`` — scaled-long sums
+    + query count, order-independent), written to the rollup store's
+    per-batch dir: deterministic content, overwrite-on-replay, never a
+    double count. Contract: each query is evaluated in exactly ONE
+    batch (the eval-sweep ingest unit)."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        partial_fn(batch).write.mode("overwrite").parquet(
+            f"{output_dir}/b{int(batch_id):09d}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def eval_metrics_state(spark, output_dir: str) -> DataFrame:
+    """Current per-cutoff metric sums (base ⊎ live batch dirs through
+    the shared merge kernel); finalize with
+    ``operators/metrics.py::finalize_eval_metrics``."""
+    from mevi_spark.operators.metrics import merge_eval_partials
+
+    return _merged_partials(spark, output_dir, merge_eval_partials)
+
+
+def compact_eval_metrics(spark, output_dir: str) -> int:
+    """Fold drained eval partial dirs into one published base (the
+    :func:`compact_rollup` machinery with the eval merge kernel)."""
+    from mevi_spark.operators.metrics import merge_eval_partials
+
+    return _compact_partials(spark, output_dir, merge_eval_partials)
+
+
 def dedup_stream(
     stream_df: DataFrame,
     keys: list[str],

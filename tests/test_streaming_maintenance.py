@@ -1401,3 +1401,97 @@ def test_components_empty_batches(spark):
     finally:
         shutil.rmtree(base1, ignore_errors=True)
         shutil.rmtree(base2, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# incremental eval metrics (eval_metric_partials / eval_metrics_state)
+
+
+def test_incremental_eval_metrics_converges_and_replays(spark):
+    """Eval metrics as mergeable partials: per-query contributions
+    split across three waves fold to EXACTLY the one-shot evaluate_run
+    answer (decimal-stabilized means); a replayed wave rewrites its own
+    dir and changes nothing; compaction folds to one |cutoffs|-row base
+    with identical finalized metrics."""
+    import os
+    import shutil
+    import tempfile
+
+    from mevi_spark.operators.metrics import (
+        eval_metric_partials,
+        evaluate_run,
+        finalize_eval_metrics,
+        per_query_metrics,
+    )
+    from mevi_spark.streaming.incremental import (
+        _rollup_parts,
+        compact_eval_metrics,
+        eval_metrics_state,
+    )
+
+    run = spark.createDataFrame(
+        [
+            (1, [10, 11, 12]),
+            (2, [20, 21]),
+            (3, [31, 30]),
+            (4, [40]),          # gt absent from preds
+            (5, [50, 51, 52]),
+        ],
+        "query long, preds array<long>",
+    )
+    gt = spark.createDataFrame(
+        [
+            (1, [10]),
+            (2, [21, 22]),
+            (3, [30]),
+            (4, [99]),
+            (5, [52, 50]),
+        ],
+        "query long, gt_ids array<long>",
+    )
+    cutoffs = (1, 3)
+    want = {
+        (r["k"]): (
+            round(r["recall"], 6),
+            round(r["mrr"], 6),
+            round(r["hitrate"], 6),
+            r["n_queries"],
+        )
+        for r in evaluate_run(run, gt, cutoffs=cutoffs).collect()
+    }
+
+    base = tempfile.mkdtemp(prefix="mevi_test_evalm_")
+    out = f"{base}/out"
+    os.makedirs(out)
+    try:
+
+        def wave(i):
+            return eval_metric_partials(
+                per_query_metrics(
+                    run.filter(F.col("query") % 3 == i),
+                    gt.filter(F.col("query") % 3 == i),
+                    cutoffs=cutoffs,
+                )
+            )
+
+        for i in range(3):
+            wave(i).write.mode("overwrite").parquet(f"{out}/b{i:09d}")
+
+        def state():
+            return {
+                r["k"]: (r["recall"], r["mrr"], r["hitrate"], r["n_queries"])
+                for r in finalize_eval_metrics(
+                    eval_metrics_state(spark, out)
+                ).collect()
+            }
+
+        assert state() == want
+        # replay-idempotence: wave 1 rewrites its own dir identically
+        wave(1).write.mode("overwrite").parquet(f"{out}/b{1:09d}")
+        assert state() == want
+        assert compact_eval_metrics(spark, out) == 3
+        _, upto, live = _rollup_parts(out)
+        assert upto == 2 and live == []
+        assert state() == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -33,15 +33,16 @@ def test_epoch_us_ltz_arm(spark):
 
 
 R11_NEW = [
-    # the 6 round-11-new queries (zero driver evidence; the
+    # the 7 round-11-new queries (zero driver evidence; the
     # incremental-components twin, the certified quantile maintenance,
-    # BM25-served-from-state and the range-bucketed curriculum order
-    # landed late in the round)
+    # BM25-served-from-state, the range-bucketed curriculum order and
+    # the eval-metrics maintenance twin landed late in the round)
     "streaming_components",
     "streaming_quantiles",
     "streaming_lexical_stats",
     "streaming_bm25_serve",
     "curriculum_order",
+    "streaming_eval_metrics",
     "chunk_dedup_overlap_reconstruct",
 ]
 
@@ -90,6 +91,7 @@ R11_ROTATED_OUT = {
     "events_hypertable_rollup",
     "opq_encode_reconstruct",
     "knn_topk_ip",
+    "knn_topk_cosine",
 }
 
 
