@@ -970,9 +970,7 @@ def exact_grouped_quantiles(ev: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "dedup_canonicalize",
-    oracle=f"""
+CANONICALIZE_ORACLE = f"""
 WITH RECURSIVE {_SQL_CORPUS}, {_SQL_TOKS},
 pairs AS (
   SELECT id_a, id_b FROM (
@@ -1003,8 +1001,10 @@ canon AS (
 SELECT l.doc_id, l.component, c.canonical_id,
        l.doc_id = c.canonical_id AS keep
 FROM labeled l JOIN canon c USING (component)
-""",
-)
+"""
+
+
+@register("dedup_canonicalize", oracle=CANONICALIZE_ORACLE)
 def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The step after near-dup detection that an actual corpus build
     needs: map EVERY doc (dup or singleton) to the canonical survivor
@@ -1014,17 +1014,29 @@ def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     their own canonical. Plan: the near-dup graph work is the dedup
     tier's (bounded by its df-cut), then one broadcast-sized join of
     component labels and one partial-aggregated argmax."""
-    from mevi_spark.functions.text import tokens
-
     corpus = _corpus(spark, sf_dir)
     comps = D.connected_components(
         D.ngram_jaccard_pairs(corpus, threshold=0.6)
     )
+    return canonicalize_from_labels(corpus, comps)
+
+
+def canonicalize_from_labels(corpus: DataFrame, labels: DataFrame) -> DataFrame:
+    """The canonical-survivor projection given component labels
+    ``(id, component)`` — one definition shared by the batch query
+    (labels from :func:`~mevi_spark.operators.dedup.connected_components`)
+    and the maintained-state serving path
+    (``streaming_ops.py::streaming_canonicalize``, labels read from the
+    ``incremental_components`` store), so serving from state cannot
+    drift. Keep the longest doc, ties to the smallest id; singletons
+    (no label row) are their own canonical."""
+    from mevi_spark.functions.text import tokens
+
     labeled = (
         corpus.select(
             "doc_id", F.size(tokens(normalize_text("text"))).alias("n_t")
         )
-        .join(comps.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("component", "doc_id").alias("component"),

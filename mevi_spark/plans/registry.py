@@ -70,18 +70,19 @@ _LOADED = False
 # 16 of 66), so the exposure order is now explicit:
 #
 # Round-11 policy (oldest evidence first — the minimal-max-staleness
-# round-robin adopted in r10; at 138 names / 50 slots the steady-state
+# round-robin adopted in r10; at 139 names / 50 slots the steady-state
 # refresh period is 3 rounds). Evidence state after r10: 50 names have
 # a fresh r10 row; 49 r9-green names are 1-round... now 2-round-stale
 # at r11; the 29 r8-green names deferred at r10 would hit 3-round
 # staleness, so they go first, exactly as the r10 note promised.
 #
-#   tier 1 — the SEVEN round-11-new queries (incremental lexical stats,
+#   tier 1 — the EIGHT round-11-new queries (incremental lexical stats,
 #            the lexical tier's streaming twin, plus BM25 SERVED from
 #            that maintained state through the shared scorer kernel;
 #            word-level rebuild under the overlapping chunk grid;
 #            range-bucketed curriculum ordering; eval metrics
-#            maintained as query waves arrive; and, landed late in
+#            maintained as query waves arrive; the canonical-doc view
+#            served from maintained component labels; and, landed late in
 #            the round, the incremental connected-components twin and
 #            the certified mergeable quantile maintenance) — zero
 #            driver evidence;
@@ -89,7 +90,7 @@ _LOADED = False
 #            (including twice-deferred ann_adc_topk and
 #            dedup_components), now the oldest evidence in the
 #            registry;
-#   tier 3 — 14 of the 49 r9-green names, risk-ranked: the dedup
+#   tier 3 — 13 of the 49 r9-green names, risk-ranked: the dedup
 #            family first (operators/dedup.py changed this round —
 #            SemDeDup giant-cluster guard lives beside the sign-LSH
 #            kernel embedding_near_dup shares), bm25_search (its
@@ -101,7 +102,7 @@ _LOADED = False
 #            events_hypertable_rollup displaced by the late tier-1
 #            pair).
 #
-# Rotated out (88 = 138 − 50, by evidence age): the 50 r10-green names
+# Rotated out (89 = 139 − 50, by evidence age): the 50 r10-green names
 # (1-round-stale — freshest possible outside the window), the three
 # bench-exercised r7-green names (coarse_to_fine_retrieval,
 # rq_beam_search, rq_encode_two_level — executed at sf0.1 by BENCH
@@ -136,6 +137,7 @@ _PRIORITY_ORDER: list[str] = [
     "streaming_bm25_serve",
     "curriculum_order",
     "streaming_eval_metrics",
+    "streaming_canonicalize",
     "chunk_dedup_overlap_reconstruct",
     # tier 2 — r8-green, 2-round-stale, queued by the r10 rotation note
     "stratified_sample_exact",
@@ -181,12 +183,12 @@ _PRIORITY_ORDER: list[str] = [
     "ensemble_fuse",
     "ensemble_grid",
     "ann_ivf_topk",
-    "ann_lsh_topk",
     # multi_assign_recall, events_hypertable_rollup,
-    # opq_encode_reconstruct, knn_topk_ip and knn_topk_cosine displaced
-    # by the late-r11 tier-1 cohort (streaming_components,
-    # streaming_quantiles, streaming_bm25_serve, curriculum_order,
-    # streaming_eval_metrics) — first in line for r12 with the other
+    # opq_encode_reconstruct, knn_topk_ip, knn_topk_cosine and
+    # ann_lsh_topk displaced by the late-r11 tier-1 cohort
+    # (streaming_components, streaming_quantiles, streaming_bm25_serve,
+    # curriculum_order, streaming_eval_metrics,
+    # streaming_canonicalize) — first in line for r12 with the other
     # displaced names
 ]
 

@@ -1111,6 +1111,56 @@ def streaming_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _canonicalize_oracle() -> str:
+    from mevi_spark.plans.pipeline_ops import CANONICALIZE_ORACLE
+
+    return CANONICALIZE_ORACLE
+
+
+@register("streaming_canonicalize", oracle=_canonicalize_oracle())
+def streaming_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer-facing canonical-doc view SERVED from the maintained
+    component labels — the read path on top of ``streaming_components``
+    (that query shows the labels converge; this shows the corpus-build
+    decision ANSWERED from them): near-dup edges arrive in three
+    slices, :func:`~mevi_spark.streaming.incremental.apply_components_batch`
+    keeps min-id labels current, and the canonical-survivor projection
+    (keep the longest doc, ties to the smallest id; singletons their
+    own canonical) runs over the DRAINED labels through the SHARED
+    kernel (``pipeline_ops.canonicalize_from_labels`` — the same
+    function ``dedup_canonicalize`` calls), against
+    ``dedup_canonicalize``'s own oracle verbatim. 100 TB shape: the
+    labels store is pair-endpoint-sized, the projection is one
+    broadcast-or-shuffle join + one partial-aggregated argmax — the
+    transitive-closure recompute over ALL pairs is what maintenance
+    removes."""
+    from mevi_spark.operators import dedup as D
+    from mevi_spark.plans.pipeline_ops import (
+        _corpus,
+        canonicalize_from_labels,
+    )
+    from mevi_spark.streaming.incremental import incremental_components
+
+    base = _tmp("canon")
+    corpus = _corpus(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(corpus, threshold=0.6).select(
+        "id_a", "id_b"
+    )
+    for i in range(3):
+        pairs.filter(
+            (F.col("id_a") + F.col("id_b")) % 3 == i
+        ).coalesce(1).write.mode("overwrite").parquet(f"{base}/in/s{i:02d}")
+    stream = stream_parquet_source(
+        spark, f"{base}/in/s*", pairs.schema, max_files_per_trigger=1
+    )
+    q = incremental_components(stream, f"{base}/out", f"{base}/ckpt")
+    q.awaitTermination()
+    labels = spark.read.parquet(f"{base}/out/labels").select(
+        F.col("_id").alias("id"), "component"
+    )
+    return _drained(canonicalize_from_labels(corpus, labels), base)
+
+
 def _ev_quantiles_oracle() -> str:
     from mevi_spark.plans.pipeline_ops import EV_QUANTILES_ORACLE
 

@@ -33,16 +33,18 @@ def test_epoch_us_ltz_arm(spark):
 
 
 R11_NEW = [
-    # the 7 round-11-new queries (zero driver evidence; the
+    # the 8 round-11-new queries (zero driver evidence; the
     # incremental-components twin, the certified quantile maintenance,
-    # BM25-served-from-state, the range-bucketed curriculum order and
-    # the eval-metrics maintenance twin landed late in the round)
+    # BM25-served-from-state, the range-bucketed curriculum order, the
+    # eval-metrics maintenance twin and the canonical view served from
+    # maintained labels landed late in the round)
     "streaming_components",
     "streaming_quantiles",
     "streaming_lexical_stats",
     "streaming_bm25_serve",
     "curriculum_order",
     "streaming_eval_metrics",
+    "streaming_canonicalize",
     "chunk_dedup_overlap_reconstruct",
 ]
 
@@ -92,6 +94,7 @@ R11_ROTATED_OUT = {
     "opq_encode_reconstruct",
     "knn_topk_ip",
     "knn_topk_cosine",
+    "ann_lsh_topk",
 }
 
 
