@@ -325,25 +325,7 @@ def mp_certify(
     probes fan-out bounded by 2× the summary size); at deployment
     scale the summary IS the answer and this pass is what the tracked
     bound replaces."""
-    rows = summary.collect()
-    by_type: dict[str, dict] = {}
-    for r in rows:
-        s = by_type.setdefault(
-            r[type_col], {"items": [], "err": 0.0, "n": 0.0}
-        )
-        lvl = r["level"]
-        if lvl == MP_ERR_LEVEL:
-            s["err"] = r["value"]
-        elif lvl == MP_N_LEVEL:
-            s["n"] = r["value"]
-        elif lvl == MP_K_LEVEL:
-            if int(r["value"]) != int(k):
-                raise AssertionError(
-                    f"summary built with k={int(r['value'])}, "
-                    f"certifying with k={k}"
-                )
-        else:
-            s["items"].append((float(r["value"]), 1 << int(lvl), int(lvl)))
+    by_type = _parse_summary(summary.collect(), type_col, k=k)
     spark = summary.sparkSession
     item_rows = []
     for t, s in by_type.items():
@@ -394,24 +376,14 @@ def mp_certify(
     return out
 
 
-def mp_quantile_estimates(
-    summary: DataFrame,
-    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
-    type_col: str = "event_type",
-) -> DataFrame:
-    """Answer quantile queries FROM the maintained summary — no corpus
-    pass: for each target p, the smallest summary value whose weighted
-    estimated rank reaches ``p·n`` (the deployment read path;
-    ``mp_certify``'s exact pass exists only as fixture-scale
-    instrumentation). Returns ``(type_col, p, v, est_rank, n, err)``
-    rows; the certified guarantee is
-    ``|true_rank(v) − p·n| ≤ err + weight(v)`` — the tracked
-    compaction error plus the selection granularity of the item's own
-    level (est_rank(v) lands in ``[p·n, p·n + weight(v))`` by choice
-    of the smallest qualifying value). Summary frames are bounded
-    (types × k × levels rows), so this folds driver-side after one
-    collect — the same bounded-collect class as the certificate."""
-    rows = summary.collect()
+def _parse_summary(rows, type_col: str, k: int | None = None) -> dict:
+    """Decode collected summary rows into per-type state: ``items`` as
+    ``(value, weight, level)`` triples plus the ``err``/``n``
+    sentinels — ONE parser shared by :func:`mp_certify` and
+    :func:`mp_quantile_estimates` so a sentinel-layout change cannot
+    be applied to one reader and silently misparse in the other. When
+    ``k`` is given, a summary built with a different capacity is
+    rejected (the tracked bound is per-capacity)."""
     by_type: dict[str, dict] = {}
     for r in rows:
         s = by_type.setdefault(
@@ -422,17 +394,51 @@ def mp_quantile_estimates(
             s["err"] = r["value"]
         elif lvl == MP_N_LEVEL:
             s["n"] = r["value"]
-        elif lvl >= 0:
-            s["items"].append((float(r["value"]), 1 << int(lvl)))
+        elif lvl == MP_K_LEVEL:
+            if k is not None and int(r["value"]) != int(k):
+                raise AssertionError(
+                    f"summary built with k={int(r['value'])}, "
+                    f"reading with k={k}"
+                )
+        else:
+            s["items"].append((float(r["value"]), 1 << int(lvl), int(lvl)))
+    return by_type
+
+
+def mp_quantile_estimates(
+    summary: DataFrame,
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Answer quantile queries FROM the maintained summary — no corpus
+    pass: for each target p, the smallest summary VALUE whose full
+    weighted estimated rank reaches ``p·n`` (the deployment read path;
+    ``mp_certify``'s exact pass exists only as fixture-scale
+    instrumentation). Returns ``(type_col, p, v, est_rank, w, n,
+    err)`` rows where ``est_rank`` counts the weight of ALL items
+    ``≤ v`` (duplicate values across levels collapse into one
+    candidate — a partial prefix at the first duplicate would
+    understate the rank and break the bound) and ``w`` is the total
+    weight AT ``v``. The certified guarantee is
+    ``|true_rank(v) − p·n| ≤ err + w``: est_rank(v) lands in
+    ``[p·n, p·n + w)`` by choice of the smallest qualifying value (the
+    previous distinct value's cumulative weight is < p·n and the jump
+    at v is exactly w), and est_rank is within the tracked ``err`` of
+    the true rank. Summary frames are bounded (types × k × levels
+    rows), so this folds driver-side after one collect — the same
+    bounded-collect class as the certificate."""
+    by_type = _parse_summary(summary.collect(), type_col)
     out = []
     for t in sorted(by_type):
         s = by_type[t]
-        items = sorted(s["items"])
+        per_val: dict[float, float] = {}
+        for v, w, _ in s["items"]:
+            per_val[v] = per_val.get(v, 0.0) + w
         acc = 0.0
         ranks = []
-        for v, w in items:
-            acc += w
-            ranks.append((v, w, acc))
+        for v in sorted(per_val):
+            acc += per_val[v]
+            ranks.append((v, per_val[v], acc))
         for p in ps:
             target = p * s["n"]
             pick = None
@@ -444,11 +450,11 @@ def mp_quantile_estimates(
                 pick = ranks[-1]
             if pick is not None:
                 out.append(
-                    (t, float(p), pick[0], pick[2], s["n"], s["err"])
+                    (t, float(p), pick[0], pick[2], pick[1], s["n"], s["err"])
                 )
     spark = summary.sparkSession
     return spark.createDataFrame(
         out,
         f"{type_col} string, p double, v double, est_rank double, "
-        f"n double, err double",
+        f"w double, n double, err double",
     )

@@ -1364,16 +1364,46 @@ def test_quantile_estimator_within_certified_bound(spark):
     sorted_vals = sorted(vals)
     for r in rows:
         true_rank = sum(1 for v in sorted_vals if v <= r["v"])
-        # weight(v): recover from est_rank jump — bounded by err check
-        # with the coarsest level present
-        max_w = max(
-            1 << int(x["level"])
-            for x in s.collect()
-            if x["level"] >= 0
+        # the documented TIGHT bound: err + total weight AT the picked
+        # value (exposed as the w column)
+        assert abs(true_rank - r["p"] * r["n"]) <= r["err"] + r["w"], (
+            r["p"], r["v"], true_rank, r["err"], r["w"],
         )
-        assert abs(true_rank - r["p"] * r["n"]) <= r["err"] + max_w, (
-            r["p"], r["v"], true_rank, r["err"], max_w,
-        )
+
+
+def test_quantile_estimator_collapses_duplicate_values(spark):
+    """Regression: a value present as MULTIPLE summary items (different
+    levels) must contribute its FULL weight to est_rank — a partial
+    prefix at the first duplicate understates the rank and breaks the
+    documented err + w guarantee."""
+    from mevi_spark.operators.sketch import (
+        MP_ERR_LEVEL,
+        MP_K_LEVEL,
+        MP_N_LEVEL,
+        mp_quantile_estimates,
+    )
+
+    rows = [
+        ("t", 0, 5.0),            # weight 1
+        ("t", 3, 5.0),            # SAME value, weight 8
+        ("t", 0, 9.0),            # weight 1
+        ("t", MP_ERR_LEVEL, 0.0),
+        ("t", MP_N_LEVEL, 10.0),
+        ("t", MP_K_LEVEL, 16.0),
+    ]
+    summary = spark.createDataFrame(
+        rows, "event_type string, level int, value double"
+    )
+    est = {
+        round(r["p"], 2): r
+        for r in mp_quantile_estimates(summary, ps=(0.5, 0.95)).collect()
+    }
+    # p=0.5 → target 5.0: value 5.0 qualifies only with its FULL
+    # weight 9 (partial prefix 1 would skip to 9.0 — the bug)
+    assert est[0.5]["v"] == 5.0
+    assert est[0.5]["est_rank"] == 9.0 and est[0.5]["w"] == 9.0
+    # p=0.95 → target 9.5 > max est 10? est(9.0)=10 ≥ 9.5 → picks 9.0
+    assert est[0.95]["v"] == 9.0 and est[0.95]["w"] == 1.0
 
 
 def test_components_empty_batches(spark):

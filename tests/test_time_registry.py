@@ -103,7 +103,7 @@ def test_driver_window_invariants():
     registered queries, so the priority window must (a) hold exactly 50
     names, (b) name only registered queries, (c) contain every query
     that has never received a driver row (or whose plan changed) —
-    this round, the R11_NEW two — and (d) every name with no r10
+    this round, the R11_NEW cohort — and (d) every name with no r10
     driver row except the documented rotations (r10-green names are
     1-round-stale and allowed out). A drifted window silently starves
     new queries of evidence."""
