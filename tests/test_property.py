@@ -294,3 +294,56 @@ def test_mp_compactor_deterministic_replay(batches, k):
     assert {l: sorted(b) for l, b in a_levels.items()} == {
         l: sorted(b) for l, b in b_levels.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# connected-components (pointer jumping) vs a pure-Python union-find
+
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=14),
+        st.integers(min_value=1, max_value=14),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_edges)
+def test_connected_components_match_union_find(spark, raw):
+    """The pointer-jumping label contraction must produce the min-id
+    component labeling of ANY edge set (self-loops, duplicates, long
+    chains, multiple components) — checked against an independent
+    pure-Python union-find."""
+    from mevi_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in raw if a != b]
+    assume(edges)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = {n for e in edges for n in e}
+    want = {(n, find(n)) for n in nodes}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    assert got == want
