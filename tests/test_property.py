@@ -347,3 +347,98 @@ def test_connected_components_match_union_find(spark, raw):
         for r in connected_components(df).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# overlap-grid rebuild: coverage semantics vs a python reference
+
+
+_docs_cuts = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),             # doc_id
+        st.integers(min_value=0, max_value=30),            # cut start
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_docs_cuts, st.integers(min_value=2, max_value=8))
+def test_rebuild_covered_words_matches_python(spark, raw_cuts, w):
+    """Word-level rebuild under ANY cut set (overlapping, duplicate,
+    out-of-range spans) must equal the python reference: drop word i
+    iff some cut c has c <= i < c+w."""
+    import hashlib
+
+    from mevi_spark.plans.pipeline_ops import rebuild_covered_words
+
+    texts = {
+        1: " ".join(f"w{i}" for i in range(25)),
+        2: " ".join(f"x{i}" for i in range(8)),
+        3: "solo",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    cuts = spark.createDataFrame(
+        raw_cuts or [(99, 0)], "doc_id long, start int"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_kept_words"], r["rebuilt_md5"])
+        for r in rebuild_covered_words(docs, cuts, w_words=w).collect()
+    }
+    for d, text in texts.items():
+        words = text.split(" ")
+        spans = [c for dd, c in raw_cuts if dd == d]
+        kept = [
+            word
+            for i, word in enumerate(words)
+            if not any(c <= i < c + w for c in spans)
+        ]
+        md5 = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert got[d] == (len(words), len(kept), md5), (d, got[d])
+
+
+# ---------------------------------------------------------------------------
+# range-bucket global ranking: permutation property on random scores
+
+
+_scores = st.lists(
+    st.integers(min_value=0, max_value=9),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_scores)
+def test_ranked_by_range_buckets_is_exact_permutation(spark, raw):
+    """Any score distribution (few distinct values → giant tie groups,
+    single value → one bucket) must yield the exact (score, id) total
+    order as a 1..N permutation."""
+    from mevi_spark.plans.pipeline_ops import ranked_by_range_buckets
+
+    rows = [(i, float(v)) for i, v in enumerate(raw)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    got = sorted(
+        (r["global_rank"], r["doc_id"])
+        for r in ranked_by_range_buckets(
+            df, "score", ["doc_id"], n_buckets=4
+        ).collect()
+    )
+    want = [
+        (i + 1, doc)
+        for i, (doc, _) in enumerate(
+            sorted(rows, key=lambda t: (t[1], t[0]))
+        )
+    ]
+    assert got == want
