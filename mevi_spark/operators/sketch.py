@@ -458,3 +458,185 @@ def mp_quantile_estimates(
         f"{type_col} string, p double, v double, est_rank double, "
         f"w double, n double, err double",
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (bottom-k / k-minimum-values) distinct sketch
+#
+# The third mergeable summary the maintenance store needs, next to
+# frequency (Misra-Gries above) and rank (the compactor above):
+# CARDINALITY plus a bounded UNIFORM SAMPLE of the distinct-key space.
+# Keep the k smallest md5 hashes of the distinct keys; then
+#
+#   * the kept keys are a uniform k-sample of the distinct universe
+#     (md5 order is independent of key semantics) — the "show me 256
+#     random vocabulary items / shingles / URLs" inspection read;
+#   * |distinct| is estimated by (k-1)/h_(k) with h in [0,1)
+#     (Bar-Yossef et al. 2002; unbiased, relative error ~1/sqrt(k-2));
+#   * two sketches merge by union → dedup → bottom-k: any global
+#     bottom-k element is in its own part's bottom-k, so merging
+#     per-batch sketches loses nothing (Beyer et al., SIGMOD 2007 —
+#     the mergeable-summaries property the partial-dir store needs).
+#
+# Determinism: md5 of the salted key is a pure function of the data, so
+# a replayed batch rebuilds an IDENTICAL partial (crash-replay no-op)
+# and the same corpus always yields the same sample — and the hash is
+# reproducible in ANSI SQL (DuckDB md5 = Spark md5 on utf-8), so the
+# whole sketch is oracle-checkable, unlike a seeded-RNG sample.
+#
+# No reference counterpart (the reference has no cardinality
+# analytics); public construction only.
+
+
+def kmv_hash(key, salt: str = "kmv"):
+    """The sketch's hash: lowercase md5 hex of the salted stringified
+    key. Lexicographic order on the fixed 32-char hex equals numeric
+    order on the 128-bit value, and DuckDB's ``md5(salt || '|' || key)``
+    reproduces it byte-for-byte — the property the oracle relies on."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.md5(F.concat(F.lit(salt + "|"), c.cast("string")))
+
+
+def kmv_merge(sketches: DataFrame, k: int) -> DataFrame:
+    """Fold any union of (key, hh) sketch rows (raw hashed rows or
+    already-pruned sketches, across any number of partial dirs) into
+    ONE bottom-k sketch: dedup on the hash, take the k smallest. The
+    shared kernel behind :func:`kmv_bottom_k` and the maintenance
+    store's merge-on-read (``streaming/incremental.py::kmv_state``) —
+    one definition, so the maintained state cannot drift from the
+    batch construction. ``orderBy().limit(k)`` plans as
+    TakeOrderedAndProject (per-partition heap + driver merge of k·P
+    rows), never a global sort."""
+    return sketches.dropDuplicates(["hh"]).orderBy("hh").limit(int(k))
+
+
+def kmv_bottom_k(
+    df: DataFrame, key_col: str, k: int, salt: str = "kmv"
+) -> DataFrame:
+    """The k distinct keys with the smallest salted-md5 hashes, as
+    ``(key string, hh string)``.
+
+    Scale shape: hashing is JVM-side; a per-partition Arrow prune
+    (pandas sort + head, carrying ≤ k rows between batches) caps the
+    shuffle at k rows PER PARTITION — the distinct-key universe never
+    moves, unlike ``dropDuplicates(key)`` whose map-side partial agg
+    still emits every partition-local distinct key. The pruned union
+    (≤ k·P rows) folds through :func:`kmv_merge`."""
+    prep = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        kmv_hash(key_col, salt).alias("hh"),
+    )
+    kk = int(k)
+
+    def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = (
+                pd.concat([best, pdf], ignore_index=True)
+                if best is not None
+                else pdf
+            )
+            best = (
+                cur.drop_duplicates("hh").sort_values("hh").head(kk)
+            )
+        if best is not None:
+            yield best
+
+    return kmv_merge(prep.mapInPandas(prune, prep.schema), kk)
+
+
+def kmv_estimate(sample_rows, k: int) -> float:
+    """Distinct-count estimate from a collected bottom-k sketch: exact
+    size when the sketch is under-full (fewer than k distinct keys
+    exist), else ``(k-1)/h_(k)`` with ``h_(k)`` the k-th smallest hash
+    read as a fraction of 2^60 from the first 15 hex chars (the same
+    60-bit prefix convention as ``text_analysis.hash60``; a prefix of
+    a uniform 128-bit hash is uniform)."""
+    hs = sorted(r["hh"] for r in sample_rows)
+    if len(hs) < int(k):
+        return float(len(hs))
+    frac = int(hs[int(k) - 1][:15], 16) / float(1 << 60)
+    return (int(k) - 1) / frac
+
+
+def kmv_certify(
+    sample_rows, exact_distinct: int, k: int, sigmas: float = 5.0
+) -> float:
+    """Certify a sketch against the EXACT distinct count: an
+    under-full sketch must BE the distinct key set (size equality —
+    the estimate is exact there), a full sketch's estimate must sit
+    within ``sigmas/sqrt(k-2)`` relative error (KMV's standard-error
+    envelope; deterministic given the data, so a pass is stable).
+    Raises on violation; returns the estimate. The exact-count pass is
+    fixture-scale instrumentation — at deployment scale the estimate
+    IS the answer and this bound is what replaces the count."""
+    est = kmv_estimate(sample_rows, k)
+    n = int(exact_distinct)
+    if len(sample_rows) < int(k):
+        if len(sample_rows) != n:
+            raise AssertionError(
+                f"under-full sketch has {len(sample_rows)} keys but "
+                f"exact distinct = {n} — sketch missed keys"
+            )
+        return est
+    bound = sigmas / math.sqrt(int(k) - 2)
+    rel = abs(est - n) / n
+    if rel > bound:
+        raise AssertionError(
+            f"KMV estimate {est:.1f} vs exact {n}: relative error "
+            f"{rel:.4f} exceeds {sigmas}σ envelope {bound:.4f}"
+        )
+    return est
+
+
+def kmv_bottom_k_grouped(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    group_cols: list[str],
+    salt: str = "kmv",
+) -> DataFrame:
+    """Per-GROUP bottom-k: for every ``group_cols`` value, the k
+    distinct keys with the smallest salted-md5 hashes — a
+    deterministic uniform sample PER STRATUM (per language, per
+    source, per domain), as ``(*group_cols, key string, hh string)``.
+
+    Same scale shape as :func:`kmv_bottom_k`: JVM-side hashing, a
+    per-partition Arrow prune carrying ≤ k rows per group seen in the
+    partition, then a rank window over the pruned union (≤ k·P rows
+    per group — never the corpus). Dedup is on (group, hh): the same
+    key may legitimately appear under several groups."""
+    from pyspark.sql import Window
+
+    prep = df.select(
+        *[F.col(g) for g in group_cols],
+        F.col(key_col).cast("string").alias("key"),
+        kmv_hash(key_col, salt).alias("hh"),
+    )
+    kk = int(k)
+    gcols = list(group_cols)
+
+    def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = (
+                pd.concat([best, pdf], ignore_index=True)
+                if best is not None
+                else pdf
+            )
+            best = (
+                cur.drop_duplicates(gcols + ["hh"])
+                .sort_values("hh")
+                .groupby(gcols, sort=False)
+                .head(kk)
+            )
+        if best is not None:
+            yield best
+
+    pruned = prep.mapInPandas(prune, prep.schema)
+    w = Window.partitionBy(*gcols).orderBy("hh")
+    return (
+        pruned.dropDuplicates(gcols + ["hh"])
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= kk)
+    )

@@ -3019,3 +3019,124 @@ def chunk_dedup_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k distinct sketch: shingle-space cardinality + uniform sample
+
+# shared by kmv_shingle_sample AND its maintenance twin
+# (plans/streaming_ops.py::streaming_kmv): the drained sketch must
+# equal the one-shot bottom-k over the same corpus
+KMV_SHINGLE_ORACLE = f"""
+WITH {_SQL_BTOKS},
+shs AS (
+  SELECT CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+         END AS s
+  FROM btoks),
+terms AS (SELECT DISTINCT shingle
+          FROM (SELECT unnest(s) AS shingle FROM shs)),
+h AS (SELECT shingle, md5('kmv|' || shingle) AS hh FROM terms),
+b AS (SELECT shingle, hh FROM h ORDER BY hh LIMIT 256)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY hh) AS INT) AS rnk,
+       shingle, hh,
+       ('0x' || substring(hh, 1, 15))::BIGINT AS h60
+FROM b
+"""
+
+KMV_K = 256
+
+
+def kmv_sample_frame(sketch: DataFrame) -> DataFrame:
+    """Present a drained/batch bottom-k sketch as the oracle-facing
+    frame — rank by hash, the key, the full hash, and the 60-bit
+    numeric prefix (``_h60`` convention). Shared by the batch query
+    and the streaming twin's drain so the two cannot drift. The
+    unpartitioned window is fine: the sketch is ≤ k rows by
+    construction (the heavy-hitters exact pass makes the same
+    argument)."""
+    w = Window.orderBy("hh")
+    return sketch.select(
+        F.row_number().over(w).cast("int").alias("rnk"),
+        F.col("key").alias("shingle"),
+        "hh",
+        F.conv(F.substring("hh", 1, 15), 16, 10).cast("bigint").alias("h60"),
+    )
+
+
+def shingle_keys(docs: DataFrame) -> DataFrame:
+    """Exploded distinct-per-doc word 3-shingles of a documents frame —
+    the keyed input both the batch sketch and each micro-batch's
+    partial hash. One definition (``operators/dedup.py::shingle_frame``
+    staging, so the normalize+split chain runs once per row)."""
+    return D.shingle_frame(docs).select(
+        F.explode("shingles").alias("shingle")
+    )
+
+
+@register("kmv_shingle_sample", oracle=KMV_SHINGLE_ORACLE)
+def kmv_shingle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-shingle cardinality + uniform shingle sample via a KMV
+    bottom-k sketch (``operators/sketch.py::kmv_bottom_k``) — the
+    sizing read a near-dup deployment does FIRST: the shingle-space
+    cardinality picks the MinHash band/row config and the uniform
+    sample is the inspection window into what the space looks like,
+    without ever materializing the distinct universe. Scale shape:
+    JVM-side md5, per-partition Arrow prune to k rows (the shuffle
+    carries k·P rows, never the shingle universe — a
+    ``COUNT(DISTINCT)`` at 100 TB shuffles billions of keys for one
+    number), TakeOrderedAndProject merge. The estimate is certified
+    in-query against the exact distinct count (fixture-scale
+    instrumentation, the ``mp_certify`` pattern); under ingest the
+    maintained form is ``streaming_kmv``, whose drain shares
+    :func:`kmv_sample_frame` and this oracle."""
+    from mevi_spark.operators.sketch import kmv_bottom_k, kmv_certify
+
+    keys = shingle_keys(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    # the sketch is ≤ k rows: pin it once so the certificate's collect
+    # and the returned frame share one execution of the prune
+    sketch = kmv_bottom_k(keys, "shingle", KMV_K).localCheckpoint(
+        eager=True
+    )
+    kmv_certify(sketch.collect(), keys.distinct().count(), KMV_K)
+    return kmv_sample_frame(sketch)
+
+
+GROUPED_KMV_ORACLE = """
+WITH h AS (
+  SELECT lang, source, CAST(doc_id AS VARCHAR) AS key,
+         md5('gsample|' || CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents),
+r AS (SELECT lang, source, key, hh,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY hh) AS rnk
+      FROM h)
+SELECT lang, source, key, hh, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= 8
+"""
+
+
+@register("grouped_kmv_sample", oracle=GROUPED_KMV_ORACLE)
+def grouped_kmv_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sample PER STRATUM — k docs per
+    (lang, source) cell by smallest salted-md5 doc_id
+    (``operators/sketch.py::kmv_bottom_k_grouped``): the "show me 8
+    random documents from every language×source cell" inspection read
+    a curation pass does after every filter stage, stable across
+    re-runs
+    (hash order, no RNG) and therefore oracle-checkable. Scale shape:
+    the per-partition Arrow prune carries ≤ k rows per group per
+    partition, so the rank window sees k·P rows per group, never the
+    corpus — a bare ``ROW_NUMBER() OVER (PARTITION BY ...)`` shuffles
+    every row at 100 TB to keep 8 per cell."""
+    from mevi_spark.operators.sketch import kmv_bottom_k_grouped
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return kmv_bottom_k_grouped(
+        docs, "doc_id", 8, ["lang", "source"], salt="gsample"
+    ).select("lang", "source", "key", "hh", "rnk")

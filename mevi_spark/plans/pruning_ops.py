@@ -150,9 +150,10 @@ _ZB_T2 = 1705276800_000000
 _ZB_U1, _ZB_U2 = 40, 70
 
 
-@register(
-    "zorder_box_scan",
-    oracle=f"""
+# shared by zorder_box_scan AND its maintenance twin
+# (plans/streaming_ops.py::streaming_zorder): the box aggregate over
+# the maintained layout must equal the one-shot clustered layout
+ZORDER_BOX_ORACLE = f"""
 SELECT event_type,
        COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -160,8 +161,34 @@ FROM events
 WHERE user_id BETWEEN {_ZB_U1} AND {_ZB_U2}
   AND epoch_us(ts) >= {_ZB_T1} AND epoch_us(ts) < {_ZB_T2}
 GROUP BY event_type
-""",
-)
+"""
+
+
+def box_scan_agg(z: DataFrame) -> DataFrame:
+    """The 2-D box filter + decimal-stabilized aggregate over a
+    z-clustered events frame — the read path shared by the batch query
+    and the streaming twin's drain (one definition, one oracle)."""
+    from mevi_spark.functions.agg import scaled_long
+    from mevi_spark.functions.time import epoch_us
+
+    return (
+        z.filter(
+            (F.col("user_id") >= _ZB_U1)
+            & (F.col("user_id") <= _ZB_U2)
+            & (epoch_us(z, "ts") >= _ZB_T1)
+            & (epoch_us(z, "ts") < _ZB_T2)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(scaled_long("value")).cast("double") / F.lit(1e6)).alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
+@register("zorder_box_scan", oracle=ZORDER_BOX_ORACLE)
 def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Box query over the Z-ordered events layout
     (:func:`mevi_spark.sources.zorder.write_zordered`): events
@@ -178,7 +205,6 @@ def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     a plain scan whose ``PushedFilters`` consume the stats with no
     reader code at all. Aggregation is decimal-stabilized per the
     registry float rule."""
-    from mevi_spark.functions.agg import scaled_long
     from mevi_spark.functions.time import epoch_us
     from mevi_spark.sources.zorder import write_zordered
 
@@ -190,19 +216,4 @@ def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     path = ensure_staged("zorder_events", sf_dir, write, table="events")
-    z = spark.read.parquet(path)
-    return (
-        z.filter(
-            (F.col("user_id") >= _ZB_U1)
-            & (F.col("user_id") <= _ZB_U2)
-            & (epoch_us(z, "ts") >= _ZB_T1)
-            & (epoch_us(z, "ts") < _ZB_T2)
-        )
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            (F.sum(scaled_long("value")).cast("double") / F.lit(1e6)).alias(
-                "sum_value"
-            ),
-        )
-    )
+    return box_scan_agg(spark.read.parquet(path))

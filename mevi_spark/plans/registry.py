@@ -70,13 +70,14 @@ _LOADED = False
 # 16 of 66), so the exposure order is now explicit:
 #
 # Round-11 policy (oldest evidence first — the minimal-max-staleness
-# round-robin adopted in r10; at 139 names / 50 slots the steady-state
+# round-robin adopted in r10; at 143 names / 50 slots the steady-state
 # refresh period is 3 rounds). Evidence state after r10: 50 names have
 # a fresh r10 row; 49 r9-green names are 1-round... now 2-round-stale
 # at r11; the 29 r8-green names deferred at r10 would hit 3-round
 # staleness, so they go first, exactly as the r10 note promised.
 #
-#   tier 1 — the EIGHT round-11-new queries (incremental lexical stats,
+#   tier 1 — the TWELVE round-11-new queries (the KMV distinct sketch +
+#            its maintenance twin; incremental lexical stats,
 #            the lexical tier's streaming twin, plus BM25 SERVED from
 #            that maintained state through the shared scorer kernel;
 #            word-level rebuild under the overlapping chunk grid;
@@ -102,7 +103,7 @@ _LOADED = False
 #            events_hypertable_rollup displaced by the late tier-1
 #            pair).
 #
-# Rotated out (89 = 139 − 50, by evidence age): the 50 r10-green names
+# Rotated out (93 = 143 − 50, by evidence age): the 50 r10-green names
 # (1-round-stale — freshest possible outside the window), the three
 # bench-exercised r7-green names (coarse_to_fine_retrieval,
 # rq_beam_search, rq_encode_two_level — executed at sf0.1 by BENCH
@@ -131,6 +132,25 @@ _PRIORITY_ORDER: list[str] = [
     # multi_assign_recall and events_hypertable_rollup — the
     # youngest-evidence tier-3 names, r9-green and re-validated by the
     # full local gate every round)
+    # (kmv_shingle_sample and streaming_kmv landed in the r11
+    # continuation: the KMV bottom-k distinct sketch — cardinality +
+    # uniform sample — and its maintenance twin, completing the
+    # mergeable-summaries family next to heavy hitters and quantiles;
+    # their slots displace ensemble_grid and ann_ivf_topk — tier-3,
+    # r9-green, re-validated by the full local gate every round)
+    "kmv_shingle_sample",
+    "streaming_kmv",
+    # (grouped_kmv_sample: the per-stratum deterministic uniform
+    # sample — k docs per lang×source cell by smallest salted hash —
+    # on the same grouped prune kernel; displaces ensemble_fuse, the
+    # last tier-3 name, r9-green and locally re-validated)
+    "grouped_kmv_sample",
+    # (streaming_zorder: the OPTIMIZE-ZORDER lifecycle — z-clustered
+    # delta dirs under pinned bounds + re-clustering compaction — the
+    # data-layout tier's maintenance twin; displaces
+    # retrieval_eval_metrics, which BENCH executes at sf0.1 every
+    # round, the same standing evidence as the three r7 headliners)
+    "streaming_zorder",
     "streaming_components",
     "streaming_quantiles",
     "streaming_lexical_stats",
@@ -179,10 +199,11 @@ _PRIORITY_ORDER: list[str] = [
     "bm25_search",
     "wds_shards_roundtrip",
     "global_shuffle_blocks",
-    "retrieval_eval_metrics",
-    "ensemble_fuse",
-    "ensemble_grid",
-    "ann_ivf_topk",
+    # retrieval_eval_metrics (bench-exercised every round),
+    # ensemble_fuse, ensemble_grid and ann_ivf_topk displaced by the r11-continuation
+    # tier-1 cohort (kmv_shingle_sample, streaming_kmv,
+    # grouped_kmv_sample, streaming_zorder) — first in line
+    # for r12 with the other displaced names below
     # multi_assign_recall, events_hypertable_rollup,
     # opq_encode_reconstruct, knn_topk_ip, knn_topk_cosine and
     # ann_lsh_topk displaced by the late-r11 tier-1 cohort

@@ -1207,3 +1207,123 @@ def streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = spark.read.schema(ev.schema).parquet(f"{base}/in/s*")
     mp_certify(summary, corpus, "event_type", "value", k=k)
     return _drained(exact_grouped_quantiles(corpus), base)
+
+
+def _kmv_oracle() -> str:
+    from mevi_spark.plans.pipeline_ops import KMV_SHINGLE_ORACLE
+
+    return KMV_SHINGLE_ORACLE
+
+
+@register("streaming_kmv", oracle=_kmv_oracle())
+def streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k distinct sketch maintained under document ingest (the
+    maintenance twin of ``kmv_shingle_sample``): documents arrive in
+    three doc-id-interleaved slices and
+    :func:`~mevi_spark.streaming.incremental.incremental_kmv` prunes
+    each batch's shingle keys to a per-batch bottom-k partial — ≤ k
+    rows per batch, md5-deterministic so crash-replay overwrites
+    identical content. The merged state (shared ``kmv_merge`` kernel)
+    equals the one-shot sketch over the accumulated corpus because any
+    globally-bottom-k hash is bottom-k within its own batch — asserted
+    here by the shared certificate against the exact distinct count,
+    then returned through the shared presentation kernel against the
+    identical oracle as the batch query. 100 TB shape: state and every
+    publish are k-row-sized; the distinct-shingle universe never
+    shuffles and never re-scans."""
+    from mevi_spark.operators.sketch import kmv_certify
+    from mevi_spark.plans.pipeline_ops import (
+        KMV_K,
+        kmv_sample_frame,
+        shingle_keys,
+    )
+    from mevi_spark.streaming.incremental import incremental_kmv, kmv_state
+
+    base = _tmp("kmv")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in/s{i:02d}")
+    stream = stream_parquet_source(
+        spark, f"{base}/in/s*", docs.schema, max_files_per_trigger=1
+    )
+    q = incremental_kmv(
+        stream,
+        f"{base}/out",
+        f"{base}/ckpt",
+        "shingle",
+        k=KMV_K,
+        batch_prep=shingle_keys,
+    )
+    q.awaitTermination()
+    sketch = kmv_state(spark, f"{base}/out", k=KMV_K).localCheckpoint(
+        eager=True
+    )
+    corpus = spark.read.schema(docs.schema).parquet(f"{base}/in/s*")
+    kmv_certify(
+        sketch.collect(), shingle_keys(corpus).distinct().count(), KMV_K
+    )
+    return _drained(kmv_sample_frame(sketch), base)
+
+
+def _zorder_oracle() -> str:
+    from mevi_spark.plans.pruning_ops import ZORDER_BOX_ORACLE
+
+    return ZORDER_BOX_ORACLE
+
+
+@register("streaming_zorder", oracle=_zorder_oracle())
+def streaming_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ordered layout maintained under event ingest (the maintenance
+    twin of ``zorder_box_scan`` — the ``OPTIMIZE ZORDER BY``
+    lifecycle): events arrive in three event-id-interleaved slices,
+    :func:`~mevi_spark.streaming.incremental.incremental_zorder`
+    lands each batch as a z-clustered delta dir under bounds pinned by
+    the first batch, and the SHARED box read
+    (``pruning_ops.box_scan_agg``) runs over the maintained union —
+    then again after :func:`compact_zorder` folds the deltas into one
+    re-clustered base, asserting the fold changes nothing. Oracle is
+    ``zorder_box_scan``'s own SQL verbatim (the layout loses no rows);
+    the pruning property of the per-batch delta files is pinned by
+    ``tests/test_zorder.py``. 100 TB shape: per batch one range
+    shuffle of the batch; compaction is the scheduled amortized
+    rewrite, scoped per ingest partition at deployment."""
+    from mevi_spark.functions.time import epoch_us
+    from mevi_spark.plans.pruning_ops import box_scan_agg
+    from mevi_spark.streaming.incremental import (
+        compact_zorder,
+        incremental_zorder,
+        zorder_state,
+    )
+
+    base = _tmp("zord")
+    ev = load_table(spark, sf_dir, "events")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in/s{i:02d}")
+    stream = stream_parquet_source(
+        spark, f"{base}/in/s*", ev.schema, max_files_per_trigger=1
+    )
+
+    def x_of(df):
+        return F.col("user_id")
+
+    def y_of(df):
+        return epoch_us(df, "ts")
+
+    q = incremental_zorder(
+        stream, f"{base}/out", f"{base}/ckpt", x_of, y_of,
+        files_per_batch=8,
+    )
+    q.awaitTermination()
+    pre = sorted(
+        map(tuple, box_scan_agg(zorder_state(spark, f"{base}/out")).collect())
+    )
+    assert compact_zorder(spark, f"{base}/out", x_of, y_of, n_files=24) == 3
+    post_df = box_scan_agg(zorder_state(spark, f"{base}/out"))
+    assert sorted(map(tuple, post_df.collect())) == pre, (
+        "compaction changed the box aggregate"
+    )
+    return _drained(post_df, base)

@@ -55,6 +55,58 @@ def zvalue(x: Column, y: Column, bits: int = Z_BITS) -> Column:
     return z
 
 
+def scan_bounds(
+    df: DataFrame, x_col: Column, y_col: Column
+) -> dict[str, float]:
+    """The 2×2 min/max scalars the bucketing needs — one
+    partial-aggregatable scan."""
+    row = df.agg(
+        F.min(x_col).cast("double").alias("xmn"),
+        F.max(x_col).cast("double").alias("xmx"),
+        F.min(y_col).cast("double").alias("ymn"),
+        F.max(y_col).cast("double").alias("ymx"),
+    ).first()
+    return {k: float(row[k]) for k in ("xmn", "xmx", "ymn", "ymx")}
+
+
+def zkey(
+    x_col: Column, y_col: Column, bounds: dict, bits: int = Z_BITS
+) -> Column:
+    """The Morton key under PINNED bucketing bounds. ``_bucket`` clamps
+    out-of-range values to the edge buckets, so a layout whose bounds
+    were pinned early (the incremental store pins them on the first
+    batch) stays CORRECT for later data outside them — only the edge
+    files' pruning selectivity degrades."""
+    return zvalue(
+        _bucket(x_col, bounds["xmn"], bounds["xmx"], bits),
+        _bucket(y_col, bounds["ymn"], bounds["ymx"], bits),
+        bits,
+    )
+
+
+def write_zordered_bounded(
+    df: DataFrame,
+    path: str,
+    x_col: Column,
+    y_col: Column,
+    n_files: int,
+    bounds: dict,
+    bits: int = Z_BITS,
+) -> None:
+    """Write ``df`` z-clustered under pinned ``bounds`` — the shared
+    writer behind :func:`write_zordered` and the incremental layout
+    maintenance (``streaming/incremental.py::incremental_zorder``).
+    The z expression is recomputed per stage (deterministic), so no
+    helper column reaches the written schema."""
+    z = zkey(x_col, y_col, bounds, bits)
+    (
+        df.repartitionByRange(n_files, z)
+        .sortWithinPartitions(z)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -64,28 +116,8 @@ def write_zordered(
     bits: int = Z_BITS,
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files clustered by the
-    Morton key of ``(x_col, y_col)`` (numeric column expressions).
-
-    The min/max needed for bucketing come from one partial-aggregatable
-    scan; the z expression is recomputed per stage (deterministic), so
-    no helper column reaches the written schema."""
-    row = df.agg(
-        F.min(x_col).cast("double").alias("xmn"),
-        F.max(x_col).cast("double").alias("xmx"),
-        F.min(y_col).cast("double").alias("ymn"),
-        F.max(y_col).cast("double").alias("ymx"),
-    ).first()
-
-    def z() -> Column:
-        return zvalue(
-            _bucket(x_col, row["xmn"], row["xmx"], bits),
-            _bucket(y_col, row["ymn"], row["ymx"], bits),
-            bits,
-        )
-
-    (
-        df.repartitionByRange(n_files, z())
-        .sortWithinPartitions(z())
-        .write.mode("overwrite")
-        .parquet(path)
+    Morton key of ``(x_col, y_col)`` (numeric column expressions),
+    bucketing under the frame's own min/max."""
+    write_zordered_bounded(
+        df, path, x_col, y_col, n_files, scan_bounds(df, x_col, y_col), bits
     )

@@ -2097,3 +2097,179 @@ def compact_quantiles(
     return _compact_partials(
         spark, output_dir, lambda df: mp_merge_summaries(df, type_col, k)
     )
+
+
+def incremental_kmv(
+    stream_df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    k: int = 256,
+    salt: str = "kmv",
+    batch_prep=None,
+):
+    """Bottom-k distinct sketch (KMV) maintained under ingest: each
+    micro-batch prunes to ITS OWN bottom-k sketch
+    (``operators/sketch.py::kmv_bottom_k`` — ≤ k rows) written to the
+    rollup store's per-batch dir; md5 determinism makes a replayed
+    batch rebuild identical content, the same no-merge-in-sink
+    idempotence as :func:`incremental_rollup`. The current sketch is
+    :func:`kmv_state` (base ⊎ live dirs through the shared
+    :func:`~mevi_spark.operators.sketch.kmv_merge` kernel — sound
+    because any global bottom-k hash is in its own batch's bottom-k);
+    :func:`compact_kmv` bounds directory growth. The drained sketch
+    answers distinct-cardinality and uniform-sample reads at any time
+    without a corpus pass. ``batch_prep`` (optional) maps the raw
+    batch frame to the keyed frame first (e.g. shingle explosion) so
+    the stream can carry source rows, not pre-exploded keys."""
+    from mevi_spark.operators.sketch import kmv_bottom_k
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        keyed = batch_prep(batch) if batch_prep is not None else batch
+        kmv_bottom_k(keyed, key_col, k, salt).write.mode(
+            "overwrite"
+        ).parquet(f"{output_dir}/b{int(batch_id):09d}")
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def kmv_state(spark, output_dir: str, k: int = 256) -> DataFrame:
+    """The current merged bottom-k sketch: base (if compacted) ⊎
+    unfolded batch partial dirs through the shared merge kernel."""
+    from mevi_spark.operators.sketch import kmv_merge
+
+    return _merged_partials(
+        spark, output_dir, lambda df: kmv_merge(df, k)
+    )
+
+
+def compact_kmv(spark, output_dir: str, k: int = 256) -> int:
+    """Fold live KMV partial dirs into a published base (the
+    crash-safe watermark fold of :func:`compact_rollup`)."""
+    from mevi_spark.operators.sketch import kmv_merge
+
+    return _compact_partials(
+        spark, output_dir, lambda df: kmv_merge(df, k)
+    )
+
+
+def _zorder_bounds(output_dir: str, batch: DataFrame, x_of, y_of) -> dict:
+    """The layout's PINNED bucketing bounds: loaded from the store's
+    ``_zbounds.json`` sidecar, initialized from the FIRST batch
+    (atomic tmp+rename; a replayed first batch recomputes identical
+    values from the same rows, so the crash window between data write
+    and meta publish replays clean). Later data outside the pinned
+    range stays correct — ``sources/zorder.py::zkey`` clamps to the
+    edge buckets; only edge-file pruning selectivity degrades, and a
+    compaction after re-pinning (deployment policy) restores it."""
+    import json
+    import os
+    import uuid as _uuid
+
+    from mevi_spark.sources.zorder import scan_bounds
+
+    p = os.path.join(output_dir, "_zbounds.json")
+    if os.path.exists(p):
+        with open(p, encoding="utf-8") as fh:
+            return json.load(fh)
+    bounds = scan_bounds(batch, x_of(batch), y_of(batch))
+    os.makedirs(output_dir, exist_ok=True)
+    tmp = f"{p}.tmp-{_uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(bounds, fh)
+    os.rename(tmp, p)
+    return bounds
+
+
+def incremental_zorder(
+    stream_df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    x_of,
+    y_of,
+    files_per_batch: int = 4,
+    bits: int | None = None,
+):
+    """Z-ordered (Morton-clustered) layout maintained under ingest —
+    the streaming twin of ``sources/zorder.py::write_zordered`` (the
+    Delta/Iceberg ``OPTIMIZE ZORDER BY`` lifecycle: appends land as
+    batch-clustered delta dirs, periodic compaction re-clusters).
+
+    Each micro-batch is written z-clustered UNDER THE PINNED BOUNDS to
+    its own ``b<batch_id>`` dir (overwrite mode — a replayed batch
+    rewrites the same row set, never duplicates), so every delta file
+    already carries a bounded min-max range in EACH dimension and the
+    read path (:func:`zorder_state` — base ⊎ deltas) prunes 2-D boxes
+    file-by-file with no reader code. :func:`compact_zorder` folds
+    deltas into a re-clustered base, bounding file count. ``x_of`` /
+    ``y_of`` map the batch frame to its dimension columns (deferred so
+    dtype-dispatching builders like ``epoch_us`` see the live frame).
+
+    100 TB shape: per batch ONE range shuffle of the batch only;
+    compaction is the amortized rewrite every table-maintenance
+    service schedules (scope it per ingest partition — e.g. per day —
+    at deployment, exactly as the batch writer's docstring says)."""
+    from mevi_spark.sources.zorder import Z_BITS, write_zordered_bounded
+
+    zbits = int(bits) if bits is not None else Z_BITS
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        bounds = _zorder_bounds(output_dir, batch, x_of, y_of)
+        write_zordered_bounded(
+            batch,
+            f"{output_dir}/b{int(batch_id):09d}",
+            x_of(batch),
+            y_of(batch),
+            files_per_batch,
+            bounds,
+            zbits,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def zorder_state(spark, output_dir: str) -> DataFrame:
+    """The maintained table: compacted base (if any) ⊎ live delta
+    dirs. Every file in every dir is z-clustered, so parquet min-max
+    stats prune multi-dimensional boxes across the whole union."""
+    base, _, live = _rollup_parts(output_dir)
+    paths = ([base] if base else []) + live
+    if not paths:
+        raise FileNotFoundError(f"no z-order state under {output_dir}")
+    return spark.read.parquet(*paths)
+
+
+def compact_zorder(
+    spark, output_dir: str, x_of, y_of, n_files: int = 24,
+    bits: int | None = None,
+) -> int:
+    """Fold live delta dirs (+ current base) into ONE re-clustered
+    base under the layout's pinned bounds — the crash-safe watermark
+    fold of :func:`compact_rollup`, with the merge being a range
+    shuffle on the z-key instead of an aggregation."""
+    import json
+    import os
+
+    from mevi_spark.sources.zorder import Z_BITS, zkey
+
+    zbits = int(bits) if bits is not None else Z_BITS
+    with open(
+        os.path.join(output_dir, "_zbounds.json"), encoding="utf-8"
+    ) as fh:
+        bounds = json.load(fh)
+
+    def recluster(df: DataFrame) -> DataFrame:
+        z = zkey(x_of(df), y_of(df), bounds, zbits)
+        return df.repartitionByRange(int(n_files), z).sortWithinPartitions(z)
+
+    return _compact_partials(spark, output_dir, recluster)

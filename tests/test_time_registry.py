@@ -33,11 +33,18 @@ def test_epoch_us_ltz_arm(spark):
 
 
 R11_NEW = [
-    # the 8 round-11-new queries (zero driver evidence; the
+    # the 12 round-11-new queries (zero driver evidence; the
     # incremental-components twin, the certified quantile maintenance,
     # BM25-served-from-state, the range-bucketed curriculum order, the
     # eval-metrics maintenance twin and the canonical view served from
-    # maintained labels landed late in the round)
+    # maintained labels landed late in the round; the KMV bottom-k
+    # distinct sketch, its maintenance twin and the per-stratum
+    # grouped sample and the z-order layout maintenance twin landed
+    # in the round-11 continuation)
+    "kmv_shingle_sample",
+    "streaming_kmv",
+    "grouped_kmv_sample",
+    "streaming_zorder",
     "streaming_components",
     "streaming_quantiles",
     "streaming_lexical_stats",
@@ -95,6 +102,12 @@ R11_ROTATED_OUT = {
     "knn_topk_ip",
     "knn_topk_cosine",
     "ann_lsh_topk",
+    # displaced from tier 3 by the r11-continuation kmv_shingle_sample,
+    # streaming_kmv, grouped_kmv_sample and streaming_zorder
+    "ensemble_grid",
+    "ann_ivf_topk",
+    "ensemble_fuse",
+    "retrieval_eval_metrics",
 }
 
 

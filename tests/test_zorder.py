@@ -109,3 +109,64 @@ def test_zorder_scan_pushes_filters(layouts):
     )
     assert "PushedFilters: [" in plan
     assert "GreaterThanOrEqual(user_id,40)" in plan
+
+
+def test_incremental_zorder_deltas_prune_replay_and_compact(
+    spark, tmp_path_factory
+):
+    """Maintenance twin invariants: (a) each delta dir's files carry
+    bounded per-dimension ranges (prune-able before any compaction),
+    (b) a replayed batch rewrites the same row set (no duplicates),
+    (c) compaction preserves the table exactly and absorbs the dirs,
+    (d) bounds pinned by batch 0 CLAMP batch 1's out-of-range rows
+    into edge buckets without losing them."""
+    from mevi_spark.sources.zorder import write_zordered_bounded
+    from mevi_spark.streaming.incremental import (
+        _zorder_bounds,
+        compact_zorder,
+        zorder_state,
+    )
+
+    base = str(tmp_path_factory.mktemp("inc_zorder"))
+    ev = load_table(spark, SF, "events").withColumn(
+        "ts_us", epoch_us(load_table(spark, SF, "events"), "ts")
+    )
+
+    def x_of(df):
+        return F.col("user_id")
+
+    def y_of(df):
+        return F.col("ts_us")
+
+    # batch 0 pins bounds over HALF the user range; batch 1 exceeds it
+    b0 = ev.filter(F.col("user_id") < 75)
+    b1 = ev.filter(F.col("user_id") >= 75)
+    bounds = _zorder_bounds(base, b0, x_of, y_of)
+    assert bounds["xmx"] < 75
+    for i, b in enumerate((b0, b1)):
+        got = _zorder_bounds(base, b, x_of, y_of)
+        assert got == bounds  # pinned: batch 1 does NOT re-derive
+        write_zordered_bounded(
+            b, f"{base}/b{i:09d}", x_of(b), y_of(b), 12, bounds
+        )
+
+    # (a) delta files bound BOTH dimensions: a ~40%-of-range user
+    # slice must skip files in the un-compacted delta itself
+    zr = _file_ranges(f"{base}/b{0:09d}", ["user_id", "ts_us"])
+    assert _overlap(zr, "user_id", 40, 70) <= 0.8 * len(zr)
+
+    want = sorted(map(tuple, ev.collect()))
+
+    def state_rows():
+        return sorted(map(tuple, zorder_state(spark, base).collect()))
+
+    assert state_rows() == want
+    # (b) replay batch 1: same rows, no duplicates
+    write_zordered_bounded(
+        b1, f"{base}/b{1:09d}", x_of(b1), y_of(b1), 6, bounds
+    )
+    assert state_rows() == want
+    # (c)+(d) compaction folds both dirs, table unchanged (out-of-range
+    # rows clamped into edge buckets, never dropped)
+    assert compact_zorder(spark, base, x_of, y_of, n_files=12) == 2
+    assert state_rows() == want
