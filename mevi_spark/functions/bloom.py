@@ -1,0 +1,93 @@
+"""Bloom-filter membership pre-filter (broadcast bitset).
+
+``decontaminate_eval`` broadcasts the RAW eval shingle union — right
+while the blocklist fits an executor. When the filter side grows to
+billions of n-grams / URLs / content hashes (web-scale blocklists),
+broadcast a compact BITSET instead: m bits probed by k salted hashes,
+map-side, zero shuffle. Bloom guarantees NO false negatives, so an
+exact verify join against the real set over ONLY the bloom-positive
+survivors restores exactness — shuffle volume proportional to true
+hits + false positives (rate ``(1 − e^{−k·n/m})^k``), never the
+corpus. The pre-filter is a pure plan optimization: composed with the
+verify join the result is bit-identical to the exact operator, which
+is why ``bloom_decontaminate`` shares ``decontaminate_eval``'s oracle
+verbatim.
+
+Scale shape of the BUILD: set-bit *positions* are collected distinct —
+bounded by m (the sketch size) regardless of key count, because the
+map-side partial distinct caps what shuffles; the m/32-word bitset
+folds driver-side and inlines into the probe expression via
+``sql_json_literal`` (2 analysis-time nodes, ConstantFolding → one
+Literal). 32-bit words keep every inlined value and every probe
+intermediate inside non-negative BIGINT arithmetic.
+
+Standard construction (Bloom, CACM 1970); no reference counterpart
+(the reference has no blocklist analytics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from mevi_spark.functions.text_analysis import hash60
+from mevi_spark.functions.vector import sql_json_literal
+
+_POW2 = [1 << b for b in range(32)]
+
+
+def bloom_positions(
+    key: Column, m: int, n_hashes: int, salt: str = "bloom"
+) -> Column:
+    """``array<long>`` of the k bit positions for ``key`` — the SAME
+    expression on the build and probe sides (one definition, so the
+    no-false-negative guarantee cannot drift)."""
+    return F.array(
+        *[hash60(key, f"{salt}{i}") % F.lit(int(m)) for i in range(n_hashes)]
+    )
+
+
+def bloom_build(
+    df: DataFrame, col: str, m: int, n_hashes: int, salt: str = "bloom"
+) -> list[int]:
+    """Build the bitset as ``ceil(m/32)`` 32-bit words. One map-only
+    pass over the key frame; the distinct-position shuffle is ≤ m rows
+    by construction."""
+    rows = (
+        df.select(
+            F.explode(
+                bloom_positions(F.col(col), m, n_hashes, salt)
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * ((int(m) + 31) // 32)
+    for r in rows:
+        p = int(r["p"])
+        words[p >> 5] |= 1 << (p & 31)
+    return words
+
+
+def bloom_probe(
+    key: Column,
+    words: list[int],
+    m: int,
+    n_hashes: int,
+    salt: str = "bloom",
+) -> Column:
+    """Boolean membership probe against an inlined bitset: for each of
+    the k positions, bit b of the word is read as
+    ``word % 2^(b+1) >= 2^b`` — pure LONG arithmetic (``/`` would be
+    double division; an inexactly-rounded quotient near an integer
+    could flip a bit test), whole-stage codegen, no UDF. PySpark's
+    ``shiftright`` only takes a literal shift, so the variable bit
+    extract goes through a 32-entry power-of-two lookup instead."""
+    w = F.expr(sql_json_literal(words, "array<bigint>"))
+    pw = F.expr(sql_json_literal(_POW2, "array<bigint>"))
+    out = F.lit(True)
+    for i in range(n_hashes):
+        p = hash60(key, f"{salt}{i}") % F.lit(int(m))
+        word = F.element_at(w, (F.shiftright(p, 5) + 1).cast("int"))
+        bit = F.element_at(pw, (p % 32 + 1).cast("int"))
+        out = out & ((word % (bit * F.lit(2))) >= bit)
+    return out

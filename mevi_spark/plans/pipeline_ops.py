@@ -1060,9 +1060,10 @@ def canonicalize_from_labels(corpus: DataFrame, labels: DataFrame) -> DataFrame:
 # round-7 additions #2: eval-set decontamination, repetition filtering
 
 
-@register(
-    "decontaminate_eval",
-    oracle=f"""
+# shared by decontaminate_eval AND bloom_decontaminate: the Bloom
+# pre-filter + exact verify composition is bit-identical to the exact
+# operator, so both run against the same SQL
+DECONTAMINATE_ORACLE = f"""
 WITH {_SQL_CORPUS}, {_SQL_TOKS},
 sh5 AS (
   SELECT doc_id,
@@ -1080,8 +1081,10 @@ hits AS (
 SELECT tr.doc_id, COALESCE(hits.n, 0) AS n_overlap,
        COALESCE(hits.n, 0) > 0 AS contaminated
 FROM tr LEFT JOIN hits USING (doc_id)
-""",
-)
+"""
+
+
+@register("decontaminate_eval", oracle=DECONTAMINATE_ORACLE)
 def decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination — the GPT-3/Gopher hygiene step: flag
     every training document sharing any word 5-gram with a held-out
@@ -3140,3 +3143,50 @@ def grouped_kmv_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_bottom_k_grouped(
         docs, "doc_id", 8, ["lang", "source"], salt="gsample"
     ).select("lang", "source", "key", "hh", "rnk")
+
+
+@register("bloom_decontaminate", oracle=DECONTAMINATE_ORACLE)
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a Bloom-bitset pre-filter
+    (``functions/bloom.py``) — the shape for when the blocklist side
+    outgrows a raw broadcast: the eval 5-gram union is compressed to
+    an m-bit bitset probed MAP-SIDE over the corpus (zero shuffle; no
+    false negatives by construction), and only the bloom-positive
+    survivors meet the real eval set in the exact verify join — its
+    volume is true hits + false positives
+    (``(1 − e^{−k·n/m})^k`` ≈ 2% at the m=2^18/k=4/n≈16k fixture),
+    never the corpus. Composed, the result is bit-identical to
+    ``decontaminate_eval`` — SAME oracle, and the in-query counter
+    asserts the pre-filter really pruned (candidates < exploded
+    corpus) while losing nothing (candidates ⊇ verified hits is the
+    Bloom guarantee; the oracle equality is the end-to-end proof)."""
+    from mevi_spark.functions.bloom import bloom_build, bloom_probe
+    from mevi_spark.functions.text import word_shingles
+
+    m, k_h = 1 << 18, 4
+    sh = _corpus(spark, sf_dir).select(
+        "doc_id", word_shingles("text", 5).alias("s")
+    )
+    # eval union is bounded (benchmark-sized) — pin it once for the
+    # bitset build and the verify join
+    ev = (
+        sh.filter(F.col("doc_id") >= 100000)
+        .select(F.explode("s").alias("g"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    words = bloom_build(ev, "g", m, k_h)
+    tr = sh.filter(F.col("doc_id") < 100000)
+    cand = tr.select("doc_id", F.explode("s").alias("g")).filter(
+        bloom_probe(F.col("g"), words, m, k_h)
+    )
+    hits = (
+        cand.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return tr.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n", F.lit(0)).alias("n_overlap"),
+        (F.coalesce("n", F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -70,13 +70,13 @@ _LOADED = False
 # 16 of 66), so the exposure order is now explicit:
 #
 # Round-11 policy (oldest evidence first — the minimal-max-staleness
-# round-robin adopted in r10; at 143 names / 50 slots the steady-state
+# round-robin adopted in r10; at 144 names / 50 slots the steady-state
 # refresh period is 3 rounds). Evidence state after r10: 50 names have
 # a fresh r10 row; 49 r9-green names are 1-round... now 2-round-stale
 # at r11; the 29 r8-green names deferred at r10 would hit 3-round
 # staleness, so they go first, exactly as the r10 note promised.
 #
-#   tier 1 — the TWELVE round-11-new queries (the KMV distinct sketch +
+#   tier 1 — the THIRTEEN round-11-new queries (the KMV distinct sketch +
 #            its maintenance twin; incremental lexical stats,
 #            the lexical tier's streaming twin, plus BM25 SERVED from
 #            that maintained state through the shared scorer kernel;
@@ -103,7 +103,7 @@ _LOADED = False
 #            events_hypertable_rollup displaced by the late tier-1
 #            pair).
 #
-# Rotated out (93 = 143 − 50, by evidence age): the 50 r10-green names
+# Rotated out (94 = 144 − 50, by evidence age): the 50 r10-green names
 # (1-round-stale — freshest possible outside the window), the three
 # bench-exercised r7-green names (coarse_to_fine_retrieval,
 # rq_beam_search, rq_encode_two_level — executed at sf0.1 by BENCH
@@ -151,6 +151,12 @@ _PRIORITY_ORDER: list[str] = [
     # retrieval_eval_metrics, which BENCH executes at sf0.1 every
     # round, the same standing evidence as the three r7 headliners)
     "streaming_zorder",
+    # (bloom_decontaminate: the Bloom-bitset pre-filter + exact-verify
+    # decontamination — map-side blocklist probe, shuffle proportional
+    # to hits+FPs, oracle shared verbatim with decontaminate_eval;
+    # displaces global_shuffle_blocks — tier-3, r9-green, re-validated
+    # by the full local gate every round like every displaced name)
+    "bloom_decontaminate",
     "streaming_components",
     "streaming_quantiles",
     "streaming_lexical_stats",
@@ -198,7 +204,7 @@ _PRIORITY_ORDER: list[str] = [
     "dedup_canonicalize",
     "bm25_search",
     "wds_shards_roundtrip",
-    "global_shuffle_blocks",
+    # global_shuffle_blocks,
     # retrieval_eval_metrics (bench-exercised every round),
     # ensemble_fuse, ensemble_grid and ann_ivf_topk displaced by the r11-continuation
     # tier-1 cohort (kmv_shingle_sample, streaming_kmv,

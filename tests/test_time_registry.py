@@ -33,18 +33,20 @@ def test_epoch_us_ltz_arm(spark):
 
 
 R11_NEW = [
-    # the 12 round-11-new queries (zero driver evidence; the
+    # the 13 round-11-new queries (zero driver evidence; the
     # incremental-components twin, the certified quantile maintenance,
     # BM25-served-from-state, the range-bucketed curriculum order, the
     # eval-metrics maintenance twin and the canonical view served from
     # maintained labels landed late in the round; the KMV bottom-k
     # distinct sketch, its maintenance twin and the per-stratum
-    # grouped sample and the z-order layout maintenance twin landed
-    # in the round-11 continuation)
+    # grouped sample, the z-order layout maintenance twin and the
+    # Bloom-prefilter decontamination landed in the round-11
+    # continuation)
     "kmv_shingle_sample",
     "streaming_kmv",
     "grouped_kmv_sample",
     "streaming_zorder",
+    "bloom_decontaminate",
     "streaming_components",
     "streaming_quantiles",
     "streaming_lexical_stats",
@@ -103,11 +105,13 @@ R11_ROTATED_OUT = {
     "knn_topk_cosine",
     "ann_lsh_topk",
     # displaced from tier 3 by the r11-continuation kmv_shingle_sample,
-    # streaming_kmv, grouped_kmv_sample and streaming_zorder
+    # streaming_kmv, grouped_kmv_sample, streaming_zorder and
+    # bloom_decontaminate
     "ensemble_grid",
     "ann_ivf_topk",
     "ensemble_fuse",
     "retrieval_eval_metrics",
+    "global_shuffle_blocks",
 }
 
 
