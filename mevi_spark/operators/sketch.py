@@ -627,7 +627,11 @@ def kmv_bottom_k_grouped(
             best = (
                 cur.drop_duplicates(gcols + ["hh"])
                 .sort_values("hh")
-                .groupby(gcols, sort=False)
+                # dropna=False: a null group value must survive the
+                # prune — the downstream rank window keeps NULL
+                # partitions, and silently dropping them here would
+                # lose whole strata
+                .groupby(gcols, sort=False, dropna=False)
                 .head(kk)
             )
         if best is not None:

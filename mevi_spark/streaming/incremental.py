@@ -2219,6 +2219,10 @@ def incremental_zorder(
     zbits = int(bits) if bits is not None else Z_BITS
 
     def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            # an empty batch must neither pin degenerate (null)
+            # bounds nor publish an empty delta dir
+            return
         bounds = _zorder_bounds(output_dir, batch, x_of, y_of)
         write_zordered_bounded(
             batch,
@@ -2263,12 +2267,15 @@ def compact_zorder(
     from mevi_spark.sources.zorder import Z_BITS, zkey
 
     zbits = int(bits) if bits is not None else Z_BITS
-    with open(
-        os.path.join(output_dir, "_zbounds.json"), encoding="utf-8"
-    ) as fh:
-        bounds = json.load(fh)
 
     def recluster(df: DataFrame) -> DataFrame:
+        # read lazily: only reached when live delta dirs exist, and a
+        # store with delta dirs always has the bounds sidecar (the
+        # sink pins it before the first data write)
+        with open(
+            os.path.join(output_dir, "_zbounds.json"), encoding="utf-8"
+        ) as fh:
+            bounds = json.load(fh)
         z = zkey(x_of(df), y_of(df), bounds, zbits)
         return df.repartitionByRange(int(n_files), z).sortWithinPartitions(z)
 

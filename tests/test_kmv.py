@@ -138,3 +138,16 @@ def test_grouped_bottom_k_matches_replica(spark):
         bot = sorted((_md5(x, "gsample"), x) for x in ks)[:k]
         want += [(g, i + 1, key, hh) for i, (hh, key) in enumerate(bot)]
     assert got == sorted(want)
+
+
+def test_grouped_bottom_k_keeps_null_group(spark):
+    from mevi_spark.operators.sketch import kmv_bottom_k_grouped
+
+    rows = [("a", "x1"), ("a", "x2"), (None, "y1"), (None, "y2")]
+    df = spark.createDataFrame(rows, "grp string, key string")
+    got = kmv_bottom_k_grouped(df, "key", 8, ["grp"], salt="gsample")
+    by_grp = {}
+    for r in got.collect():
+        by_grp.setdefault(r["grp"], set()).add(r["key"])
+    # the NULL stratum survives the per-partition prune (dropna=False)
+    assert by_grp == {"a": {"x1", "x2"}, None: {"y1", "y2"}}

@@ -95,7 +95,18 @@ def main() -> None:
         return cold, round(time.perf_counter() - t0, 3)
 
     scale: dict[str, dict] = {}
-    for name in ("chunk_dedup_overlap", "chunk_dedup_overlap_reconstruct"):
+    # the r11-continuation additions join the tier: the KMV sketch
+    # (its certify pass runs an exact distinct count — included, the
+    # honest cost of the instrumented query) and the Bloom-prefilter
+    # decontamination (vs the same exact oracle decontaminate_eval
+    # answers). The streaming twins are excluded: their time is
+    # dominated by the availableNow staging harness, not the operator.
+    for name in (
+        "chunk_dedup_overlap",
+        "chunk_dedup_overlap_reconstruct",
+        "kmv_shingle_sample",
+        "bloom_decontaminate",
+    ):
         fn = registry.get_queries()[name]
         sc, sw = _timed(lambda fn=fn: fn(spark, sf_dir))
         con.execute(oracles[name]).df()
