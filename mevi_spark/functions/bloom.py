@@ -40,10 +40,33 @@ def bloom_positions(
 ) -> Column:
     """``array<long>`` of the k bit positions for ``key`` — the SAME
     expression on the build and probe sides (one definition, so the
-    no-false-negative guarantee cannot drift)."""
+    no-false-negative guarantee cannot drift).
+
+    Positions derive from TWO md5 hashes via Kirsch-Mitzenmacher
+    double hashing, ``pos_i = (h1 + i·h2) mod m`` (Kirsch &
+    Mitzenmacher, ESA 2006: asymptotically the same FP rate as k
+    independent hashes): md5 is the dominant probe cost — at corpus
+    scale the probe runs per exploded n-gram, so halving-to-quartering
+    the hash count is wall-clock on the hot map side. ``h2`` is forced
+    odd (an odd value stays odd mod a power-of-two ``m``, so the
+    stride hits distinct residues) and both hashes reduce mod m BEFORE
+    the stride multiply, keeping every intermediate ≤ k·m — no
+    overflow for any k."""
+    h1, h2, mm = _strides(key, m, salt)
     return F.array(
-        *[hash60(key, f"{salt}{i}") % F.lit(int(m)) for i in range(n_hashes)]
+        *[(h1 + F.lit(i) * h2) % mm for i in range(n_hashes)]
     )
+
+
+def _strides(key: Column, m: int, salt: str):
+    """The (h1, h2, m) triple behind ``pos_i = (h1 + i·h2) mod m`` —
+    ONE definition shared by :func:`bloom_positions` (build) and
+    :func:`bloom_probe`, so the two sides cannot drift apart and
+    silently break the no-false-negative guarantee."""
+    mm = F.lit(int(m))
+    h1 = hash60(key, f"{salt}a") % mm
+    h2 = (hash60(key, f"{salt}b") * F.lit(2) + F.lit(1)) % mm
+    return h1, h2, mm
 
 
 def bloom_build(
@@ -81,12 +104,17 @@ def bloom_probe(
     double division; an inexactly-rounded quotient near an integer
     could flip a bit test), whole-stage codegen, no UDF. PySpark's
     ``shiftright`` only takes a literal shift, so the variable bit
-    extract goes through a 32-entry power-of-two lookup instead."""
+    extract goes through a 32-entry power-of-two lookup instead. The
+    k position expressions repeat the SAME two md5 subtrees
+    (:func:`_strides`), which whole-stage codegen's subexpression
+    elimination evaluates once per row — two hashes per probe, not
+    k."""
     w = F.expr(sql_json_literal(words, "array<bigint>"))
     pw = F.expr(sql_json_literal(_POW2, "array<bigint>"))
+    h1, h2, mm = _strides(key, m, salt)
     out = F.lit(True)
     for i in range(n_hashes):
-        p = hash60(key, f"{salt}{i}") % F.lit(int(m))
+        p = (h1 + F.lit(i) * h2) % mm
         word = F.element_at(w, (F.shiftright(p, 5) + 1).cast("int"))
         bit = F.element_at(pw, (p % 32 + 1).cast("int"))
         out = out & ((word % (bit * F.lit(2))) >= bit)

@@ -15,11 +15,13 @@ M, K = 1 << 14, 4
 
 
 def _py_positions(key: str, m: int, k: int, salt: str = "bloom"):
-    return [
-        int(hashlib.md5(f"{salt}{i}|{key}".encode()).hexdigest()[:15], 16)
-        % m
-        for i in range(k)
-    ]
+    # Kirsch-Mitzenmacher double hashing, mirroring functions/bloom.py
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    h1 = h60(f"{salt}a|{key}") % m
+    h2 = (h60(f"{salt}b|{key}") * 2 + 1) % m
+    return [(h1 + i * h2) % m for i in range(k)]
 
 
 def test_positions_match_python_replica(spark):

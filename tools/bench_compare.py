@@ -95,16 +95,17 @@ def main() -> None:
         return cold, round(time.perf_counter() - t0, 3)
 
     scale: dict[str, dict] = {}
-    # the r11-continuation additions join the tier: the KMV sketch
-    # (its certify pass runs an exact distinct count — included, the
-    # honest cost of the instrumented query) and the Bloom-prefilter
-    # decontamination (vs the same exact oracle decontaminate_eval
-    # answers). The streaming twins are excluded: their time is
-    # dominated by the availableNow staging harness, not the operator.
+    # the r11-continuation additions join the tier. bloom_decontaminate
+    # is timed as registered (its only instrumentation is the bitset
+    # build — part of the operator); kmv times the OPERATOR below (the
+    # registered query's certify pass re-counts the exact distinct —
+    # fixture-scale instrumentation the deployment read skips, same
+    # reasoning as timing semantic_dedup_frame instead of its query).
+    # The streaming twins are excluded: their time is dominated by the
+    # availableNow staging harness, not the operator.
     for name in (
         "chunk_dedup_overlap",
         "chunk_dedup_overlap_reconstruct",
-        "kmv_shingle_sample",
         "bloom_decontaminate",
     ):
         fn = registry.get_queries()[name]
@@ -117,6 +118,33 @@ def main() -> None:
             "spark_cold": sc,
             "duckdb": round(time.perf_counter() - t0, 3),
         }
+    def _kmv_operator():
+        from mevi_spark.operators.sketch import kmv_bottom_k
+        from mevi_spark.plans.pipeline_ops import (
+            KMV_K,
+            kmv_sample_frame,
+            shingle_keys,
+        )
+        from mevi_spark.sources.io import load_table
+
+        keys = shingle_keys(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        return kmv_sample_frame(kmv_bottom_k(keys, "shingle", KMV_K))
+
+    sc, sw = _timed(_kmv_operator)
+    con.execute(oracles["kmv_shingle_sample"]).df()
+    t0 = time.perf_counter()
+    con.execute(oracles["kmv_shingle_sample"]).df()
+    scale["kmv_shingle_sample"] = {
+        "spark": sw,
+        "spark_cold": sc,
+        "duckdb": round(time.perf_counter() - t0, 3),
+        "note": "spark = the sketch operator (bottom-k prune + rank);"
+        " the registered query adds an exact-distinct certify pass"
+        " that deployment reads skip",
+    }
+
     sc, sw = _timed(
         lambda: semantic_dedup_frame(spark, sf_dir, giant_cluster_cap=1000)
     )
