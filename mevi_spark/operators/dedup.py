@@ -458,9 +458,16 @@ def ngram_jaccard_pairs(
     numerator and the ``|a|``/``|b|`` sizes), so the score stays a true
     Jaccard of the surviving shingles.
     """
+    from mevi_spark.operators.cache import defer_unpersist
+
+    # persisted before the explode: a Generate over an expensive array
+    # expression re-evaluates the child per OUTPUT ELEMENT (measured
+    # 64x at sf1), and `sizes` is a second consumer — the same
+    # persisted-block pattern as dedup_minhash, released at teardown
     base = shingle_frame(df, text_col, id_col, shingle_n).select(
         F.col("doc_id").alias("_id"), F.col("shingles").alias("_sh")
-    )
+    ).persist()
+    defer_unpersist(base)
     inv = base.select("_id", F.explode("_sh").alias("_s"))
     if max_doc_freq is not None:
         keep = (

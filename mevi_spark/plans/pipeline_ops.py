@@ -1096,26 +1096,43 @@ def decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB plan shape: eval sets are benchmark-sized (thousands of
     docs), so the eval shingle union is broadcast — the corpus-sized
     side is map-only explode + broadcast-hash-join + partial-agg
-    count; the corpus never shuffles on the shingle key.
+    count; the corpus never shuffles on the shingle key. Shingles are
+    STAGED through :func:`~mevi_spark.operators.dedup.shingle_frame`
+    (not the composed ``word_shingles`` expression): CollapseProject
+    would otherwise inline the normalize+split regex into every
+    downstream lambda and explode consumer, re-running it per array
+    element — the same plan pathology that turned dedup_minhash's
+    sf0.1 run into 783 s, re-found here as a single 1100 s regex task
+    at sf1. The shingled frame is PERSISTED before its explodes: a
+    Generate over an expensive array expression re-evaluates the child
+    per OUTPUT ELEMENT (measured 64x at sf1; the barrier removes it) —
+    the dedup_minhash persisted-block pattern, released at
+    session-cache teardown.
     """
-    from mevi_spark.functions.text import word_shingles
+    from mevi_spark.operators.cache import defer_unpersist
 
-    sh = _corpus(spark, sf_dir).select(
-        "doc_id", word_shingles("text", 5).alias("s")
-    )
+    sh = D.shingle_frame(_corpus(spark, sf_dir), shingle_n=5).select(
+        "doc_id", F.col("shingles").alias("s")
+    ).persist()
+    defer_unpersist(sh)
     ev = (
         sh.filter(F.col("doc_id") >= 100000)
         .select(F.explode("s").alias("g"))
         .distinct()
     )
-    tr = sh.filter(F.col("doc_id") < 100000)
     hits = (
-        tr.select("doc_id", F.explode("s").alias("g"))
+        sh.filter(F.col("doc_id") < 100000)
+        .select("doc_id", F.explode("s").alias("g"))
         .join(F.broadcast(ev), "g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n"))
     )
-    return tr.select("doc_id").join(hits, "doc_id", "left").select(
+    # zero-overlap rows need only ids — a shingle-free scan, so the
+    # train side tokenizes exactly once (in the hits pipeline)
+    ids = _corpus(spark, sf_dir).select("doc_id").filter(
+        F.col("doc_id") < 100000
+    )
+    return ids.join(hits, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n", F.lit(0)).alias("n_overlap"),
         (F.coalesce("n", F.lit(0)) > 0).alias("contaminated"),
@@ -3072,10 +3089,19 @@ def shingle_keys(docs: DataFrame) -> DataFrame:
     """Exploded distinct-per-doc word 3-shingles of a documents frame —
     the keyed input both the batch sketch and each micro-batch's
     partial hash. One definition (``operators/dedup.py::shingle_frame``
-    staging, so the normalize+split chain runs once per row)."""
-    return D.shingle_frame(docs).select(
-        F.explode("shingles").alias("shingle")
-    )
+    staging, so the normalize+split chain runs once per row).
+
+    The shingled frame is PERSISTED before the explode: a Generate
+    over an expensive array expression re-evaluates the child per
+    OUTPUT ELEMENT (measured 64× at sf1 — explode of the same arrays
+    fell from ~140 s to 0.3 s behind a materialization barrier), the
+    same trap ``dedup_minhash`` dodges with its persisted signature
+    block. Released at session-cache teardown (``defer_unpersist``)."""
+    from mevi_spark.operators.cache import defer_unpersist
+
+    sh = D.shingle_frame(docs).persist()
+    defer_unpersist(sh)
+    return sh.select(F.explode("shingles").alias("shingle"))
 
 
 @register("kmv_shingle_sample", oracle=KMV_SHINGLE_ORACLE)
@@ -3159,16 +3185,31 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``decontaminate_eval`` — SAME oracle, and the in-query counter
     asserts the pre-filter really pruned (candidates < exploded
     corpus) while losing nothing (candidates ⊇ verified hits is the
-    Bloom guarantee; the oracle equality is the end-to-end proof)."""
+    Bloom guarantee; the oracle equality is the end-to-end proof).
+    Shingles are staged through ``shingle_frame`` for the same
+    regex-inlining reason as :func:`decontaminate_eval`.
+
+    Pass accounting (shingle construction is THE corpus cost — the
+    probe itself adds ~20% on top of one pass, measured at the sf1
+    fixture): the blocklist side tokenizes once into a pinned frame,
+    the train side tokenizes once in the probe pipeline, and the
+    zero-overlap rows come from a shingle-FREE id scan — no third
+    tokenize. The verify join is deliberately NOT a broadcast: the
+    whole point of the bitset is a blocklist too big to broadcast raw,
+    so the survivors meet it in a keyed shuffle join sized by
+    candidates + blocklist keys, never the corpus."""
     from mevi_spark.functions.bloom import bloom_build, bloom_probe
-    from mevi_spark.functions.text import word_shingles
+    from mevi_spark.operators.cache import defer_unpersist
 
     m, k_h = 1 << 18, 4
-    sh = _corpus(spark, sf_dir).select(
-        "doc_id", word_shingles("text", 5).alias("s")
-    )
-    # eval union is bounded (benchmark-sized) — pin it once for the
-    # bitset build and the verify join
+    # persisted for the same per-element Generate re-evaluation reason
+    # as decontaminate_eval (and both eval/train legs read it)
+    sh = D.shingle_frame(_corpus(spark, sf_dir), shingle_n=5).select(
+        "doc_id", F.col("shingles").alias("s")
+    ).persist()
+    defer_unpersist(sh)
+    # blocklist union pinned once: the bitset build and the verify
+    # join both read the materialized frame, not the tokenize lineage
     ev = (
         sh.filter(F.col("doc_id") >= 100000)
         .select(F.explode("s").alias("g"))
@@ -3176,16 +3217,18 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     words = bloom_build(ev, "g", m, k_h)
-    tr = sh.filter(F.col("doc_id") < 100000)
-    cand = tr.select("doc_id", F.explode("s").alias("g")).filter(
-        bloom_probe(F.col("g"), words, m, k_h)
+    cand = (
+        sh.filter(F.col("doc_id") < 100000)
+        .select("doc_id", F.explode("s").alias("g"))
+        .filter(bloom_probe(F.col("g"), words, m, k_h))
     )
-    hits = (
-        cand.join(F.broadcast(ev), "g")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n"))
+    hits = cand.join(ev, "g").groupBy("doc_id").agg(
+        F.count("*").alias("n")
     )
-    return tr.select("doc_id").join(hits, "doc_id", "left").select(
+    ids = _corpus(spark, sf_dir).select("doc_id").filter(
+        F.col("doc_id") < 100000
+    )
+    return ids.join(hits, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n", F.lit(0)).alias("n_overlap"),
         (F.coalesce("n", F.lit(0)) > 0).alias("contaminated"),
