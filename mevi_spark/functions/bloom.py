@@ -29,7 +29,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from mevi_spark.functions.text_analysis import hash60
 from mevi_spark.functions.vector import sql_json_literal
 
 _POW2 = [1 << b for b in range(32)]
@@ -42,16 +41,20 @@ def bloom_positions(
     expression on the build and probe sides (one definition, so the
     no-false-negative guarantee cannot drift).
 
-    Positions derive from TWO md5 hashes via Kirsch-Mitzenmacher
-    double hashing, ``pos_i = (h1 + i·h2) mod m`` (Kirsch &
-    Mitzenmacher, ESA 2006: asymptotically the same FP rate as k
-    independent hashes): md5 is the dominant probe cost — at corpus
-    scale the probe runs per exploded n-gram, so halving-to-quartering
-    the hash count is wall-clock on the hot map side. ``h2`` is forced
-    odd (an odd value stays odd mod a power-of-two ``m``, so the
-    stride hits distinct residues) and both hashes reduce mod m BEFORE
-    the stride multiply, keeping every intermediate ≤ k·m — no
-    overflow for any k."""
+    Positions derive from TWO ``xxhash64`` hashes via
+    Kirsch-Mitzenmacher double hashing, ``pos_i = (h1 + i·h2) mod m``
+    (Kirsch & Mitzenmacher, ESA 2006: asymptotically the same FP rate
+    as k independent hashes). The hash is Spark's built-in
+    ``xxhash64`` — JVM-native long arithmetic inside whole-stage
+    codegen, no md5 hex-string round trip: the probe runs per exploded
+    corpus n-gram (the hottest map side in the repo), and the bitset
+    positions NEVER appear in query output, so the repo's md5
+    cross-engine-determinism convention buys nothing here — the shared
+    ``decontaminate_eval`` oracle checks only the end result. ``h2``
+    is forced odd (an odd value stays odd mod the power-of-two ``m``
+    this module requires, so the stride hits distinct residues) and
+    both hashes reduce mod m BEFORE the stride multiply, keeping every
+    intermediate ≤ k·m — no overflow for any k."""
     h1, h2, mm = _strides(key, m, salt)
     return F.array(
         *[(h1 + F.lit(i) * h2) % mm for i in range(n_hashes)]
@@ -62,10 +65,21 @@ def _strides(key: Column, m: int, salt: str):
     """The (h1, h2, m) triple behind ``pos_i = (h1 + i·h2) mod m`` —
     ONE definition shared by :func:`bloom_positions` (build) and
     :func:`bloom_probe`, so the two sides cannot drift apart and
-    silently break the no-false-negative guarantee."""
+    silently break the no-false-negative guarantee.
+
+    ``m`` must be a power of two: the odd-``h2`` full-period argument
+    (odd stays odd, and an odd stride mod 2^b visits distinct
+    residues) only holds there — for odd ``m``, ``(2·h+1) mod m`` can
+    be 0, collapsing all k probes onto ``h1``. Asserted, not assumed.
+
+    ``xxhash64`` is signed; ``pmod`` (not ``%``) maps it into
+    ``[0, m)``. ``h2`` is reduced mod m BEFORE the ·2+1, so the odd
+    form never overflows and the final reduce keeps it < m."""
+    if m <= 0 or m & (m - 1):
+        raise ValueError(f"bloom m must be a power of two, got {m}")
     mm = F.lit(int(m))
-    h1 = hash60(key, f"{salt}a") % mm
-    h2 = (hash60(key, f"{salt}b") * F.lit(2) + F.lit(1)) % mm
+    h1 = F.pmod(F.xxhash64(F.lit(f"{salt}a"), key), mm)
+    h2 = (F.pmod(F.xxhash64(F.lit(f"{salt}b"), key), mm) * F.lit(2) + F.lit(1)) % mm
     return h1, h2, mm
 
 
@@ -105,7 +119,7 @@ def bloom_probe(
     could flip a bit test), whole-stage codegen, no UDF. PySpark's
     ``shiftright`` only takes a literal shift, so the variable bit
     extract goes through a 32-entry power-of-two lookup instead. The
-    k position expressions repeat the SAME two md5 subtrees
+    k position expressions repeat the SAME two xxhash64 subtrees
     (:func:`_strides`), which whole-stage codegen's subexpression
     elimination evaluates once per row — two hashes per probe, not
     k."""

@@ -3182,10 +3182,11 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume is true hits + false positives
     (``(1 − e^{−k·n/m})^k`` ≈ 2% at the m=2^18/k=4/n≈16k fixture),
     never the corpus. Composed, the result is bit-identical to
-    ``decontaminate_eval`` — SAME oracle, and the in-query counter
-    asserts the pre-filter really pruned (candidates < exploded
-    corpus) while losing nothing (candidates ⊇ verified hits is the
-    Bloom guarantee; the oracle equality is the end-to-end proof).
+    ``decontaminate_eval`` — SAME oracle. The pruning property
+    (candidates < exploded corpus while candidates ⊇ verified hits —
+    the Bloom no-false-negative guarantee) is pinned by
+    ``tests/test_bloom.py``; the oracle equality is the end-to-end
+    proof.
     Shingles are staged through ``shingle_frame`` for the same
     regex-inlining reason as :func:`decontaminate_eval`.
 
