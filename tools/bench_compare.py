@@ -145,9 +145,7 @@ def main() -> None:
         " that deployment reads skip",
     }
 
-    sc, sw = _timed(
-        lambda: semantic_dedup_frame(spark, sf_dir, giant_cluster_cap=1000)
-    )
+    sc, sw = _timed(lambda: semantic_dedup_frame(spark, sf_dir))
     con.execute(oracles["semantic_dedup"]).df()
     t0 = time.perf_counter()
     con.execute(oracles["semantic_dedup"]).df()
@@ -155,8 +153,9 @@ def main() -> None:
         "spark": sw,
         "spark_cold": sc,
         "duckdb": round(time.perf_counter() - t0, 3),
-        "note": "spark = guarded plan (giant_cluster_cap=1000, sign-LSH"
-        " banded); duckdb = exact all-pairs tournament oracle",
+        "note": "spark = guarded plan at the DEFAULT giant_cluster_cap"
+        " (4096, sign-LSH banded above it); duckdb = exact all-pairs"
+        " tournament oracle",
     }
 
     s_cold = round(sum(spark_cold.values()), 3)
