@@ -1209,13 +1209,15 @@ def streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drained(exact_grouped_quantiles(corpus), base)
 
 
-def _kmv_oracle() -> str:
-    from mevi_spark.plans.pipeline_ops import KMV_SHINGLE_ORACLE
+# explicit module-level import (same style as HH_TERMS_ORACLE above):
+# the decorator argument is evaluated at import time anyway, so a
+# function wrapper would not actually defer the pipeline_ops import —
+# it only obscured the import-order dependency (pipeline_ops has no
+# back-import of this module, so the dependency is safe and one-way).
+from mevi_spark.plans.pipeline_ops import KMV_SHINGLE_ORACLE
 
-    return KMV_SHINGLE_ORACLE
 
-
-@register("streaming_kmv", oracle=_kmv_oracle())
+@register("streaming_kmv", oracle=KMV_SHINGLE_ORACLE)
 def streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k distinct sketch maintained under document ingest (the
     maintenance twin of ``kmv_shingle_sample``): documents arrive in
@@ -1267,13 +1269,10 @@ def streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drained(kmv_sample_frame(sketch), base)
 
 
-def _zorder_oracle() -> str:
-    from mevi_spark.plans.pruning_ops import ZORDER_BOX_ORACLE
-
-    return ZORDER_BOX_ORACLE
+from mevi_spark.plans.pruning_ops import ZORDER_BOX_ORACLE
 
 
-@register("streaming_zorder", oracle=_zorder_oracle())
+@register("streaming_zorder", oracle=ZORDER_BOX_ORACLE)
 def streaming_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-ordered layout maintained under event ingest (the maintenance
     twin of ``zorder_box_scan`` — the ``OPTIMIZE ZORDER BY``
