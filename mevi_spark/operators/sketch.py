@@ -606,8 +606,6 @@ def kmv_bottom_k_grouped(
     partition, then a rank window over the pruned union (≤ k·P rows
     per group — never the corpus). Dedup is on (group, hh): the same
     key may legitimately appear under several groups."""
-    from pyspark.sql import Window
-
     prep = df.select(
         *[F.col(g) for g in group_cols],
         F.col(key_col).cast("string").alias("key"),
@@ -638,9 +636,30 @@ def kmv_bottom_k_grouped(
             yield best
 
     pruned = prep.mapInPandas(prune, prep.schema)
+    return kmv_merge_grouped(pruned, kk, gcols)
+
+
+def kmv_merge_grouped(
+    sketches: DataFrame, k: int, group_cols: list[str]
+) -> DataFrame:
+    """Fold any union of per-group ``(…group_cols, key, hh)`` sketch
+    rows (raw pruned rows or already-ranked sketches, across any
+    number of partial dirs) into ONE ranked per-group bottom-k — the
+    grouped counterpart of :func:`kmv_merge`, and the SHARED kernel
+    behind :func:`kmv_bottom_k_grouped` (batch) and the maintenance
+    store's merge-on-read (``streaming/incremental.py::
+    grouped_kmv_state``): one definition, so the maintained per-stratum
+    sample cannot drift from the batch construction. Dedup is on
+    (group, hh) — the same key may legitimately appear under several
+    groups; the rank window sees only the pruned union (≤ k·parts per
+    group), never the corpus."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
     w = Window.partitionBy(*gcols).orderBy("hh")
     return (
-        pruned.dropDuplicates(gcols + ["hh"])
+        sketches.select(*gcols, "key", "hh")
+        .dropDuplicates(gcols + ["hh"])
         .withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= kk)
+        .filter(F.col("rnk") <= int(k))
     )

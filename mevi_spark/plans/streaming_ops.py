@@ -1269,6 +1269,60 @@ def streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drained(kmv_sample_frame(sketch), base)
 
 
+from mevi_spark.plans.pipeline_ops import GROUPED_KMV_ORACLE
+
+
+@register("streaming_grouped_kmv", oracle=GROUPED_KMV_ORACLE)
+def streaming_grouped_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum uniform sample maintained under document ingest
+    (the maintenance twin of ``grouped_kmv_sample``): documents arrive
+    in three doc-id-interleaved slices and
+    :func:`~mevi_spark.streaming.incremental.incremental_grouped_kmv`
+    prunes each batch to its own per-(lang, source) bottom-k partial —
+    ≤ k rows per stratum per batch, md5-deterministic so crash-replay
+    overwrites identical content. The merged state
+    (:func:`~mevi_spark.streaming.incremental.grouped_kmv_state`,
+    shared ``kmv_merge_grouped`` kernel) equals the one-shot grouped
+    sketch over the accumulated corpus because a stratum's
+    globally-bottom-k hash is bottom-k within every batch that carries
+    it — returned against the IDENTICAL oracle as the batch query.
+    100 TB shape: the "8 random docs from every language×source cell"
+    inspection read is answered from (k · strata)-sized state at any
+    point of the ingest, never by re-sampling the corpus."""
+    from mevi_spark.streaming.incremental import (
+        grouped_kmv_state,
+        incremental_grouped_kmv,
+    )
+
+    base = _tmp("gkmv")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in/s{i:02d}")
+    stream = stream_parquet_source(
+        spark, f"{base}/in/s*", docs.schema, max_files_per_trigger=1
+    )
+    q = incremental_grouped_kmv(
+        stream,
+        f"{base}/out",
+        f"{base}/ckpt",
+        "doc_id",
+        ["lang", "source"],
+        k=8,
+        salt="gsample",
+    )
+    q.awaitTermination()
+    state = grouped_kmv_state(
+        spark, f"{base}/out", ["lang", "source"], k=8
+    )
+    return _drained(
+        state.select("lang", "source", "key", "hh", "rnk"), base
+    )
+
+
 from mevi_spark.plans.pruning_ops import ZORDER_BOX_ORACLE
 
 

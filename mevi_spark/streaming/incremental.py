@@ -2158,6 +2158,78 @@ def compact_kmv(spark, output_dir: str, k: int = 256) -> int:
     )
 
 
+def incremental_grouped_kmv(
+    stream_df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 8,
+    salt: str = "kmv",
+    batch_prep=None,
+):
+    """Per-stratum bottom-k sample maintained under ingest — the
+    grouped twin of :func:`incremental_kmv`: each micro-batch prunes
+    to ITS OWN per-group bottom-k
+    (``operators/sketch.py::kmv_bottom_k_grouped``, ≤ k rows per group
+    seen in the batch; the rank column is dropped — ranks are a
+    property of the MERGED state, recomputed on read) written to the
+    rollup store's per-batch dir. md5 determinism makes a replayed
+    batch rebuild identical content (no-merge-in-sink idempotence).
+    Soundness is per-stratum mergeability: a group's globally-bottom-k
+    hash is bottom-k within every batch that carries it, so
+    merge-on-read (:func:`grouped_kmv_state`, shared
+    ``kmv_merge_grouped`` kernel) equals the one-shot grouped sketch
+    over the accumulated corpus. State and every publish are
+    (k · groups-in-batch)-sized — the per-stratum inspection sample
+    stays readable at any time without a corpus pass."""
+    from mevi_spark.operators.sketch import kmv_bottom_k_grouped
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        keyed = batch_prep(batch) if batch_prep is not None else batch
+        kmv_bottom_k_grouped(keyed, key_col, k, group_cols, salt).drop(
+            "rnk"
+        ).write.mode("overwrite").parquet(
+            f"{output_dir}/b{int(batch_id):09d}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def grouped_kmv_state(
+    spark, output_dir: str, group_cols: list[str], k: int = 8
+) -> DataFrame:
+    """The current merged per-group bottom-k (ranked): base (if
+    compacted) ⊎ unfolded batch partial dirs through the shared
+    grouped merge kernel."""
+    from mevi_spark.operators.sketch import kmv_merge_grouped
+
+    return _merged_partials(
+        spark, output_dir, lambda df: kmv_merge_grouped(df, k, group_cols)
+    )
+
+
+def compact_grouped_kmv(
+    spark, output_dir: str, group_cols: list[str], k: int = 8
+) -> int:
+    """Fold live grouped-KMV partial dirs into a published base (the
+    crash-safe watermark fold of :func:`compact_rollup`). The folded
+    base drops the rank column like the per-batch partials — rank is
+    recomputed by every read."""
+    from mevi_spark.operators.sketch import kmv_merge_grouped
+
+    return _compact_partials(
+        spark,
+        output_dir,
+        lambda df: kmv_merge_grouped(df, k, group_cols).drop("rnk"),
+    )
+
+
 def _zorder_bounds(output_dir: str, batch: DataFrame, x_of, y_of) -> dict:
     """The layout's PINNED bucketing bounds: loaded from the store's
     ``_zbounds.json`` sidecar, initialized from the FIRST batch

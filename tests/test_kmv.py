@@ -114,6 +114,56 @@ def test_kmv_store_replay_and_compaction(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_grouped_kmv_store_replay_and_compaction(spark):
+    from mevi_spark.operators.sketch import kmv_bottom_k_grouped
+    from mevi_spark.streaming.incremental import (
+        compact_grouped_kmv,
+        grouped_kmv_state,
+    )
+
+    k = 8
+    rows = [(f"g{i % 4}", f"key{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "grp string, key string")
+    base = tempfile.mkdtemp(prefix="gkmv_test_")
+
+    def _state():
+        return sorted(
+            (r["grp"], r["rnk"], r["key"], r["hh"])
+            for r in grouped_kmv_state(
+                spark, base, ["grp"], k=k
+            ).collect()
+        )
+
+    try:
+        for i in range(3):
+            part = df.filter(F.crc32(F.col("key")) % 3 == i)
+            kmv_bottom_k_grouped(
+                part, "key", k, ["grp"], salt="gsample"
+            ).drop("rnk").write.mode("overwrite").parquet(
+                f"{base}/b{i:09d}"
+            )
+        before = _state()
+        # merged state == one-shot grouped sketch over the whole corpus
+        want = sorted(
+            (r["grp"], r["rnk"], r["key"], r["hh"])
+            for r in kmv_bottom_k_grouped(
+                df, "key", k, ["grp"], salt="gsample"
+            ).collect()
+        )
+        assert before == want
+        # replay: batch 1 rewrites its own dir with identical content
+        part1 = df.filter(F.crc32(F.col("key")) % 3 == 1)
+        kmv_bottom_k_grouped(
+            part1, "key", k, ["grp"], salt="gsample"
+        ).drop("rnk").write.mode("overwrite").parquet(f"{base}/b{1:09d}")
+        assert _state() == before
+        # compaction fold: state identical, dirs absorbed
+        assert compact_grouped_kmv(spark, base, ["grp"], k=k) == 3
+        assert _state() == before
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_grouped_bottom_k_matches_replica(spark):
     from mevi_spark.operators.sketch import kmv_bottom_k_grouped
 
