@@ -83,26 +83,44 @@ def _strides(key: Column, m: int, salt: str):
     return h1, h2, mm
 
 
-def bloom_build(
+def bloom_position_frame(
     df: DataFrame, col: str, m: int, n_hashes: int, salt: str = "bloom"
-) -> list[int]:
-    """Build the bitset as ``ceil(m/32)`` 32-bit words. One map-only
-    pass over the key frame; the distinct-position shuffle is ≤ m rows
-    by construction."""
-    rows = (
+) -> DataFrame:
+    """The distinct set-bit positions of a key frame as ``(p long)`` —
+    ≤ m rows by construction (map-side partial distinct caps what
+    shuffles). Positions are a MERGEABLE SET: the bitset is an OR-fold,
+    and OR-folding bitsets ≡ distinct over the position union, which is
+    what lets the maintenance store (``streaming/incremental.py::
+    incremental_bloom``) equal a from-scratch build exactly —
+    position-SET equality, not an approximation."""
+    return (
         df.select(
             F.explode(
                 bloom_positions(F.col(col), m, n_hashes, salt)
             ).alias("p")
         )
         .distinct()
-        .collect()
     )
+
+
+def words_from_positions(rows, m: int) -> list[int]:
+    """Fold collected position rows into the ``ceil(m/32)`` 32-bit
+    words the probe expression inlines."""
     words = [0] * ((int(m) + 31) // 32)
     for r in rows:
         p = int(r["p"])
         words[p >> 5] |= 1 << (p & 31)
     return words
+
+
+def bloom_build(
+    df: DataFrame, col: str, m: int, n_hashes: int, salt: str = "bloom"
+) -> list[int]:
+    """Build the bitset as ``ceil(m/32)`` 32-bit words. One map-only
+    pass over the key frame; the distinct-position shuffle is ≤ m rows
+    by construction."""
+    rows = bloom_position_frame(df, col, m, n_hashes, salt).collect()
+    return words_from_positions(rows, m)
 
 
 def bloom_probe(

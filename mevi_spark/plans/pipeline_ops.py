@@ -3085,10 +3085,11 @@ def kmv_sample_frame(sketch: DataFrame) -> DataFrame:
     )
 
 
-def shingle_keys(docs: DataFrame) -> DataFrame:
-    """Exploded distinct-per-doc word 3-shingles of a documents frame —
-    the keyed input both the batch sketch and each micro-batch's
-    partial hash. One definition (``operators/dedup.py::shingle_frame``
+def shingle_keys(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
+    """Exploded distinct-per-doc word n-shingles of a documents frame
+    (default 3; the decontamination blocklist store uses 5) — the
+    keyed input both the batch sketch and each micro-batch's partial
+    hash. One definition (``operators/dedup.py::shingle_frame``
     staging, so the normalize+split chain runs once per row).
 
     The shingled frame is PERSISTED before the explode: a Generate
@@ -3099,7 +3100,7 @@ def shingle_keys(docs: DataFrame) -> DataFrame:
     block. Released at session-cache teardown (``defer_unpersist``)."""
     from mevi_spark.operators.cache import defer_unpersist
 
-    sh = D.shingle_frame(docs).persist()
+    sh = D.shingle_frame(docs, shingle_n=shingle_n).persist()
     defer_unpersist(sh)
     return sh.select(F.explode("shingles").alias("shingle"))
 

@@ -1323,6 +1323,91 @@ def streaming_grouped_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from mevi_spark.plans.pipeline_ops import DECONTAMINATE_ORACLE
+
+
+@register("streaming_bloom_decontaminate", oracle=DECONTAMINATE_ORACLE)
+def streaming_bloom_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decontamination served from a Bloom blocklist maintained under
+    ingest (the maintenance twin of ``bloom_decontaminate``): the eval
+    blocklist arrives in three doc-id-interleaved slices and
+    :func:`~mevi_spark.streaming.incremental.incremental_bloom` writes
+    each batch's distinct set-bit POSITIONS (a mergeable set bounded by
+    m — the bitset is an OR-fold, and OR-folding bitsets ≡ distinct
+    over the position union) to the partial-dir store; a growing
+    blocklist never re-hashes its history. The drained bitset
+    (:func:`~mevi_spark.streaming.incremental.bloom_state`) is
+    position-set-EQUAL to a from-scratch ``bloom_build`` over the full
+    eval set, so the served read — the SAME map-side probe + exact
+    verify composition as the batch query — runs against the IDENTICAL
+    oracle. 100 TB shape: per-batch publish is ≤ m rows, the probe is
+    map-side whole-stage-codegen xxhash64, and the verify join is
+    sized by hits + false positives, never the corpus."""
+    from mevi_spark.functions.bloom import bloom_probe
+    from mevi_spark.operators.cache import defer_unpersist
+    from mevi_spark.operators import dedup as D
+    from mevi_spark.plans.pipeline_ops import _corpus, shingle_keys
+    from mevi_spark.streaming.incremental import (
+        bloom_state,
+        incremental_bloom,
+    )
+
+    m, k_h = 1 << 18, 4
+    base = _tmp("bloom")
+    corpus = _corpus(spark, sf_dir)
+    ev_docs = corpus.filter(F.col("doc_id") >= 100000).select(
+        "doc_id", "text"
+    )
+    for i in range(3):
+        ev_docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in/s{i:02d}")
+    stream = stream_parquet_source(
+        spark, f"{base}/in/s*", ev_docs.schema, max_files_per_trigger=1
+    )
+    q = incremental_bloom(
+        stream,
+        f"{base}/out",
+        f"{base}/ckpt",
+        "shingle",
+        m,
+        k_h,
+        batch_prep=lambda b: shingle_keys(b, shingle_n=5),
+    )
+    q.awaitTermination()
+    words = bloom_state(spark, f"{base}/out", m)
+    # the served read: identical probe + exact-verify composition to
+    # bloom_decontaminate (the staged slices partition the eval docs,
+    # so the corpus-side eval union IS the accumulated blocklist)
+    sh = D.shingle_frame(corpus, shingle_n=5).select(
+        "doc_id", F.col("shingles").alias("s")
+    ).persist()
+    defer_unpersist(sh)
+    ev = (
+        sh.filter(F.col("doc_id") >= 100000)
+        .select(F.explode("s").alias("g"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        sh.filter(F.col("doc_id") < 100000)
+        .select("doc_id", F.explode("s").alias("g"))
+        .filter(bloom_probe(F.col("g"), words, m, k_h))
+    )
+    hits = cand.join(ev, "g").groupBy("doc_id").agg(
+        F.count("*").alias("n")
+    )
+    ids = corpus.select("doc_id").filter(F.col("doc_id") < 100000)
+    result = ids.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n", F.lit(0)).alias("n_overlap"),
+        (F.coalesce("n", F.lit(0)) > 0).alias("contaminated"),
+    )
+    return _drained(result, base)
+
+
 from mevi_spark.plans.pruning_ops import ZORDER_BOX_ORACLE
 
 

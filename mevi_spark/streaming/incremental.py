@@ -2230,6 +2230,68 @@ def compact_grouped_kmv(
     )
 
 
+def incremental_bloom(
+    stream_df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    m: int,
+    n_hashes: int,
+    salt: str = "bloom",
+    batch_prep=None,
+):
+    """Bloom bitset maintained under blocklist ingest: each micro-batch
+    writes ITS OWN distinct set-bit positions
+    (``functions/bloom.py::bloom_position_frame`` — ≤ m rows, usually
+    ≪ m) to the partial-dir store. Positions are a mergeable SET
+    bounded by m: the bitset is an OR-fold, and OR-folding bitsets ≡
+    DISTINCT over the position union, so the merged state equals a
+    from-scratch ``bloom_build`` over the accumulated blocklist
+    EXACTLY (position-set equality, not an approximation) — a growing
+    blocklist never re-hashes its history. xxhash64 determinism makes
+    a replayed batch rebuild identical content (the no-merge-in-sink
+    idempotence of :func:`incremental_rollup`); the no-false-negative
+    guarantee is monotone under OR, so serving reads during ingest is
+    safe for keys already folded. ``batch_prep`` (optional) maps the
+    raw batch frame to the keyed frame first (e.g. 5-gram shingle
+    explosion) so the stream can carry source rows."""
+    from mevi_spark.functions.bloom import bloom_position_frame
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        keyed = batch_prep(batch) if batch_prep is not None else batch
+        bloom_position_frame(keyed, key_col, m, n_hashes, salt).write.mode(
+            "overwrite"
+        ).parquet(f"{output_dir}/b{int(batch_id):09d}")
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def bloom_state(spark, output_dir: str, m: int) -> list[int]:
+    """The current bitset words: base (if compacted) ⊎ unfolded batch
+    position dirs, OR-folded driver-side (the collect is ≤ m rows by
+    construction — the same bounded class as ``bloom_build``)."""
+    from mevi_spark.functions.bloom import words_from_positions
+
+    rows = _merged_partials(
+        spark, output_dir, lambda df: df.select("p").distinct()
+    ).collect()
+    return words_from_positions(rows, m)
+
+
+def compact_bloom(spark, output_dir: str) -> int:
+    """Fold live position partial dirs into a published base (the
+    crash-safe watermark fold of :func:`compact_rollup`); the base is
+    the distinct position union, still ≤ m rows."""
+    return _compact_partials(
+        spark, output_dir, lambda df: df.select("p").distinct()
+    )
+
+
 def _zorder_bounds(output_dir: str, batch: DataFrame, x_of, y_of) -> dict:
     """The layout's PINNED bucketing bounds: loaded from the store's
     ``_zbounds.json`` sidecar, initialized from the FIRST batch
