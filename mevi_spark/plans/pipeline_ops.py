@@ -2339,10 +2339,10 @@ def shuffle_block_assign(
 
 _CURR_BUCKETS = 32
 
-
-@register(
-    "curriculum_order",
-    oracle=f"""
+# shared by curriculum_order AND streaming_curriculum: the maintained
+# order is served through the same ranked_with_bounds kernel over the
+# same scoring kernel, so both run against the same SQL
+CURRICULUM_ORACLE = f"""
 WITH d AS (SELECT doc_id, {_SQL_NORM_T} AS t FROM documents),
 s AS (
   SELECT doc_id,
@@ -2353,8 +2353,10 @@ SELECT doc_id, score,
        CAST(ROW_NUMBER() OVER (ORDER BY score ASC, doc_id ASC) AS BIGINT)
          AS global_rank
 FROM s
-""",
-)
+"""
+
+
+@register("curriculum_order", oracle=CURRICULUM_ORACLE)
 def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering: a TOTAL order over the corpus by a quality
     score (stopword ratio here — the shared ``text_quality_stats``
@@ -2386,9 +2388,21 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle pins the identical total order with a global
     ROW_NUMBER (it only needs to be correct, not scale)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return ranked_by_range_buckets(
+        curriculum_scored(docs), "score", ["doc_id"], n_buckets=_CURR_BUCKETS
+    )
+
+
+def curriculum_scored(docs: DataFrame) -> DataFrame:
+    """``(doc_id, score)`` under the curriculum's quality kernel
+    (stopword ratio, rounded 6dp) — ONE definition shared by the batch
+    ordering above and the maintenance store's per-batch scoring
+    (``streaming/incremental.py::incremental_curriculum``), so the
+    maintained order cannot drift from the batch answer (or their
+    shared oracle)."""
     from mevi_spark.functions.text import normalize_text, tokens
 
-    scored = docs.select(
+    return docs.select(
         "doc_id",
         F.round(
             TA.stopword_ratio(
@@ -2396,9 +2410,6 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("score"),
-    )
-    return ranked_by_range_buckets(
-        scored, "score", ["doc_id"], n_buckets=_CURR_BUCKETS
     )
 
 
@@ -2416,6 +2427,27 @@ def ranked_by_range_buckets(
     bounds = df.agg(
         F.percentile_approx(score_col, probes, 10_000).alias("b")
     ).first()["b"]
+    return ranked_with_bounds(df, score_col, tie_cols, list(bounds))
+
+
+def ranked_with_bounds(
+    df: DataFrame,
+    score_col: str,
+    tie_cols: list[str],
+    bounds: list[float],
+) -> DataFrame:
+    """The bucket-assign → offsets → per-bucket windows tail of
+    :func:`ranked_by_range_buckets`, parameterized on an EXPLICIT
+    boundary list — the shared kernel between the one-shot ordering
+    (boundaries sketched from the same frame) and the maintenance
+    store (boundaries pinned in a sidecar, refined by re-split:
+    ``streaming/incremental.py::curriculum_state``). The output is
+    invariant to the boundary choice — boundaries only balance the P
+    parallel windows; bucket = count of boundaries strictly below the
+    score, so every score in bucket b orders before every score in
+    bucket b+1 for ANY sorted boundary list, and refining boundaries
+    can never reorder."""
+    n_buckets = len(bounds) + 1
     bounds_arr = F.array(*[F.lit(float(b)) for b in bounds])
     bucket = F.aggregate(
         bounds_arr,

@@ -2292,6 +2292,162 @@ def compact_bloom(spark, output_dir: str) -> int:
     )
 
 
+def _curriculum_bounds(output_dir: str, scored: DataFrame, n_buckets: int):
+    """The order's PINNED range boundaries, loaded from the store's
+    ``_cbounds.json`` sidecar and initialized from the FIRST batch's
+    score quantiles (atomic tmp+rename; a replayed first batch
+    recomputes identical values, so the crash window replays clean —
+    the :func:`_zorder_bounds` pattern). Pinning is CORRECT forever,
+    not just convenient: ``ranked_with_bounds`` output is invariant to
+    the boundary choice — later distribution drift degrades only the
+    BALANCE of the P parallel rank windows, which
+    :func:`resplit_curriculum` restores by refining boundaries."""
+    import json
+    import os
+    import uuid as _uuid
+
+    p = os.path.join(output_dir, "_cbounds.json")
+    if os.path.exists(p):
+        with open(p, encoding="utf-8") as fh:
+            return json.load(fh)
+    probes = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(
+        float(b)
+        for b in scored.agg(
+            F.percentile_approx("score", probes, 10_000).alias("b")
+        ).first()["b"]
+    )
+    os.makedirs(output_dir, exist_ok=True)
+    tmp = f"{p}.tmp-{_uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(bounds, fh)
+    os.rename(tmp, p)
+    return bounds
+
+
+def incremental_curriculum(
+    stream_df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    score_fn,
+    n_buckets: int = 32,
+):
+    """Curriculum ordering maintained under document ingest — the
+    maintenance twin of ``pipeline_ops.curriculum_order``. Appending
+    docs shifts every later-ranked doc's global rank, so ranks cannot
+    be materialized immutably (the blocks high-water-mark trick does
+    not apply); what IS maintainable is everything expensive:
+
+    * each micro-batch runs the scoring kernel ONCE (``score_fn`` —
+      the shared ``curriculum_scored``; the tokenizer never re-reads
+      history) and lands its batch-sized ``(doc_id, score)`` partial;
+    * the range boundaries are pinned in a sidecar by the first batch
+      (:func:`_curriculum_bounds`) — no re-sketching per read;
+    * ranks are served LAZILY by :func:`curriculum_state`: exact
+      per-bucket counts → offset map + within-bucket rank over the
+      merged narrow (doc_id, score) state — P parallel windows, one
+      keyed shuffle, never a single-partition sort and never a
+      re-score.
+
+    Replay-idempotent (the score is a pure function of the text, so a
+    replayed batch rewrites identical content)."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        scored = score_fn(batch)
+        _curriculum_bounds(output_dir, scored, n_buckets)
+        scored.write.mode("overwrite").parquet(
+            f"{output_dir}/b{int(batch_id):09d}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def curriculum_state(spark, output_dir: str) -> DataFrame:
+    """The current total order ``(doc_id, score, global_rank)``:
+    merged (doc_id, score) partials ranked through the SHARED
+    ``ranked_with_bounds`` kernel under the sidecar's boundaries."""
+    import json
+    import os
+
+    from mevi_spark.plans.pipeline_ops import ranked_with_bounds
+
+    with open(
+        os.path.join(output_dir, "_cbounds.json"), encoding="utf-8"
+    ) as fh:
+        bounds = json.load(fh)
+    merged = _merged_partials(
+        spark, output_dir, lambda df: df.select("doc_id", "score")
+    )
+    return ranked_with_bounds(merged, "score", ["doc_id"], bounds)
+
+
+def resplit_curriculum(
+    spark, output_dir: str, bucket_cap: int, n_buckets: int = 32
+) -> int:
+    """Re-balance the lazy rank windows after ingest skew: any bucket
+    whose row count exceeds ``bucket_cap`` contributes sub-boundaries
+    (its within-bucket quantiles) to the sidecar. Membership is NEVER
+    rewritten — buckets are derived from score vs boundaries on read,
+    so refinement is a sidecar-only append, and the served order is
+    provably unchanged (``ranked_with_bounds`` is boundary-invariant).
+    Returns the number of boundaries added. A bucket of one repeated
+    score value cannot split (ties must share a bucket) — that is a
+    data property, not a failure; its window stays large and the cap
+    simply cannot bite there."""
+    import json
+    import os
+    import uuid as _uuid
+
+    p = os.path.join(output_dir, "_cbounds.json")
+    with open(p, encoding="utf-8") as fh:
+        bounds = [float(b) for b in json.load(fh)]
+    merged = _merged_partials(
+        spark, output_dir, lambda df: df.select("doc_id", "score")
+    )
+    barr = F.array(*[F.lit(b) for b in bounds])
+    bkt = F.aggregate(
+        barr,
+        F.lit(0),
+        lambda acc, b: acc
+        + F.when(F.col("score") > b, F.lit(1)).otherwise(F.lit(0)),
+    )
+    keyed = merged.withColumn("_bkt", bkt)
+    heavy = [
+        r["_bkt"]
+        for r in keyed.groupBy("_bkt")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > int(bucket_cap))
+        .collect()
+    ]
+    added: set[float] = set()
+    if heavy:
+        # one grouped sketch pass over every overgrown bucket at once
+        rows = (
+            keyed.filter(F.col("_bkt").isin([int(b) for b in heavy]))
+            .groupBy("_bkt")
+            .agg(
+                F.percentile_approx(
+                    "score", [0.25, 0.5, 0.75], 10_000
+                ).alias("q")
+            )
+            .collect()
+        )
+        for r in rows:
+            added.update(float(s) for s in r["q"])
+    new = sorted(set(bounds) | added)
+    if len(new) != len(bounds):
+        tmp = f"{p}.tmp-{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(new, fh)
+        os.rename(tmp, p)
+    return len(new) - len(bounds)
+
+
 def _zorder_bounds(output_dir: str, batch: DataFrame, x_of, y_of) -> dict:
     """The layout's PINNED bucketing bounds: loaded from the store's
     ``_zbounds.json`` sidecar, initialized from the FIRST batch

@@ -1525,3 +1525,121 @@ def test_incremental_eval_metrics_converges_and_replays(spark):
         assert state() == want
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# curriculum maintenance store (r12)
+
+
+def _curr_scored(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+def test_curriculum_state_serves_exact_total_order(spark):
+    import shutil
+    import tempfile
+
+    from mevi_spark.streaming.incremental import (
+        _curriculum_bounds,
+        curriculum_state,
+    )
+
+    base = tempfile.mkdtemp(prefix="curr_test_")
+    try:
+        rows = [(i, float((i * 37) % 100) / 100.0) for i in range(300)]
+        parts = [rows[0::3], rows[1::3], rows[2::3]]
+        for i, part in enumerate(parts):
+            scored = _curr_scored(spark, part)
+            _curriculum_bounds(base, scored, 8)
+            scored.write.mode("overwrite").parquet(f"{base}/b{i:09d}")
+        got = {
+            r["doc_id"]: r["global_rank"]
+            for r in curriculum_state(spark, base).collect()
+        }
+        want = {
+            d: i + 1
+            for i, (d, _) in enumerate(
+                sorted(rows, key=lambda x: (x[1], x[0]))
+            )
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_curriculum_resplit_is_order_invariant_and_rebalances(spark):
+    import json
+    import shutil
+    import tempfile
+
+    from mevi_spark.streaming.incremental import (
+        _curriculum_bounds,
+        curriculum_state,
+        resplit_curriculum,
+    )
+
+    base = tempfile.mkdtemp(prefix="curr_test_")
+    try:
+        # batch 1 pins bounds from LOW scores only; batches 2-3 land a
+        # skewed high-score mass, overgrowing the top bucket
+        b1 = [(i, i / 1000.0) for i in range(100)]
+        b2 = [(1000 + i, 0.9 + (i % 50) / 1000.0) for i in range(200)]
+        b3 = [(2000 + i, 0.95 + (i % 50) / 1000.0) for i in range(200)]
+        for i, part in enumerate([b1, b2, b3]):
+            scored = _curr_scored(spark, part)
+            _curriculum_bounds(base, scored, 4)
+            scored.write.mode("overwrite").parquet(f"{base}/b{i:09d}")
+        before = sorted(
+            (r["doc_id"], r["score"], r["global_rank"])
+            for r in curriculum_state(spark, base).collect()
+        )
+        with open(f"{base}/_cbounds.json", encoding="utf-8") as fh:
+            n_bounds0 = len(json.load(fh))
+        added = resplit_curriculum(spark, base, bucket_cap=120, n_buckets=4)
+        assert added > 0
+        with open(f"{base}/_cbounds.json", encoding="utf-8") as fh:
+            assert len(json.load(fh)) == n_bounds0 + added
+        # served order is EXACTLY unchanged by boundary refinement
+        after = sorted(
+            (r["doc_id"], r["score"], r["global_rank"])
+            for r in curriculum_state(spark, base).collect()
+        )
+        assert after == before
+        # a second resplit at the same cap finds nothing new to split
+        # beyond ties (idempotent once balanced at this granularity)
+        again = resplit_curriculum(spark, base, bucket_cap=120, n_buckets=4)
+        assert again <= added
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_curriculum_replay_rewrites_identical_partial(spark):
+    import shutil
+    import tempfile
+
+    from mevi_spark.streaming.incremental import (
+        _curriculum_bounds,
+        curriculum_state,
+    )
+
+    base = tempfile.mkdtemp(prefix="curr_test_")
+    try:
+        rows = [(i, float(i % 7) / 7.0) for i in range(120)]
+        parts = [rows[0::2], rows[1::2]]
+        for i, part in enumerate(parts):
+            scored = _curr_scored(spark, part)
+            _curriculum_bounds(base, scored, 4)
+            scored.write.mode("overwrite").parquet(f"{base}/b{i:09d}")
+        before = sorted(
+            tuple(r) for r in curriculum_state(spark, base).collect()
+        )
+        # crash-replay: batch 1 rewrites its own dir (same pure score)
+        _curr_scored(spark, parts[1]).write.mode("overwrite").parquet(
+            f"{base}/b{1:09d}"
+        )
+        assert (
+            sorted(tuple(r) for r in curriculum_state(spark, base).collect())
+            == before
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
