@@ -69,154 +69,123 @@ _LOADED = False
 # queries crowd out never-driver-tested ones (round 3 silently dropped
 # 16 of 66), so the exposure order is now explicit:
 #
-# Round-11 policy (oldest evidence first — the minimal-max-staleness
-# round-robin adopted in r10; at 144 names / 50 slots the steady-state
-# refresh period is 3 rounds). Evidence state after r10: 50 names have
-# a fresh r10 row; 49 r9-green names are 1-round... now 2-round-stale
-# at r11; the 29 r8-green names deferred at r10 would hit 3-round
-# staleness, so they go first, exactly as the r10 note promised.
+# Round-12 policy (oldest evidence first — the minimal-max-staleness
+# round-robin adopted in r10; at 147 names / 50 slots the steady-state
+# refresh period is 3 rounds). Evidence state after r11: 50 names have
+# a fresh r11 row; the 30 r9-green names deferred at r10 AND r11 would
+# hit 3-round staleness, so they go first exactly as both rotation
+# notes promised, together with the 11 r9-green names the late-r11
+# tier-1 cohorts displaced from tier 3. Exposure order:
 #
-#   tier 1 — the THIRTEEN round-11-new queries (the KMV distinct sketch +
-#            its maintenance twin; incremental lexical stats,
-#            the lexical tier's streaming twin, plus BM25 SERVED from
-#            that maintained state through the shared scorer kernel;
-#            word-level rebuild under the overlapping chunk grid;
-#            range-bucketed curriculum ordering; eval metrics
-#            maintained as query waves arrive; the canonical-doc view
-#            served from maintained component labels; and, landed late in
-#            the round, the incremental connected-components twin and
-#            the certified mergeable quantile maintenance) — zero
-#            driver evidence;
-#   tier 2 — the 29 r8-green names queued by the r10 rotation note
-#            (including twice-deferred ann_adc_topk and
-#            dedup_components), now the oldest evidence in the
-#            registry;
-#   tier 3 — 13 of the 49 r9-green names, risk-ranked: the dedup
-#            family first (operators/dedup.py changed this round —
-#            SemDeDup giant-cluster guard lives beside the sign-LSH
-#            kernel embedding_near_dup shares), bm25_search (its
-#            oracle's token CTE was refactored into the shared
-#            _SQL_BTOKS this round), wds_shards_roundtrip (wds.py
-#            gained the stride guard + manifest compaction),
-#            global_shuffle_blocks, then the retrieval/ANN
-#            heavyweights (multi_assign_recall and
-#            events_hypertable_rollup displaced by the late tier-1
-#            pair).
+#   tier 1 — the THREE round-12-new queries (zero driver evidence):
+#            streaming_grouped_kmv (the per-stratum sample's
+#            maintenance twin on the shared kmv_merge_grouped kernel),
+#            streaming_bloom_decontaminate (the Bloom blocklist
+#            maintained as mergeable set-bit-position partials, served
+#            through the same probe + exact-verify composition), and
+#            streaming_curriculum (lazily-served global ranks over
+#            pinned-then-refinable range boundaries);
+#   tier 2 — the 30 r9-green names queued by the r10 AND r11 rotation
+#            notes (3-round-stale now — the oldest evidence in the
+#            registry);
+#   tier 3 — the 11 r9-green names displaced from the r11 tier 3 by
+#            the late-r11 tier-1 cohorts (documented in the r11 note
+#            below), equally 3-round-stale;
+#   tier 4 — 6 of the 50 r10-green names (2-round-stale),
+#            risk-ranked by this round's file changes: semantic_dedup
+#            and streaming_semdedup (the giant_cluster_cap default
+#            changed in operators/dedup.py + streaming/incremental.py
+#            this round), dedup_embedding_cosine (shares dedup.py's
+#            sign-LSH kernel), heavy_hitters_terms and
+#            streaming_heavy_hitters (operators/sketch.py gained
+#            kmv_merge_grouped beside their kernels; streaming_ops
+#            changed around the twin), chunk_dedup_overlap
+#            (pipeline_ops.py changed: shingle_keys signature,
+#            curriculum factoring).
 #
-# Rotated out (94 = 144 − 50, by evidence age): the 50 r10-green names
+# Rotated out (97 = 147 − 50, by evidence age): the 50 r11-green names
 # (1-round-stale — freshest possible outside the window), the three
 # bench-exercised r7-green names (coarse_to_fine_retrieval,
 # rq_beam_search, rq_encode_two_level — executed at sf0.1 by BENCH
-# every round, deliberately never windowed), and these 30 r9-green
-# names — 2-round-stale now, FIRST IN LINE FOR R12 alongside any
-# r12-new tier 1: augment_spans, beam_constrained, brand_set_ops,
-# code_prefix_members, code_token_arith, corpus_sample_remap,
-# customer_order_rollup, customer_order_running_stats,
-# customers_without_orders, decontaminate_eval, doc2query_expand,
-# doc_fingerprints, domain_mix_sample, embed_determinism,
-# eval_all_codes, events_asof_attribution, events_cohort_retention,
-# events_funnel_stages, events_json_extract, image_resize,
-# media_decode_stats, nation_revenue, pq_ivf_recall_curve,
-# q1_pricing_summary, q3_shipping_priority, rq_assign_topr,
-# sessionize_events, streaming_event_window_counts,
-# text_quality_stats, video_frame_sample — all re-validated against
-# the identical oracle by the full local gate
-# (tools/check_correctness.py) every round. EVERY round-12-new query
+# every round, deliberately never windowed), and the 44 remaining
+# r10-green names (2-round-stale, FIRST IN LINE FOR R13 alongside any
+# r13-new tier 1): bpe_roundtrip, cdc_partitioned_merge,
+# cdc_time_travel, chunk_dedup_append, chunk_dedup_reconstruct,
+# compaction_roundtrip, ensemble_hybrid, events_range_pairs,
+# events_rolling_stats, events_type_pivot, events_type_stats,
+# events_value_quantiles, memmap_roundtrip, order_priority_histogram,
+# orders_merge_upsert, packed_append, packed_sequences,
+# partition_pruning_stats, pq_adc_topk, pq_encode_reconstruct,
+# pq_ivf_adc_topk, rq_model_roundtrip, rq_reconstruct,
+# salted_hot_key_rollup, sequence_pack, shuffle_blocks_append,
+# sq8_encode_reconstruct, streaming_cdc_apply, streaming_dedup_ingest,
+# streaming_hypertable_refresh, streaming_neardup_ingest,
+# streaming_quantize_index, streaming_sessionize,
+# streaming_sessionize_evict, streaming_sessionize_window,
+# streaming_topk_maintenance, suppliers_in_region_semi, text_lang_id,
+# text_repetition_stats, text_tfidf_topterms, text_token_counts,
+# topk_orders_per_customer, tsv_corpus_roundtrip, wds_shards_append —
+# all re-validated against the identical oracle by the full local gate
+# (tools/check_correctness.py) every round. EVERY round-13-new query
 # must go to tier 1 with the displacement documented here; otherwise
 # it sorts after the window.
 _PRIORITY_ORDER: list[str] = [
-    # tier 1 — new in round 11, zero driver evidence
-    # (streaming_components and streaming_quantiles landed late in
-    # r11: the incremental connected-components twin and the certified
-    # mergeable quantile maintenance; their slots displace
-    # multi_assign_recall and events_hypertable_rollup — the
-    # youngest-evidence tier-3 names, r9-green and re-validated by the
-    # full local gate every round)
-    # (kmv_shingle_sample and streaming_kmv landed in the r11
-    # continuation: the KMV bottom-k distinct sketch — cardinality +
-    # uniform sample — and its maintenance twin, completing the
-    # mergeable-summaries family next to heavy hitters and quantiles;
-    # their slots displace ensemble_grid and ann_ivf_topk — tier-3,
-    # r9-green, re-validated by the full local gate every round)
-    "kmv_shingle_sample",
-    "streaming_kmv",
-    # (grouped_kmv_sample: the per-stratum deterministic uniform
-    # sample — k docs per lang×source cell by smallest salted hash —
-    # on the same grouped prune kernel; displaces ensemble_fuse, the
-    # last tier-3 name, r9-green and locally re-validated)
-    "grouped_kmv_sample",
-    # (streaming_zorder: the OPTIMIZE-ZORDER lifecycle — z-clustered
-    # delta dirs under pinned bounds + re-clustering compaction — the
-    # data-layout tier's maintenance twin; displaces
-    # retrieval_eval_metrics, which BENCH executes at sf0.1 every
-    # round, the same standing evidence as the three r7 headliners)
-    "streaming_zorder",
-    # (bloom_decontaminate: the Bloom-bitset pre-filter + exact-verify
-    # decontamination — map-side blocklist probe, shuffle proportional
-    # to hits+FPs, oracle shared verbatim with decontaminate_eval;
-    # displaces global_shuffle_blocks — tier-3, r9-green, re-validated
-    # by the full local gate every round like every displaced name)
-    "bloom_decontaminate",
-    "streaming_components",
-    "streaming_quantiles",
-    "streaming_lexical_stats",
-    "streaming_bm25_serve",
-    "curriculum_order",
-    "streaming_eval_metrics",
-    "streaming_canonicalize",
-    "chunk_dedup_overlap_reconstruct",
-    # tier 2 — r8-green, 2-round-stale, queued by the r10 rotation note
-    "stratified_sample_exact",
-    "ngram_lm_quality",
-    "zorder_box_scan",
-    "weighted_sample_topk",
-    "line_boilerplate_strip",
-    "events_value_winsorize",
-    "tsv_queries_roundtrip",
-    "tsv_run_roundtrip",
-    "bucketed_join_rollup",
-    "cluster_projection",
-    "complement_qg10",
-    "corpus_prep_pipeline",
-    "dataset_split",
-    "doc_query_sets",
-    "inverse_answer_index",
-    "jsonl_roundtrip",
-    "media_meta_stats",
-    "negatives_cluster",
-    "negatives_notclus",
-    "nq_hit_test",
-    "rq_assign_nearest",
-    "rq_centroids_label",
-    "rq_ema_step",
-    "rq_kmeans_invariant",
-    "sessionize_events_window",
-    "text_redact_pii",
-    "tokenize_padded",
-    "ann_adc_topk",
-    "dedup_components",
-    # tier 3 — r9-green (2-round-stale), risk-ranked
-    "dedup_minhash_pairs",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_dfcut",
-    "dedup_canonicalize",
-    "bm25_search",
-    "wds_shards_roundtrip",
-    # global_shuffle_blocks,
-    # retrieval_eval_metrics (bench-exercised every round),
-    # ensemble_fuse, ensemble_grid and ann_ivf_topk displaced by the r11-continuation
-    # tier-1 cohort (kmv_shingle_sample, streaming_kmv,
-    # grouped_kmv_sample, streaming_zorder) — first in line
-    # for r12 with the other displaced names below
-    # multi_assign_recall, events_hypertable_rollup,
-    # opq_encode_reconstruct, knn_topk_ip, knn_topk_cosine and
-    # ann_lsh_topk displaced by the late-r11 tier-1 cohort
-    # (streaming_components, streaming_quantiles, streaming_bm25_serve,
-    # curriculum_order, streaming_eval_metrics,
-    # streaming_canonicalize) — first in line for r12 with the other
-    # displaced names
+    # tier 1 — new in round 12, zero driver evidence
+    "streaming_grouped_kmv",
+    "streaming_bloom_decontaminate",
+    "streaming_curriculum",
+    # tier 2 — r9-green, 3-round-stale, queued by the r10+r11 notes
+    "augment_spans",
+    "beam_constrained",
+    "brand_set_ops",
+    "code_prefix_members",
+    "code_token_arith",
+    "corpus_sample_remap",
+    "customer_order_rollup",
+    "customer_order_running_stats",
+    "customers_without_orders",
+    "decontaminate_eval",
+    "doc2query_expand",
+    "doc_fingerprints",
+    "domain_mix_sample",
+    "embed_determinism",
+    "eval_all_codes",
+    "events_asof_attribution",
+    "events_cohort_retention",
+    "events_funnel_stages",
+    "events_json_extract",
+    "image_resize",
+    "media_decode_stats",
+    "nation_revenue",
+    "pq_ivf_recall_curve",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "rq_assign_topr",
+    "sessionize_events",
+    "streaming_event_window_counts",
+    "text_quality_stats",
+    "video_frame_sample",
+    # tier 3 — r9-green, 3-round-stale, displaced from r11 tier 3 by
+    # the late-r11 tier-1 cohorts
+    "ensemble_grid",
+    "ann_ivf_topk",
+    "ensemble_fuse",
+    "retrieval_eval_metrics",
+    "global_shuffle_blocks",
+    "multi_assign_recall",
+    "events_hypertable_rollup",
+    "opq_encode_reconstruct",
+    "knn_topk_ip",
+    "knn_topk_cosine",
+    "ann_lsh_topk",
+    # tier 4 — r10-green (2-round-stale), risk-ranked by r12 file
+    # changes (rationale in the policy note above)
+    "semantic_dedup",
+    "streaming_semdedup",
+    "dedup_embedding_cosine",
+    "heavy_hitters_terms",
+    "streaming_heavy_hitters",
+    "chunk_dedup_overlap",
 ]
 
 

@@ -32,86 +32,69 @@ def test_epoch_us_ltz_arm(spark):
     assert got == 1704067201_000000
 
 
-R11_NEW = [
-    # the 13 round-11-new queries (zero driver evidence; the
-    # incremental-components twin, the certified quantile maintenance,
-    # BM25-served-from-state, the range-bucketed curriculum order, the
-    # eval-metrics maintenance twin and the canonical view served from
-    # maintained labels landed late in the round; the KMV bottom-k
-    # distinct sketch, its maintenance twin and the per-stratum
-    # grouped sample, the z-order layout maintenance twin and the
-    # Bloom-prefilter decontamination landed in the round-11
-    # continuation)
-    "kmv_shingle_sample",
-    "streaming_kmv",
-    "grouped_kmv_sample",
-    "streaming_zorder",
-    "bloom_decontaminate",
-    "streaming_components",
-    "streaming_quantiles",
-    "streaming_lexical_stats",
-    "streaming_bm25_serve",
-    "curriculum_order",
-    "streaming_eval_metrics",
-    "streaming_canonicalize",
-    "chunk_dedup_overlap_reconstruct",
+R12_NEW = [
+    # the 3 round-12-new queries (zero driver evidence): the grouped
+    # KMV per-stratum sample's maintenance twin, decontamination
+    # served from an incrementally-maintained Bloom blocklist, and
+    # curriculum ordering with lazily-served ranks under ingest
+    "streaming_grouped_kmv",
+    "streaming_bloom_decontaminate",
+    "streaming_curriculum",
 ]
 
-# the only names allowed to lack both an r10 driver row AND an r11
+# the only names allowed to lack both an r11 driver row AND an r12
 # window slot (the registry rotation note documents each: three are
-# bench-exercised at sf0.1 every round; the 30 r9-green names are the
-# documented deferral, first in line for r12; all re-validated by the
+# bench-exercised at sf0.1 every round; the 44 r10-green names are
+# 2-round-stale and first in line for r13; all re-validated by the
 # full local gate every round)
-R11_ROTATED_OUT = {
+R12_ROTATED_OUT = {
     "coarse_to_fine_retrieval",
     "rq_beam_search",
     "rq_encode_two_level",
-    "augment_spans",
-    "beam_constrained",
-    "brand_set_ops",
-    "code_prefix_members",
-    "code_token_arith",
-    "corpus_sample_remap",
-    "customer_order_rollup",
-    "customer_order_running_stats",
-    "customers_without_orders",
-    "decontaminate_eval",
-    "doc2query_expand",
-    "doc_fingerprints",
-    "domain_mix_sample",
-    "embed_determinism",
-    "eval_all_codes",
-    "events_asof_attribution",
-    "events_cohort_retention",
-    "events_funnel_stages",
-    "events_json_extract",
-    "image_resize",
-    "media_decode_stats",
-    "nation_revenue",
-    "pq_ivf_recall_curve",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "rq_assign_topr",
-    "sessionize_events",
-    "streaming_event_window_counts",
-    "text_quality_stats",
-    "video_frame_sample",
-    # displaced from tier 3 by the late-r11 streaming_components,
-    # streaming_quantiles and streaming_bm25_serve
-    "multi_assign_recall",
-    "events_hypertable_rollup",
-    "opq_encode_reconstruct",
-    "knn_topk_ip",
-    "knn_topk_cosine",
-    "ann_lsh_topk",
-    # displaced from tier 3 by the r11-continuation kmv_shingle_sample,
-    # streaming_kmv, grouped_kmv_sample, streaming_zorder and
-    # bloom_decontaminate
-    "ensemble_grid",
-    "ann_ivf_topk",
-    "ensemble_fuse",
-    "retrieval_eval_metrics",
-    "global_shuffle_blocks",
+    "bpe_roundtrip",
+    "cdc_partitioned_merge",
+    "cdc_time_travel",
+    "chunk_dedup_append",
+    "chunk_dedup_reconstruct",
+    "compaction_roundtrip",
+    "ensemble_hybrid",
+    "events_range_pairs",
+    "events_rolling_stats",
+    "events_type_pivot",
+    "events_type_stats",
+    "events_value_quantiles",
+    "memmap_roundtrip",
+    "order_priority_histogram",
+    "orders_merge_upsert",
+    "packed_append",
+    "packed_sequences",
+    "partition_pruning_stats",
+    "pq_adc_topk",
+    "pq_encode_reconstruct",
+    "pq_ivf_adc_topk",
+    "rq_model_roundtrip",
+    "rq_reconstruct",
+    "salted_hot_key_rollup",
+    "sequence_pack",
+    "shuffle_blocks_append",
+    "sq8_encode_reconstruct",
+    "streaming_cdc_apply",
+    "streaming_dedup_ingest",
+    "streaming_hypertable_refresh",
+    "streaming_neardup_ingest",
+    "streaming_quantize_index",
+    "streaming_sessionize",
+    "streaming_sessionize_evict",
+    "streaming_sessionize_window",
+    "streaming_topk_maintenance",
+    "suppliers_in_region_semi",
+    "text_lang_id",
+    "text_repetition_stats",
+    "text_tfidf_topterms",
+    "text_token_counts",
+    "topk_orders_per_customer",
+    "tsv_corpus_roundtrip",
+    "wds_shards_append",
 }
 
 
@@ -120,8 +103,8 @@ def test_driver_window_invariants():
     registered queries, so the priority window must (a) hold exactly 50
     names, (b) name only registered queries, (c) contain every query
     that has never received a driver row (or whose plan changed) —
-    this round, the R11_NEW cohort — and (d) every name with no r10
-    driver row except the documented rotations (r10-green names are
+    this round, the R12_NEW cohort — and (d) every name with no r11
+    driver row except the documented rotations (r11-green names are
     1-round-stale and allowed out). A drifted window silently starves
     new queries of evidence."""
     import json
@@ -132,21 +115,21 @@ def test_driver_window_invariants():
     assert len(set(REG._PRIORITY_ORDER)) == 50
     window = list(REG.get_queries())[:50]
     assert set(window) == set(REG._PRIORITY_ORDER)
-    missing = [n for n in R11_NEW if n not in window]
+    missing = [n for n in R12_NEW if n not in window]
     assert not missing, f"zero-evidence queries outside the window: {missing}"
-    r10 = os.path.join(
-        os.path.dirname(__file__), "..", "CORRECTNESS_r10.json"
+    r11 = os.path.join(
+        os.path.dirname(__file__), "..", "CORRECTNESS_r11.json"
     )
-    if os.path.exists(r10):
-        with open(r10, encoding="utf-8") as fh:
-            r10_names = set(json.load(fh))
+    if os.path.exists(r11):
+        with open(r11, encoding="utf-8") as fh:
+            r11_names = set(json.load(fh))
         stale = [
             n
             for n in REG.get_queries()
-            if n not in r10_names
+            if n not in r11_names
             and n not in window
-            and n not in R11_ROTATED_OUT
-            and n not in R11_NEW
+            and n not in R12_ROTATED_OUT
+            and n not in R12_NEW
         ]
         assert not stale, f"undocumented 2-round-stale evidence: {stale}"
     # every windowed query must also carry an oracle (strict row, not
