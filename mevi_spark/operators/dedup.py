@@ -813,7 +813,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     entries: list | None = None,
-    giant_cluster_cap: int = 4096,
+    giant_cluster_cap: int = 1024,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", 2023): k-means-cluster
@@ -893,7 +893,7 @@ def semantic_dedup(
 def semdedup_tournament(
     scored: DataFrame,
     threshold: float,
-    giant_cluster_cap: int = 4096,
+    giant_cluster_cap: int = 1024,
     lsh_planes: int = 16,
     lsh_bands: int = 4,
     dim: int | None = None,

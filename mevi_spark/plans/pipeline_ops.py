@@ -2958,7 +2958,7 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semantic_dedup_frame(
-    spark: SparkSession, sf_dir: str, giant_cluster_cap: int = 4096
+    spark: SparkSession, sf_dir: str, giant_cluster_cap: int = 1024
 ) -> DataFrame:
     """The registered SemDeDup plan with an overridable giant-cluster
     cap — the scale bench (``tools/bench_compare.py``) times the

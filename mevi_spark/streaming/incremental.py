@@ -1428,7 +1428,7 @@ def incremental_semdedup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_buckets: int = 8,
-    giant_cluster_cap: int = 4096,
+    giant_cluster_cap: int = 1024,
 ):
     """SemDeDup maintained under ingest: keep the cluster-scoped
     keep/prune decision current as embeddings arrive, without ever

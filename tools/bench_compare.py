@@ -154,7 +154,7 @@ def main() -> None:
         "spark_cold": sc,
         "duckdb": round(time.perf_counter() - t0, 3),
         "note": "spark = guarded plan at the DEFAULT giant_cluster_cap"
-        " (4096, sign-LSH banded above it); duckdb = exact all-pairs"
+        " (1024, sign-LSH banded above it); duckdb = exact all-pairs"
         " tournament oracle",
     }
 
