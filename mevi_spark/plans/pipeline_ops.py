@@ -2393,6 +2393,89 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_BUDGET = 12_000
+_MIX_WEIGHTS = {"en": 0.40, "fr": 0.20, "de": 0.15, "es": 0.15, "zh": 0.10}
+_MIX_ALLOCS = {
+    lang: int(w * _MIX_BUDGET) for lang, w in _MIX_WEIGHTS.items()
+}
+
+
+@register(
+    "token_budget_mixture",
+    oracle=f"""
+WITH d AS (SELECT doc_id, lang, {_SQL_NORM_T} AS t FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         ROUND(CASE WHEN len(t) = 0 THEN 0.0
+               ELSE len(list_filter(t, x -> list_contains({_STOP_SQL}, x)))::DOUBLE / len(t) END, 6) AS score,
+         len(t) AS n_tok
+  FROM d),
+c AS (
+  SELECT *, SUM(n_tok) OVER (PARTITION BY lang ORDER BY score, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM s),
+a AS (SELECT * FROM (VALUES {", ".join(f"('{lang}', {alloc})" for lang, alloc in sorted(_MIX_ALLOCS.items()))})
+      AS t(lang, alloc))
+SELECT c.lang, doc_id, score, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(cum_tok AS BIGINT) AS cum_tok
+FROM c JOIN a USING (lang) WHERE cum_tok <= alloc
+""",
+)
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture fill — the dataset-assembly step after
+    curation: given a total token budget and per-domain mixture
+    weights ("fill 1T tokens at 40% en / 20% fr / …"), select each
+    domain's BEST documents (the curriculum quality kernel — stopword
+    ratio ASC, doc_id tie-break) until its token allocation
+    ``floor(w_d · B)`` is exhausted: a doc is selected iff the running
+    token total through it stays within the domain's allocation.
+    Deterministic (hash-free order, pure token counts), so the fill is
+    reproducible and oracle-checkable.
+
+    100 TB shape: token counting and scoring are map-side over ONE
+    staged tokenization (the normalize+split chain runs once per row —
+    the attribute-staging rule of ``shingle_frame``); the only shuffle
+    is the per-domain cumulative-sum window — P parallel partitions,
+    never a global sort, and the tiny allocation table rides along as
+    a literal map, no join. Greedy prefix-by-quality is the standard
+    budget-fill policy (a knapsack would buy ≤ one doc per domain).
+    No reference counterpart (the reference assembles by fixed id
+    lists); beyond-reference pipeline operator."""
+    from mevi_spark.functions.text import normalize_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    staged = docs.select(
+        "doc_id", "lang", tokens(normalize_text("text")).alias("_toks")
+    )
+    t = F.col("_toks")
+    scored = staged.select(
+        "doc_id",
+        "lang",
+        F.round(TA.stopword_ratio("_toks", toks=t), 6).alias("score"),
+        F.size(t).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.asc("score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    langs = sorted(_MIX_ALLOCS)
+    alloc = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(lang) for lang in langs]),
+            F.array(*[F.lit(_MIX_ALLOCS[lang]) for lang in langs]),
+        ),
+        F.col("lang"),
+    )
+    return (
+        scored.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= alloc)
+        .select("lang", "doc_id", "score", "n_tok", "cum_tok")
+    )
+
+
 def curriculum_scored(docs: DataFrame) -> DataFrame:
     """``(doc_id, score)`` under the curriculum's quality kernel
     (stopword ratio, rounded 6dp) — ONE definition shared by the batch

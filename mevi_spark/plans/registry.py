@@ -134,6 +134,14 @@ _PRIORITY_ORDER: list[str] = [
     "streaming_grouped_kmv",
     "streaming_bloom_decontaminate",
     "streaming_curriculum",
+    # (token_budget_mixture landed later in r12: the dataset-assembly
+    # budget fill — per-domain best-quality prefix under a token
+    # allocation; displaces tier-4 heavy_hitters_terms, whose r12 risk
+    # was only the kmv_merge_grouped ADDITION landing in sketch.py far
+    # from the HH kernels, and whose streaming twin — which exercises
+    # the shared merge kernel — keeps its slot below; re-validated by
+    # the full local gate every round like every displaced name)
+    "token_budget_mixture",
     # tier 2 — r9-green, 3-round-stale, queued by the r10+r11 notes
     "augment_spans",
     "beam_constrained",
@@ -183,7 +191,6 @@ _PRIORITY_ORDER: list[str] = [
     "semantic_dedup",
     "streaming_semdedup",
     "dedup_embedding_cosine",
-    "heavy_hitters_terms",
     "streaming_heavy_hitters",
     "chunk_dedup_overlap",
 ]

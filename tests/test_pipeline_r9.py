@@ -213,3 +213,63 @@ def test_shuffle_blocks_streaming_wrapper(spark):
         assert got == want
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_token_budget_mixture_respects_allocations(spark):
+    """Budget-fill invariants: per-domain token totals stay within the
+    allocation, the selection is the greedy quality-order prefix (the
+    next-best unselected doc would overflow), and token counts agree
+    with the staged tokenization."""
+    from mevi_spark.plans.pipeline_ops import (
+        _MIX_ALLOCS,
+        token_budget_mixture,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = token_budget_mixture(spark, sf).collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, sel in by_lang.items():
+        alloc = _MIX_ALLOCS[lang]
+        total = sum(r["n_tok"] for r in sel)
+        assert total <= alloc, (lang, total, alloc)
+        # cum_tok is the running sum in (score, doc_id) order
+        sel.sort(key=lambda r: (r["score"], r["doc_id"]))
+        run = 0
+        for r in sel:
+            run += r["n_tok"]
+            assert r["cum_tok"] == run, (lang, r)
+    # greedy-prefix: re-derive the full per-lang ordering and check the
+    # selected set is exactly the maximal allocation-bounded prefix
+    from pyspark.sql import functions as F
+
+    from mevi_spark.functions.text import normalize_text, tokens
+    from mevi_spark.functions import text_analysis as TA
+    from mevi_spark.sources.io import load_table
+
+    staged = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", tokens(normalize_text("text")).alias("_toks")
+    )
+    allrows = staged.select(
+        "doc_id",
+        "lang",
+        F.round(TA.stopword_ratio("_toks", toks=F.col("_toks")), 6).alias(
+            "score"
+        ),
+        F.size("_toks").cast("long").alias("n_tok"),
+    ).collect()
+    per_lang = {}
+    for r in allrows:
+        per_lang.setdefault(r["lang"], []).append(r)
+    for lang, docs in per_lang.items():
+        docs.sort(key=lambda r: (r["score"], r["doc_id"]))
+        want, run = set(), 0
+        for r in docs:
+            if run + r["n_tok"] > _MIX_ALLOCS[lang]:
+                break
+            run += r["n_tok"]
+            want.add(r["doc_id"])
+        got = {r["doc_id"] for r in by_lang.get(lang, [])}
+        assert got == want, lang

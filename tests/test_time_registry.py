@@ -40,6 +40,9 @@ R12_NEW = [
     "streaming_grouped_kmv",
     "streaming_bloom_decontaminate",
     "streaming_curriculum",
+    # landed later in r12: the token-budget mixture fill (displaces
+    # tier-4 heavy_hitters_terms — rationale in plans/registry.py)
+    "token_budget_mixture",
 ]
 
 # the only names allowed to lack both an r11 driver row AND an r12
@@ -63,6 +66,7 @@ R12_ROTATED_OUT = {
     "events_type_pivot",
     "events_type_stats",
     "events_value_quantiles",
+    "heavy_hitters_terms",
     "memmap_roundtrip",
     "order_priority_histogram",
     "orders_merge_upsert",
