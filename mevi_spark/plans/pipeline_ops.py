@@ -2476,6 +2476,100 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RAKE_SWEEPS = 6
+
+
+def _raking_oracle() -> str:
+    """Unroll the fixed-sweep IPF recursion as SQL CTEs evaluating the
+    LITERAL SAME formula as ``operators/raking.py::ipf_weights6``:
+    integer w6 state, exact integer marginals (Σ n·w6 — no float
+    accumulation), one double division per scale, floor(x+0.5)
+    re-round. With bit-identical inputs every step is bit-identical,
+    which is what lets a driver-side Python kernel and a SQL engine
+    agree on an iterative fixpoint to the last bit."""
+    case = "CASE lang " + " ".join(
+        f"WHEN '{lang}' THEN {w}" for lang, w in sorted(_MIX_WEIGHTS.items())
+    ) + " END"
+    ctes = [
+        "cells AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM documents GROUP BY 1, 2)",
+        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS N FROM cells)",
+        f"rt AS (SELECT lang, CAST(({case} * CAST(N AS DOUBLE)) * 1000000.0"
+        " AS BIGINT) AS t6 FROM (SELECT DISTINCT lang FROM cells)"
+        " CROSS JOIN tot)",
+        "ct AS (SELECT source, CAST(SUM(n) AS BIGINT) * 1000000 AS t6"
+        " FROM cells GROUP BY source)",
+        "w0 AS (SELECT lang, source, n, CAST(1000000 AS BIGINT) AS w6"
+        " FROM cells)",
+    ]
+    prev = "w0"
+    for k in range(_RAKE_SWEEPS):
+        ctes.append(
+            f"w{k}r AS (SELECT lang, source, n,"
+            " CAST(FLOOR(w6 * (t6 / CAST(SUM(n * w6) OVER (PARTITION BY"
+            " lang) AS DOUBLE)) + 0.5) AS BIGINT) AS w6"
+            f" FROM {prev} JOIN rt USING (lang))"
+        )
+        ctes.append(
+            f"w{k + 1} AS (SELECT lang, source, n,"
+            " CAST(FLOOR(w6 * (t6 / CAST(SUM(n * w6) OVER (PARTITION BY"
+            " source) AS DOUBLE)) + 0.5) AS BIGINT) AS w6"
+            f" FROM w{k}r JOIN ct USING (source))"
+        )
+        prev = f"w{k + 1}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT lang, source, n, CAST(w6 AS DOUBLE) / 1000000.0"
+        f" AS weight FROM {prev}"
+    )
+
+
+@register("mixture_raking_weights", oracle=_raking_oracle())
+def mixture_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPF raking (Deming-Stephan biproportional fitting) of mixture
+    weights: per-(lang, source) cell weights such that the weighted
+    LANGUAGE marginals hit the training target mix
+    (``_MIX_WEIGHTS`` — the same targets the token-budget fill uses)
+    while each SOURCE keeps its observed mass — the reweighting a
+    domain-mixture pass applies before sampling, when documents can't
+    be moved between sources but languages must match the recipe.
+
+    100 TB shape (the artifact-vs-corpus split): the corpus appears in
+    exactly ONE groupBy building the |langs|·|sources| cell table; the
+    fixed-sweep iterations run driver-side on the collected k-bounded
+    cells through ``operators/raking.py::ipf_weights6`` — the
+    codebook-class bounded collect, zero iteration shuffles (16
+    window-function passes over a 100-row frame would buy nothing but
+    exchanges). Deterministic to the bit against the oracle's unrolled
+    SQL recursion because both run integer-exact marginals and the
+    identical floor(x+0.5) re-round (see the kernel docstring)."""
+    from mevi_spark.operators.raking import ipf_weights6
+
+    cells = [
+        (r["lang"], r["source"], r["n"])
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    ]
+    n_total = sum(n for _, _, n in cells)
+    row_t6 = {
+        lang: int((w * float(n_total)) * 1_000_000.0)
+        for lang, w in _MIX_WEIGHTS.items()
+    }
+    col_t6: dict[str, int] = {}
+    for _, src, n in cells:
+        col_t6[src] = col_t6.get(src, 0) + int(n) * 1_000_000
+    w6 = ipf_weights6(cells, row_t6, col_t6, sweeps=_RAKE_SWEEPS)
+    rows = [
+        (lang, src, int(n), w6[(lang, src)] / 1_000_000.0)
+        for lang, src, n in cells
+    ]
+    return spark.createDataFrame(
+        rows, "lang string, source string, n bigint, weight double"
+    )
+
+
 def curriculum_scored(docs: DataFrame) -> DataFrame:
     """``(doc_id, score)`` under the curriculum's quality kernel
     (stopword ratio, rounded 6dp) — ONE definition shared by the batch

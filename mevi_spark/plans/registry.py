@@ -142,6 +142,15 @@ _PRIORITY_ORDER: list[str] = [
     # the shared merge kernel — keeps its slot below; re-validated by
     # the full local gate every round like every displaced name)
     "token_budget_mixture",
+    # (mixture_raking_weights also landed late in r12: IPF raking of
+    # per-cell mixture weights to the target language marginals with
+    # source mass preserved — the reweighting step ahead of the budget
+    # fill; displaces tier-4 chunk_dedup_overlap, which carries
+    # STANDING sf1 scale-tier bench evidence every round
+    # (BENCH_sf1_*'s scale tier times it) — the same bench-evidence
+    # argument as the three never-windowed headliners — and stays in
+    # the full local gate)
+    "mixture_raking_weights",
     # tier 2 — r9-green, 3-round-stale, queued by the r10+r11 notes
     "augment_spans",
     "beam_constrained",
@@ -192,7 +201,6 @@ _PRIORITY_ORDER: list[str] = [
     "streaming_semdedup",
     "dedup_embedding_cosine",
     "streaming_heavy_hitters",
-    "chunk_dedup_overlap",
 ]
 
 

@@ -41,8 +41,11 @@ R12_NEW = [
     "streaming_bloom_decontaminate",
     "streaming_curriculum",
     # landed later in r12: the token-budget mixture fill (displaces
-    # tier-4 heavy_hitters_terms — rationale in plans/registry.py)
+    # tier-4 heavy_hitters_terms) and the IPF raking weights (displaces
+    # tier-4 chunk_dedup_overlap, which keeps standing sf1 scale-tier
+    # bench evidence) — rationale per name in plans/registry.py
     "token_budget_mixture",
+    "mixture_raking_weights",
 ]
 
 # the only names allowed to lack both an r11 driver row AND an r12
@@ -67,6 +70,7 @@ R12_ROTATED_OUT = {
     "events_type_stats",
     "events_value_quantiles",
     "heavy_hitters_terms",
+    "chunk_dedup_overlap",
     "memmap_roundtrip",
     "order_priority_histogram",
     "orders_merge_upsert",
