@@ -51,13 +51,19 @@ def ipf_weights6(
     """Run ``sweeps`` IPF sweeps (row-scale then col-scale) over
     ``(row_key, col_key, n)`` cells; returns w6 integer micro-weights
     per cell. Cells with n = 0 keep w6 = 10⁶ untouched (no mass to
-    move; excluded from marginals by n·w6 = 0 anyway)."""
+    move; excluded from marginals by n·w6 = 0 anyway). A row key
+    absent from ``row_targets6`` (and likewise a column key absent
+    from ``col_targets6``) is SKIPPED — its cells keep their current
+    w6, the same no-mass-to-move convention as marg == 0 — rather
+    than raising KeyError mid-sweep."""
     w6 = {(r, c): 1_000_000 for r, c, _ in cells}
     n_of = {(r, c): int(n) for r, c, n in cells}
     rows = sorted({r for r, _, _ in cells})
     cols = sorted({c for _, c, _ in cells})
     for _ in range(int(sweeps)):
         for r in rows:
+            if r not in row_targets6:
+                continue
             marg = sum(
                 n_of[(r, c)] * w6[(r, c)] for c in cols if (r, c) in w6
             )
@@ -68,6 +74,8 @@ def ipf_weights6(
                 if (r, c) in w6:
                     w6[(r, c)] = _half_up(w6[(r, c)] * scale)
         for c in cols:
+            if c not in col_targets6:
+                continue
             marg = sum(
                 n_of[(r, c)] * w6[(r, c)] for r in rows if (r, c) in w6
             )

@@ -2494,9 +2494,14 @@ def _raking_oracle() -> str:
         "cells AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n"
         " FROM documents GROUP BY 1, 2)",
         "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS N FROM cells)",
-        f"rt AS (SELECT lang, CAST(({case} * CAST(N AS DOUBLE)) * 1000000.0"
-        " AS BIGINT) AS t6 FROM (SELECT DISTINCT lang FROM cells)"
-        " CROSS JOIN tot)",
+        # FLOOR before the BIGINT cast: Python's int() truncates while
+        # DuckDB's double->BIGINT cast rounds to nearest — at corpus
+        # sizes where w·N·1e6 is non-integral the two diverge by one
+        # micro-unit and the difference compounds through every IPF
+        # sweep (targets are positive, so FLOOR == truncation)
+        f"rt AS (SELECT lang, CAST(FLOOR(({case} * CAST(N AS DOUBLE))"
+        " * 1000000.0) AS BIGINT) AS t6"
+        " FROM (SELECT DISTINCT lang FROM cells) CROSS JOIN tot)",
         "ct AS (SELECT source, CAST(SUM(n) AS BIGINT) * 1000000 AS t6"
         " FROM cells GROUP BY source)",
         "w0 AS (SELECT lang, source, n, CAST(1000000 AS BIGINT) AS w6"
@@ -2552,6 +2557,15 @@ def mixture_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
         .collect()
     ]
+    extra = sorted({lang for lang, _, _ in cells} - set(_MIX_WEIGHTS))
+    if extra:
+        # the oracle's CASE yields NULL weights for a lang outside the
+        # target mix while the kernel's skip convention would keep
+        # w6 = 1.0 — refuse loudly instead of diverging silently
+        raise ValueError(
+            f"mixture_raking_weights: observed langs {extra} have no"
+            f" target in _MIX_WEIGHTS {sorted(_MIX_WEIGHTS)}"
+        )
     n_total = sum(n for _, _, n in cells)
     row_t6 = {
         lang: int((w * float(n_total)) * 1_000_000.0)

@@ -48,3 +48,20 @@ def test_ipf_single_cell_and_missing_combo():
     w6 = ipf_weights6(cells, rt, ct, sweeps=4)
     assert w6[("a", "x")] == 2_000_000   # 10 docs * w2.0 = mass 20
     assert w6[("b", "y")] == 1_000_000
+
+
+def test_ipf_skips_keys_without_targets():
+    # a row/col key absent from the target dicts keeps its cells'
+    # current weights (the no-mass-to-move convention, like marg == 0)
+    # instead of raising KeyError mid-sweep
+    cells = [("a", "x", 10), ("zz", "x", 5), ("a", "qq", 2)]
+    rt = {"a": 12_000_000}
+    ct = {"x": 15_000_000}
+    w6 = ipf_weights6(cells, rt, ct, sweeps=4)
+    assert set(w6) == {("a", "x"), ("zz", "x"), ("a", "qq")}
+    # the targeted sub-table still fits: row 'a' mass ~ 12, col 'x' ~ 15
+    row, col = {}, {}
+    for r, c, n in cells:
+        row[r] = row.get(r, 0) + n * w6[(r, c)]
+        col[c] = col.get(c, 0) + n * w6[(r, c)]
+    assert abs(col["x"] - 15_000_000) / 15_000_000 < 0.05
