@@ -2400,9 +2400,7 @@ _MIX_ALLOCS = {
 }
 
 
-@register(
-    "token_budget_mixture",
-    oracle=f"""
+BUDGET_MIXTURE_ORACLE = f"""
 WITH d AS (SELECT doc_id, lang, {_SQL_NORM_T} AS t FROM documents),
 s AS (
   SELECT doc_id, lang,
@@ -2419,8 +2417,10 @@ a AS (SELECT * FROM (VALUES {", ".join(f"('{lang}', {alloc})" for lang, alloc in
 SELECT c.lang, doc_id, score, CAST(n_tok AS BIGINT) AS n_tok,
        CAST(cum_tok AS BIGINT) AS cum_tok
 FROM c JOIN a USING (lang) WHERE cum_tok <= alloc
-""",
-)
+"""
+
+
+@register("token_budget_mixture", oracle=BUDGET_MIXTURE_ORACLE)
 def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture fill — the dataset-assembly step after
     curation: given a total token budget and per-domain mixture
@@ -2434,32 +2434,67 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: token counting and scoring are map-side over ONE
     staged tokenization (the normalize+split chain runs once per row —
-    the attribute-staging rule of ``shingle_frame``); the only shuffle
-    is the per-domain cumulative-sum window — P parallel partitions,
-    never a global sort, and the tiny allocation table rides along as
-    a literal map, no join. Greedy prefix-by-quality is the standard
-    budget-fill policy (a knapsack would buy ≤ one doc per domain).
-    No reference counterpart (the reference assembles by fixed id
-    lists); beyond-reference pipeline operator."""
-    from mevi_spark.functions.text import normalize_text, tokens
+    the attribute-staging rule of ``shingle_frame``), persisted as the
+    NARROW (doc_id, lang, score, n_tok) frame so the fill's three
+    bounded passes never re-tokenize; the per-domain running token
+    total goes through :func:`grouped_cumsum_with_bounds` — the
+    (group × score-range)-bucketed prefix sum, |domains|·P parallel
+    window partitions instead of ONE per domain (partitioning the
+    window on the ~5-value lang key alone puts corpus/5 rows in a
+    single task at scale — the r12 weak mark); the tiny allocation
+    table rides along as a literal map, no join. Greedy
+    prefix-by-quality is the standard budget-fill policy (a knapsack
+    would buy ≤ one doc per domain). No reference counterpart (the
+    reference assembles by fixed id lists); beyond-reference pipeline
+    operator."""
+    from mevi_spark.operators.cache import defer_unpersist
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
+    scored = budget_scored(docs).persist()
+    defer_unpersist(scored)
+    probes = [i / _CURR_BUCKETS for i in range(1, _CURR_BUCKETS)]
+    bounds = sorted(
+        float(b)
+        for b in scored.agg(
+            F.percentile_approx("score", probes, 10_000).alias("b")
+        ).first()["b"]
+    )
+    return budget_fill(scored, bounds)
+
+
+def budget_scored(docs: DataFrame) -> DataFrame:
+    """``(doc_id, lang, score, n_tok)`` under the budget fill's
+    quality kernel — the curriculum's stopword-ratio score plus the
+    token count, from ONE staged tokenization. ONE definition shared
+    by the batch fill above and the maintenance store's per-batch
+    scoring (``streaming/incremental.py``), so the maintained fill
+    cannot drift from the batch answer (or their shared oracle)."""
+    from mevi_spark.functions.text import normalize_text, tokens
+
     staged = docs.select(
         "doc_id", "lang", tokens(normalize_text("text")).alias("_toks")
     )
     t = F.col("_toks")
-    scored = staged.select(
+    return staged.select(
         "doc_id",
         "lang",
         F.round(TA.stopword_ratio("_toks", toks=t), 6).alias("score"),
         F.size(t).cast("long").alias("n_tok"),
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(F.asc("score"), F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+
+def budget_fill(scored: DataFrame, bounds: list[float]) -> DataFrame:
+    """The fill served from a scored frame: per-lang running token
+    total in (score, doc_id) order via the bucketed prefix sum under
+    ``bounds``, kept while it stays within the lang's literal
+    allocation. Shared by the batch query (bounds sketched from the
+    same frame) and the maintenance read (bounds pinned in the store's
+    sidecar) — output is boundary-invariant like every
+    ``ranked_with_bounds`` consumer."""
+    filled = grouped_cumsum_with_bounds(
+        scored, "lang", "score", ["doc_id"], "n_tok", bounds, "cum_tok"
     )
     langs = sorted(_MIX_ALLOCS)
     alloc = F.element_at(
@@ -2469,10 +2504,8 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("lang"),
     )
-    return (
-        scored.withColumn("cum_tok", F.sum("n_tok").over(w))
-        .filter(F.col("cum_tok") <= alloc)
-        .select("lang", "doc_id", "score", "n_tok", "cum_tok")
+    return filled.filter(F.col("cum_tok") <= alloc).select(
+        "lang", "doc_id", "score", "n_tok", "cum_tok"
     )
 
 
@@ -2529,7 +2562,10 @@ def _raking_oracle() -> str:
     )
 
 
-@register("mixture_raking_weights", oracle=_raking_oracle())
+RAKING_ORACLE = _raking_oracle()
+
+
+@register("mixture_raking_weights", oracle=RAKING_ORACLE)
 def mixture_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IPF raking (Deming-Stephan biproportional fitting) of mixture
     weights: per-(lang, source) cell weights such that the weighted
@@ -2548,8 +2584,6 @@ def mixture_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges). Deterministic to the bit against the oracle's unrolled
     SQL recursion because both run integer-exact marginals and the
     identical floor(x+0.5) re-round (see the kernel docstring)."""
-    from mevi_spark.operators.raking import ipf_weights6
-
     cells = [
         (r["lang"], r["source"], r["n"])
         for r in load_table(spark, sf_dir, "documents")
@@ -2557,13 +2591,27 @@ def mixture_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
         .collect()
     ]
+    return rake_cells(spark, cells)
+
+
+def rake_cells(
+    spark: SparkSession, cells: list[tuple[str, str, int]]
+) -> DataFrame:
+    """Driver-side re-rake of a collected (lang, source, n) cell list
+    against the ``_MIX_WEIGHTS`` targets — ONE definition shared by
+    the batch query above and the maintenance read
+    (``streaming/incremental.py::mixture_cells_state`` → re-rake), so
+    the maintained weights cannot drift from the batch answer (or
+    their shared oracle)."""
+    from mevi_spark.operators.raking import ipf_weights6
+
     extra = sorted({lang for lang, _, _ in cells} - set(_MIX_WEIGHTS))
     if extra:
         # the oracle's CASE yields NULL weights for a lang outside the
         # target mix while the kernel's skip convention would keep
         # w6 = 1.0 — refuse loudly instead of diverging silently
         raise ValueError(
-            f"mixture_raking_weights: observed langs {extra} have no"
+            f"rake_cells: observed langs {extra} have no"
             f" target in _MIX_WEIGHTS {sorted(_MIX_WEIGHTS)}"
         )
     n_total = sum(n for _, _, n in cells)
@@ -2669,6 +2717,94 @@ def ranked_with_bounds(
     )
     return keyed.select(
         *df.columns, (off_expr + rank).cast("long").alias("global_rank")
+    )
+
+
+def grouped_cumsum_with_bounds(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    tie_cols: list[str],
+    weight_col: str,
+    bounds: list[float],
+    out_col: str,
+) -> DataFrame:
+    """Per-group running total of ``weight_col`` in ``(score_col ASC,
+    *tie_cols ASC)`` order — the grouped sibling of
+    ``operators/cumsum.py::bucketed_cum_before`` on
+    :func:`ranked_with_bounds`' order-aligned range buckets. A window
+    partitioned on the group key alone puts each group's ENTIRE
+    history through one task (one reducer per domain when the key has
+    ~5 values); instead:
+
+    1. bucket = count of ``bounds`` strictly below the score (map-side
+       literal fold — identical to ``ranked_with_bounds``, so every
+       score in bucket b orders before bucket b+1 within its group for
+       ANY sorted boundary list, and the result is boundary-INVARIANT);
+    2. exact per-(group, bucket) weight totals → per-group prefix
+       offsets, collected and inlined as a literal map (bounded at
+       |groups|·|buckets| entries — artifact, never corpus);
+    3. running total = offset[(group, bucket)] + within-bucket window
+       sum — |groups|·P parallel window partitions, one keyed shuffle.
+
+    ``weight_col`` must be integral: the driver-side offsets
+    accumulate in Python ints and would silently truncate fractional
+    sums (the ``bucketed_cum_before`` contract)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    wt = df.schema[weight_col].dataType
+    if not isinstance(wt, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"grouped_cumsum_with_bounds needs an integral weight column;"
+            f" {weight_col} is {wt.simpleString()}"
+        )
+    if bounds:
+        bounds_arr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.aggregate(
+            bounds_arr,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(score_col) > b, F.lit(1)).otherwise(F.lit(0)),
+        )
+    else:
+        bucket = F.lit(0)
+    keyed = df.withColumn("_bkt", bucket)
+    totals = (
+        keyed.groupBy(group_col, "_bkt")
+        .agg(F.sum(weight_col).alias("_w"))
+        .collect()
+    )
+    per_group: dict[str, list[tuple[int, int]]] = {}
+    for r in totals:
+        per_group.setdefault(r[group_col], []).append(
+            (int(r["_bkt"]), int(r["_w"]))
+        )
+    entries: list[tuple[str, int]] = []
+    for g, lst in per_group.items():
+        acc = 0
+        for b, wsum in sorted(lst):
+            entries.append((f"{g}\x1f{b}", acc))
+            acc += wsum
+    if entries:
+        offset = F.element_at(
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k, _ in entries]),
+                F.array(*[F.lit(v).cast("long") for _, v in entries]),
+            ),
+            F.concat_ws(
+                "\x1f", F.col(group_col), F.col("_bkt").cast("string")
+            ),
+        )
+    else:
+        offset = F.lit(0).cast("long")
+    w = (
+        Window.partitionBy(group_col, "_bkt")
+        .orderBy(F.asc(score_col), *[F.asc(c) for c in tie_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return keyed.select(
+        *df.columns,
+        (offset + F.sum(weight_col).over(w)).cast("long").alias(out_col),
     )
 
 
