@@ -1461,6 +1461,107 @@ def streaming_bloom_decontaminate(
     return _drained(result, base)
 
 
+from mevi_spark.plans.pipeline_ops import RAKING_ORACLE
+
+
+@register("streaming_raking", oracle=RAKING_ORACLE)
+def streaming_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPF mixture weights maintained under document ingest (the
+    maintenance twin of ``mixture_raking_weights``): documents arrive
+    in three doc-id-interleaved slices and
+    :func:`~mevi_spark.streaming.incremental.incremental_mixture_cells`
+    lands each batch's own (lang, source) counts — the canonical
+    sum-foldable partial, |langs|·|sources| rows per batch, the
+    ``incremental_rollup`` pattern verbatim — so the merged cell table
+    (:func:`~mevi_spark.streaming.incremental.mixture_cells_state`)
+    equals the one-shot groupBy over the accumulated corpus exactly.
+    The re-rake is the SHARED driver-side ``rake_cells`` kernel over
+    the merged k-bounded cells, returned against the IDENTICAL oracle
+    as the batch query. 100 TB shape: each batch touches the corpus
+    once for counts; every weight refresh is integer-exact IPF over
+    ~|langs|·|sources| cells — never a corpus pass, and the weights
+    stay current at any point of the ingest."""
+    from mevi_spark.plans.pipeline_ops import rake_cells
+    from mevi_spark.streaming.incremental import (
+        incremental_mixture_cells,
+        mixture_cells_state,
+    )
+
+    base = _tmp("rake")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in/s{i:02d}")
+    stream = stream_parquet_source(
+        spark, f"{base}/in/s*", docs.schema, max_files_per_trigger=1
+    )
+    q = incremental_mixture_cells(
+        stream, f"{base}/out", f"{base}/ckpt"
+    )
+    q.awaitTermination()
+    cells = [
+        (r["lang"], r["source"], int(r["n"]))
+        for r in mixture_cells_state(spark, f"{base}/out").collect()
+    ]
+    return _drained(rake_cells(spark, cells), base)
+
+
+from mevi_spark.plans.pipeline_ops import BUDGET_MIXTURE_ORACLE
+
+
+@register("streaming_budget_fill", oracle=BUDGET_MIXTURE_ORACLE)
+def streaming_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture fill served from state maintained under
+    document ingest (the maintenance twin of ``token_budget_mixture``):
+    documents arrive in three doc-id-interleaved slices;
+    :func:`~mevi_spark.streaming.incremental.incremental_curriculum`
+    scores each batch ONCE through the shared ``budget_scored`` kernel
+    — the budget store IS the curriculum store with lang and token
+    count carried in the (doc_id, lang, score, n_tok) partial — and
+    pins score boundaries in the sidecar from the first batch. The
+    served fill
+    (:func:`~mevi_spark.streaming.incremental.budget_fill_state`) is
+    the SHARED ``budget_fill`` tail — per-lang bucketed prefix sum
+    under the pinned bounds, literal allocation map — over the merged
+    narrow state, returned against the IDENTICAL oracle as the batch
+    query;
+    :func:`~mevi_spark.streaming.incremental.compact_curriculum`
+    bounds the store's directory growth. 100 TB shape: the tokenizer
+    runs once per doc at ingest; every fill read is three bounded
+    passes over narrow rows with |langs|·P parallel window
+    partitions, never a re-tokenize and never a one-task-per-domain
+    window."""
+    from mevi_spark.plans.pipeline_ops import budget_scored
+    from mevi_spark.streaming.incremental import (
+        budget_fill_state,
+        compact_curriculum,
+        incremental_curriculum,
+    )
+
+    base = _tmp("bfill")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in/s{i:02d}")
+    stream = stream_parquet_source(
+        spark, f"{base}/in/s*", docs.schema, max_files_per_trigger=1
+    )
+    q = incremental_curriculum(
+        stream, f"{base}/out", f"{base}/ckpt", budget_scored
+    )
+    q.awaitTermination()
+    # exercise the store's watermark fold on the serving path: the
+    # oracle equality below proves the fold changed nothing
+    compact_curriculum(spark, f"{base}/out")
+    return _drained(budget_fill_state(spark, f"{base}/out"), base)
+
+
 from mevi_spark.plans.pruning_ops import ZORDER_BOX_ORACLE
 
 

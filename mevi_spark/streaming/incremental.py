@@ -2448,6 +2448,111 @@ def resplit_curriculum(
     return len(new) - len(bounds)
 
 
+def compact_curriculum(spark, output_dir: str) -> int:
+    """Fold live scored partial dirs into a published base (the
+    crash-safe watermark fold of :func:`compact_rollup`) — the
+    consistency gap every OTHER partial store already closed: without
+    it ``b*`` dirs accumulate forever. The merge is the IDENTITY (the
+    store's unit is the scored row itself — nothing aggregates), so
+    the fold just rewrites the accumulated union into one base dir;
+    the ``_cbounds.json`` sidecar is untouched (boundaries are not
+    batch state). Serves BOTH scored stores — the curriculum rank
+    store's narrow (doc_id, score) partials and the budget-fill
+    store's (doc_id, lang, score, n_tok) partials — columns pass
+    through unchanged."""
+    return _compact_partials(spark, output_dir, lambda df: df)
+
+
+def budget_fill_state(spark, output_dir: str) -> DataFrame:
+    """The current token-budget fill served from maintained state —
+    the maintenance read of ``pipeline_ops.token_budget_mixture``:
+    merged (doc_id, lang, score, n_tok) partials (scored ONCE at
+    ingest by the shared ``budget_scored`` kernel through
+    :func:`incremental_curriculum` — the budget store IS the
+    curriculum store with lang and token count carried in the
+    partial) pushed through the shared ``budget_fill`` tail under the
+    sidecar's pinned boundaries. Every read is the bounded
+    three-pass prefix fill over narrow rows — never a re-tokenize."""
+    import json
+    import os
+
+    from mevi_spark.plans.pipeline_ops import budget_fill
+
+    with open(
+        os.path.join(output_dir, "_cbounds.json"), encoding="utf-8"
+    ) as fh:
+        bounds = [float(b) for b in json.load(fh)]
+    merged = _merged_partials(
+        spark, output_dir,
+        lambda df: df.select("doc_id", "lang", "score", "n_tok"),
+    )
+    return budget_fill(merged, bounds)
+
+
+def incremental_mixture_cells(
+    stream_df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    row_col: str = "lang",
+    col_col: str = "source",
+):
+    """(lang, source) cell counts maintained under document ingest —
+    the state behind a continuously re-rakeable mixture: each
+    micro-batch lands ITS OWN per-cell counts (a batch-bounded
+    groupBy — |langs|·|sources| rows) in the rollup store's per-batch
+    dir; counts are the canonical mergeable partial (sum-foldable),
+    and a replayed batch recomputes identical content
+    (no-merge-in-sink idempotence, :func:`incremental_rollup`
+    verbatim). The corpus is touched exactly once per batch — the
+    IPF sweeps themselves run driver-side on the merged k-bounded
+    cells at read time (``mixture_cells_state`` → ``rake_cells``), so
+    a growing corpus re-rakes without a corpus pass."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch.groupBy(row_col, col_col).agg(
+            F.count("*").cast("long").alias("n")
+        ).write.mode("overwrite").parquet(
+            f"{output_dir}/b{int(batch_id):09d}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def mixture_cells_state(
+    spark, output_dir: str, row_col: str = "lang", col_col: str = "source"
+) -> DataFrame:
+    """The current merged (lang, source, n) cell table: base (if
+    compacted) ⊎ unfolded batch partial dirs, folded by one keyed
+    sum."""
+    return _merged_partials(
+        spark,
+        output_dir,
+        lambda df: df.groupBy(row_col, col_col).agg(
+            F.sum("n").cast("long").alias("n")
+        ),
+    )
+
+
+def compact_mixture_cells(
+    spark, output_dir: str, row_col: str = "lang", col_col: str = "source"
+) -> int:
+    """Fold live cell-count partial dirs into a published base (the
+    crash-safe watermark fold of :func:`compact_rollup`); the base is
+    |langs|·|sources| rows regardless of how many batches arrived."""
+    return _compact_partials(
+        spark,
+        output_dir,
+        lambda df: df.groupBy(row_col, col_col).agg(
+            F.sum("n").cast("long").alias("n")
+        ),
+    )
+
+
 def _zorder_bounds(output_dir: str, batch: DataFrame, x_of, y_of) -> dict:
     """The layout's PINNED bucketing bounds: loaded from the store's
     ``_zbounds.json`` sidecar, initialized from the FIRST batch

@@ -1643,3 +1643,125 @@ def test_curriculum_replay_rewrites_identical_partial(spark):
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_compact_curriculum_folds_and_replays(spark):
+    import os
+    import shutil
+    import tempfile
+
+    from mevi_spark.streaming.incremental import (
+        _curriculum_bounds,
+        _rollup_parts,
+        compact_curriculum,
+        curriculum_state,
+    )
+
+    base = tempfile.mkdtemp(prefix="curr_compact_")
+    try:
+        rows = [(i, float((i * 37) % 100) / 100.0) for i in range(300)]
+        parts = [rows[0::3], rows[1::3], rows[2::3]]
+        for i, part in enumerate(parts):
+            scored = _curr_scored(spark, part)
+            _curriculum_bounds(base, scored, 8)
+            scored.write.mode("overwrite").parquet(f"{base}/b{i:09d}")
+
+        def state():
+            return sorted(
+                tuple(r) for r in curriculum_state(spark, base).collect()
+            )
+
+        want = state()
+        # replay before the fold: a crashed batch rewrites its own dir
+        _curr_scored(spark, parts[1]).write.mode("overwrite").parquet(
+            f"{base}/b{1:09d}"
+        )
+        assert state() == want
+        # the fold: served order identical, live dirs absorbed
+        assert compact_curriculum(spark, base) == 3
+        _, upto, live = _rollup_parts(base)
+        assert upto == 2 and live == []
+        assert state() == want
+        # a late batch after the fold stays live and serves
+        late = [(9000 + i, 0.5 + i / 1000.0) for i in range(10)]
+        _curr_scored(spark, late).write.mode("overwrite").parquet(
+            f"{base}/b{3:09d}"
+        )
+        all_rows = rows + late
+        want_rank = {
+            d: i + 1
+            for i, (d, _) in enumerate(
+                sorted(all_rows, key=lambda x: (x[1], x[0]))
+            )
+        }
+        got = {
+            r["doc_id"]: r["global_rank"]
+            for r in curriculum_state(spark, base).collect()
+        }
+        assert got == want_rank
+        # a second fold absorbs the late dir too
+        assert compact_curriculum(spark, base) == 1
+        assert {
+            r["doc_id"]: r["global_rank"]
+            for r in curriculum_state(spark, base).collect()
+        } == want_rank
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_mixture_cells_state_merges_compacts_and_replays(spark):
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from mevi_spark.streaming.incremental import (
+        _rollup_parts,
+        compact_mixture_cells,
+        mixture_cells_state,
+    )
+
+    base = tempfile.mkdtemp(prefix="cells_")
+    try:
+        rows = [
+            (i, ["en", "fr", "de"][i % 3], ["web", "books"][i % 2])
+            for i in range(120)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, lang string, source string"
+        )
+        for i in range(3):
+            docs.filter(F.col("doc_id") % 3 == i).groupBy(
+                "lang", "source"
+            ).agg(F.count("*").cast("long").alias("n")).write.mode(
+                "overwrite"
+            ).parquet(f"{base}/b{i:09d}")
+        want = {
+            (r["lang"], r["source"]): r["n"]
+            for r in docs.groupBy("lang", "source")
+            .agg(F.count("*").cast("long").alias("n"))
+            .collect()
+        }
+
+        def state():
+            return {
+                (r["lang"], r["source"]): r["n"]
+                for r in mixture_cells_state(spark, base).collect()
+            }
+
+        assert state() == want
+        # replay-idempotence: re-writing one batch dir changes nothing
+        docs.filter(F.col("doc_id") % 3 == 1).groupBy(
+            "lang", "source"
+        ).agg(F.count("*").cast("long").alias("n")).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/b{1:09d}")
+        assert state() == want
+        # the fold: state identical, base bounded at |langs|*|sources|
+        assert compact_mixture_cells(spark, base) == 3
+        _, upto, live = _rollup_parts(base)
+        assert upto == 2 and live == []
+        assert state() == want
+        assert spark.read.parquet(f"{base}/base").count() == len(want)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
