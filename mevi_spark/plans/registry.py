@@ -69,138 +69,121 @@ _LOADED = False
 # queries crowd out never-driver-tested ones (round 3 silently dropped
 # 16 of 66), so the exposure order is now explicit:
 #
-# Round-12 policy (oldest evidence first — the minimal-max-staleness
-# round-robin adopted in r10; at 147 names / 50 slots the steady-state
-# refresh period is 3 rounds). Evidence state after r11: 50 names have
-# a fresh r11 row; the 30 r9-green names deferred at r10 AND r11 would
-# hit 3-round staleness, so they go first exactly as both rotation
-# notes promised, together with the 11 r9-green names the late-r11
-# tier-1 cohorts displaced from tier 3. Exposure order:
+# Round-13 policy (oldest evidence first — the minimal-max-staleness
+# round-robin adopted in r10; at 151 names / 50 slots the steady-state
+# refresh period is 3 rounds). Evidence state after r12: 50 names have
+# a fresh r12 row; 50 are r11-green (2-round-stale); 46 are r10-green
+# (3-round-stale — the oldest evidence in the registry: the 44 names
+# both prior rotation notes queued for r13 PLUS heavy_hitters_terms
+# and chunk_dedup_overlap, displaced from the r12 tier 4 by the
+# late-r12 assembly pair); 3 are the bench-exercised headliners
+# (executed at sf0.1 by BENCH every round, deliberately never
+# windowed); 2 are round-13-new. Exposure order:
 #
-#   tier 1 — the THREE round-12-new queries (zero driver evidence):
-#            streaming_grouped_kmv (the per-stratum sample's
-#            maintenance twin on the shared kmv_merge_grouped kernel),
-#            streaming_bloom_decontaminate (the Bloom blocklist
-#            maintained as mergeable set-bit-position partials, served
-#            through the same probe + exact-verify composition), and
-#            streaming_curriculum (lazily-served global ranks over
-#            pinned-then-refinable range boundaries);
-#   tier 2 — the 30 r9-green names queued by the r10 AND r11 rotation
-#            notes (3-round-stale now — the oldest evidence in the
-#            registry);
-#   tier 3 — the 11 r9-green names displaced from the r11 tier 3 by
-#            the late-r11 tier-1 cohorts (documented in the r11 note
-#            below), equally 3-round-stale;
-#   tier 4 — 6 of the 50 r10-green names (2-round-stale),
-#            risk-ranked by this round's file changes: semantic_dedup
-#            and streaming_semdedup (the giant_cluster_cap default
-#            changed in operators/dedup.py + streaming/incremental.py
-#            this round), dedup_embedding_cosine (shares dedup.py's
-#            sign-LSH kernel), heavy_hitters_terms and
-#            streaming_heavy_hitters (operators/sketch.py gained
-#            kmv_merge_grouped beside their kernels; streaming_ops
-#            changed around the twin), chunk_dedup_overlap
-#            (pipeline_ops.py changed: shingle_keys signature,
-#            curriculum factoring).
+#   tier 1 — the TWO round-13-new queries (zero driver evidence):
+#            streaming_raking (mixture weights re-raked from
+#            incrementally-maintained (lang, source) cell-count
+#            partials through the shared rake_cells kernel) and
+#            streaming_budget_fill (the token-budget fill served from
+#            the curriculum store with lang + token count carried in
+#            the partial, through the shared budget_fill tail, with
+#            compact_curriculum folding the store on the serving
+#            path);
+#   tier 2 — the TWO r12-green names whose CONTRACT changed in r13
+#            and therefore need driver evidence on the new form:
+#            token_budget_mixture (plan rewritten — the per-domain
+#            running total moved from a per-lang window to the
+#            grouped bucketed prefix sum; oracle unchanged) and
+#            mixture_raking_weights (oracle corrected — FLOOR before
+#            the BIGINT cast so DuckDB matches the kernel's
+#            truncation at corpus sizes where w·N·1e6 is
+#            non-integral);
+#   tier 3 — the 46 r10-green names (3-round-stale), alphabetical.
 #
-# Rotated out (97 = 147 − 50, by evidence age): the 50 r11-green names
-# (1-round-stale — freshest possible outside the window), the three
-# bench-exercised r7-green names (coarse_to_fine_retrieval,
-# rq_beam_search, rq_encode_two_level — executed at sf0.1 by BENCH
-# every round, deliberately never windowed), and the 44 remaining
-# r10-green names (2-round-stale, FIRST IN LINE FOR R13 alongside any
-# r13-new tier 1): bpe_roundtrip, cdc_partitioned_merge,
-# cdc_time_travel, chunk_dedup_append, chunk_dedup_reconstruct,
-# compaction_roundtrip, ensemble_hybrid, events_range_pairs,
-# events_rolling_stats, events_type_pivot, events_type_stats,
-# events_value_quantiles, memmap_roundtrip, order_priority_histogram,
-# orders_merge_upsert, packed_append, packed_sequences,
-# partition_pruning_stats, pq_adc_topk, pq_encode_reconstruct,
-# pq_ivf_adc_topk, rq_model_roundtrip, rq_reconstruct,
-# salted_hot_key_rollup, sequence_pack, shuffle_blocks_append,
-# sq8_encode_reconstruct, streaming_cdc_apply, streaming_dedup_ingest,
-# streaming_hypertable_refresh, streaming_neardup_ingest,
-# streaming_quantize_index, streaming_sessionize,
-# streaming_sessionize_evict, streaming_sessionize_window,
-# streaming_topk_maintenance, suppliers_in_region_semi, text_lang_id,
-# text_repetition_stats, text_tfidf_topterms, text_token_counts,
-# topk_orders_per_customer, tsv_corpus_roundtrip, wds_shards_append —
-# all re-validated against the identical oracle by the full local gate
-# (tools/check_correctness.py) every round. EVERY round-13-new query
-# must go to tier 1 with the displacement documented here; otherwise
-# it sorts after the window.
+# 2 + 2 + 46 = exactly 50 — no r11-green name needs a slot this
+# round, so the whole 2-round-stale cohort stays out and is FIRST IN
+# LINE FOR R14 alongside any r14-new names (list = the r11 window,
+# CORRECTNESS_r11.json): ann_adc_topk, bloom_decontaminate,
+# bm25_search, bucketed_join_rollup, chunk_dedup_overlap_reconstruct,
+# cluster_projection, complement_qg10, corpus_prep_pipeline,
+# curriculum_order, dataset_split, dedup_canonicalize,
+# dedup_components, dedup_exact, dedup_minhash_pairs,
+# dedup_ngram_dfcut, dedup_ngram_jaccard, dedup_simhash,
+# doc_query_sets, events_value_winsorize, grouped_kmv_sample,
+# inverse_answer_index, jsonl_roundtrip, kmv_shingle_sample,
+# line_boilerplate_strip, media_meta_stats, negatives_cluster,
+# negatives_notclus, ngram_lm_quality, nq_hit_test,
+# rq_assign_nearest, rq_centroids_label, rq_ema_step,
+# rq_kmeans_invariant, sessionize_events_window,
+# stratified_sample_exact, streaming_bm25_serve,
+# streaming_canonicalize, streaming_components,
+# streaming_eval_metrics, streaming_kmv, streaming_lexical_stats,
+# streaming_quantiles, streaming_zorder, text_redact_pii,
+# tokenize_padded, tsv_queries_roundtrip, tsv_run_roundtrip,
+# wds_shards_roundtrip, weighted_sample_topk, zorder_box_scan.
+#
+# Rotated out (101 = 151 − 50, by evidence age): the 48 remaining
+# r12-green names (1-round-stale — freshest possible outside the
+# window), the 50 r11-green names above (2-round-stale), and the
+# three bench-exercised r7-green names (coarse_to_fine_retrieval,
+# rq_beam_search, rq_encode_two_level) — all re-validated against the
+# identical oracle by the full local gate (tools/check_correctness.py)
+# every round. EVERY round-14-new query must go to tier 1 with the
+# displacement documented here; otherwise it sorts after the window.
 _PRIORITY_ORDER: list[str] = [
-    # tier 1 — new in round 12, zero driver evidence
-    "streaming_grouped_kmv",
-    "streaming_bloom_decontaminate",
-    "streaming_curriculum",
-    # (token_budget_mixture landed later in r12: the dataset-assembly
-    # budget fill — per-domain best-quality prefix under a token
-    # allocation; displaces tier-4 heavy_hitters_terms, whose r12 risk
-    # was only the kmv_merge_grouped ADDITION landing in sketch.py far
-    # from the HH kernels, and whose streaming twin — which exercises
-    # the shared merge kernel — keeps its slot below; re-validated by
-    # the full local gate every round like every displaced name)
+    # tier 1 — new in round 13, zero driver evidence
+    "streaming_raking",
+    "streaming_budget_fill",
+    # tier 2 — r12-green, contract changed in r13 (see policy note)
     "token_budget_mixture",
-    # (mixture_raking_weights also landed late in r12: IPF raking of
-    # per-cell mixture weights to the target language marginals with
-    # source mass preserved — the reweighting step ahead of the budget
-    # fill; displaces tier-4 chunk_dedup_overlap, which carries
-    # STANDING sf1 scale-tier bench evidence every round
-    # (BENCH_sf1_*'s scale tier times it) — the same bench-evidence
-    # argument as the three never-windowed headliners — and stays in
-    # the full local gate)
     "mixture_raking_weights",
-    # tier 2 — r9-green, 3-round-stale, queued by the r10+r11 notes
-    "augment_spans",
-    "beam_constrained",
-    "brand_set_ops",
-    "code_prefix_members",
-    "code_token_arith",
-    "corpus_sample_remap",
-    "customer_order_rollup",
-    "customer_order_running_stats",
-    "customers_without_orders",
-    "decontaminate_eval",
-    "doc2query_expand",
-    "doc_fingerprints",
-    "domain_mix_sample",
-    "embed_determinism",
-    "eval_all_codes",
-    "events_asof_attribution",
-    "events_cohort_retention",
-    "events_funnel_stages",
-    "events_json_extract",
-    "image_resize",
-    "media_decode_stats",
-    "nation_revenue",
-    "pq_ivf_recall_curve",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "rq_assign_topr",
-    "sessionize_events",
-    "streaming_event_window_counts",
-    "text_quality_stats",
-    "video_frame_sample",
-    # tier 3 — r9-green, 3-round-stale, displaced from r11 tier 3 by
-    # the late-r11 tier-1 cohorts
-    "ensemble_grid",
-    "ann_ivf_topk",
-    "ensemble_fuse",
-    "retrieval_eval_metrics",
-    "global_shuffle_blocks",
-    "multi_assign_recall",
-    "events_hypertable_rollup",
-    "opq_encode_reconstruct",
-    "knn_topk_ip",
-    "knn_topk_cosine",
-    "ann_lsh_topk",
-    # tier 4 — r10-green (2-round-stale), risk-ranked by r12 file
-    # changes (rationale in the policy note above)
-    "semantic_dedup",
-    "streaming_semdedup",
-    "dedup_embedding_cosine",
-    "streaming_heavy_hitters",
+    # tier 3 — r10-green, 3-round-stale (alphabetical)
+    "bpe_roundtrip",
+    "cdc_partitioned_merge",
+    "cdc_time_travel",
+    "chunk_dedup_append",
+    "chunk_dedup_overlap",
+    "chunk_dedup_reconstruct",
+    "compaction_roundtrip",
+    "ensemble_hybrid",
+    "events_range_pairs",
+    "events_rolling_stats",
+    "events_type_pivot",
+    "events_type_stats",
+    "events_value_quantiles",
+    "heavy_hitters_terms",
+    "memmap_roundtrip",
+    "order_priority_histogram",
+    "orders_merge_upsert",
+    "packed_append",
+    "packed_sequences",
+    "partition_pruning_stats",
+    "pq_adc_topk",
+    "pq_encode_reconstruct",
+    "pq_ivf_adc_topk",
+    "rq_model_roundtrip",
+    "rq_reconstruct",
+    "salted_hot_key_rollup",
+    "sequence_pack",
+    "shuffle_blocks_append",
+    "sq8_encode_reconstruct",
+    "streaming_cdc_apply",
+    "streaming_dedup_ingest",
+    "streaming_hypertable_refresh",
+    "streaming_neardup_ingest",
+    "streaming_quantize_index",
+    "streaming_sessionize",
+    "streaming_sessionize_evict",
+    "streaming_sessionize_window",
+    "streaming_topk_maintenance",
+    "suppliers_in_region_semi",
+    "text_lang_id",
+    "text_repetition_stats",
+    "text_tfidf_topterms",
+    "text_token_counts",
+    "topk_orders_per_customer",
+    "tsv_corpus_roundtrip",
+    "wds_shards_append",
 ]
 
 

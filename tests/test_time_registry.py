@@ -32,77 +32,80 @@ def test_epoch_us_ltz_arm(spark):
     assert got == 1704067201_000000
 
 
-R12_NEW = [
-    # the 3 round-12-new queries (zero driver evidence): the grouped
-    # KMV per-stratum sample's maintenance twin, decontamination
-    # served from an incrementally-maintained Bloom blocklist, and
-    # curriculum ordering with lazily-served ranks under ingest
-    "streaming_grouped_kmv",
-    "streaming_bloom_decontaminate",
-    "streaming_curriculum",
-    # landed later in r12: the token-budget mixture fill (displaces
-    # tier-4 heavy_hitters_terms) and the IPF raking weights (displaces
-    # tier-4 chunk_dedup_overlap, which keeps standing sf1 scale-tier
-    # bench evidence) — rationale per name in plans/registry.py
+R13_NEW = [
+    # the 2 round-13-new queries (zero driver evidence): mixture
+    # weights re-raked from maintained cell-count partials, and the
+    # token-budget fill served from the curriculum store
+    "streaming_raking",
+    "streaming_budget_fill",
+    # r12-green names whose CONTRACT changed in r13 and need driver
+    # evidence on the new form: the budget fill's plan moved to the
+    # grouped bucketed prefix sum (oracle unchanged); the raking
+    # oracle's target cast gained FLOOR to match the kernel's
+    # truncation — rationale per name in plans/registry.py
     "token_budget_mixture",
     "mixture_raking_weights",
 ]
 
-# the only names allowed to lack both an r11 driver row AND an r12
+# the only names allowed to lack both an r12 driver row AND an r13
 # window slot (the registry rotation note documents each: three are
-# bench-exercised at sf0.1 every round; the 44 r10-green names are
-# 2-round-stale and first in line for r13; all re-validated by the
+# bench-exercised at sf0.1 every round; the 50 r11-green names are
+# 2-round-stale and first in line for r14; all re-validated by the
 # full local gate every round)
-R12_ROTATED_OUT = {
+R13_ROTATED_OUT = {
     "coarse_to_fine_retrieval",
     "rq_beam_search",
     "rq_encode_two_level",
-    "bpe_roundtrip",
-    "cdc_partitioned_merge",
-    "cdc_time_travel",
-    "chunk_dedup_append",
-    "chunk_dedup_reconstruct",
-    "compaction_roundtrip",
-    "ensemble_hybrid",
-    "events_range_pairs",
-    "events_rolling_stats",
-    "events_type_pivot",
-    "events_type_stats",
-    "events_value_quantiles",
-    "heavy_hitters_terms",
-    "chunk_dedup_overlap",
-    "memmap_roundtrip",
-    "order_priority_histogram",
-    "orders_merge_upsert",
-    "packed_append",
-    "packed_sequences",
-    "partition_pruning_stats",
-    "pq_adc_topk",
-    "pq_encode_reconstruct",
-    "pq_ivf_adc_topk",
-    "rq_model_roundtrip",
-    "rq_reconstruct",
-    "salted_hot_key_rollup",
-    "sequence_pack",
-    "shuffle_blocks_append",
-    "sq8_encode_reconstruct",
-    "streaming_cdc_apply",
-    "streaming_dedup_ingest",
-    "streaming_hypertable_refresh",
-    "streaming_neardup_ingest",
-    "streaming_quantize_index",
-    "streaming_sessionize",
-    "streaming_sessionize_evict",
-    "streaming_sessionize_window",
-    "streaming_topk_maintenance",
-    "suppliers_in_region_semi",
-    "text_lang_id",
-    "text_repetition_stats",
-    "text_tfidf_topterms",
-    "text_token_counts",
-    "topk_orders_per_customer",
-    "tsv_corpus_roundtrip",
-    "wds_shards_append",
+    "ann_adc_topk",
+    "bloom_decontaminate",
+    "bm25_search",
+    "bucketed_join_rollup",
+    "chunk_dedup_overlap_reconstruct",
+    "cluster_projection",
+    "complement_qg10",
+    "corpus_prep_pipeline",
+    "curriculum_order",
+    "dataset_split",
+    "dedup_canonicalize",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_ngram_dfcut",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_query_sets",
+    "events_value_winsorize",
+    "grouped_kmv_sample",
+    "inverse_answer_index",
+    "jsonl_roundtrip",
+    "kmv_shingle_sample",
+    "line_boilerplate_strip",
+    "media_meta_stats",
+    "negatives_cluster",
+    "negatives_notclus",
+    "ngram_lm_quality",
+    "nq_hit_test",
+    "rq_assign_nearest",
+    "rq_centroids_label",
+    "rq_ema_step",
+    "rq_kmeans_invariant",
+    "sessionize_events_window",
+    "stratified_sample_exact",
+    "streaming_bm25_serve",
+    "streaming_canonicalize",
+    "streaming_components",
+    "streaming_eval_metrics",
+    "streaming_kmv",
+    "streaming_lexical_stats",
+    "streaming_quantiles",
+    "streaming_zorder",
+    "text_redact_pii",
+    "tokenize_padded",
+    "tsv_queries_roundtrip",
+    "tsv_run_roundtrip",
+    "wds_shards_roundtrip",
+    "weighted_sample_topk",
+    "zorder_box_scan",
 }
 
 
@@ -111,9 +114,9 @@ def test_driver_window_invariants():
     registered queries, so the priority window must (a) hold exactly 50
     names, (b) name only registered queries, (c) contain every query
     that has never received a driver row (or whose plan changed) —
-    this round, the R12_NEW cohort — and (d) every name with no r11
+    this round, the R13_NEW cohort — and (d) every name with no r12
     driver row except the documented rotations (r11-green names are
-    1-round-stale and allowed out). A drifted window silently starves
+    2-round-stale and allowed out). A drifted window silently starves
     new queries of evidence."""
     import json
     import os
@@ -123,23 +126,23 @@ def test_driver_window_invariants():
     assert len(set(REG._PRIORITY_ORDER)) == 50
     window = list(REG.get_queries())[:50]
     assert set(window) == set(REG._PRIORITY_ORDER)
-    missing = [n for n in R12_NEW if n not in window]
+    missing = [n for n in R13_NEW if n not in window]
     assert not missing, f"zero-evidence queries outside the window: {missing}"
-    r11 = os.path.join(
-        os.path.dirname(__file__), "..", "CORRECTNESS_r11.json"
+    r12 = os.path.join(
+        os.path.dirname(__file__), "..", "CORRECTNESS_r12.json"
     )
-    if os.path.exists(r11):
-        with open(r11, encoding="utf-8") as fh:
-            r11_names = set(json.load(fh))
+    if os.path.exists(r12):
+        with open(r12, encoding="utf-8") as fh:
+            r12_names = set(json.load(fh))
         stale = [
             n
             for n in REG.get_queries()
-            if n not in r11_names
+            if n not in r12_names
             and n not in window
-            and n not in R12_ROTATED_OUT
-            and n not in R12_NEW
+            and n not in R13_ROTATED_OUT
+            and n not in R13_NEW
         ]
-        assert not stale, f"undocumented 2-round-stale evidence: {stale}"
+        assert not stale, f"undocumented 3-round-stale evidence: {stale}"
     # every windowed query must also carry an oracle (strict row, not
     # rows-only) unless deliberately registered without one
     no_oracle = [n for n in window if n not in REG.get_oracles()]
