@@ -103,10 +103,16 @@ def main() -> None:
     # reasoning as timing semantic_dedup_frame instead of its query).
     # The streaming twins are excluded: their time is dominated by the
     # availableNow staging harness, not the operator.
+    # token_budget_mixture joined the tier in r13: its per-domain
+    # running total moved to the grouped bucketed prefix sum, and the
+    # sf1 datapoint is exactly the evidence the sf0.01 gate can never
+    # produce (the plan splits each domain across |buckets| window
+    # partitions instead of one task per domain).
     for name in (
         "chunk_dedup_overlap",
         "chunk_dedup_overlap_reconstruct",
         "bloom_decontaminate",
+        "token_budget_mixture",
     ):
         fn = registry.get_queries()[name]
         sc, sw = _timed(lambda fn=fn: fn(spark, sf_dir))
