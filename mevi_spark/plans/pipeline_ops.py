@@ -3284,6 +3284,22 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_frame(spark, sf_dir)
 
 
+@register("semantic_dedup_banded", oracle=_SQL_SEMDEDUP)
+def semantic_dedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the giant-cluster guard FORCED ON (cap = 32,
+    below the fixture's largest cluster — 70 members at sf0.01), so
+    the sign-LSH banded candidate path — the plan every skewed
+    cluster takes at 100 TB under the default cap of 1024 — is
+    hash-verified against the SAME exact all-pairs tournament oracle
+    as ``semantic_dedup``. Equality is a fixture property the gate now
+    pins: the planted duplicates sit at cosine 1 and ≈1 (first element
+    +0.05), far above τ=0.95, so every true pair shares sign bands
+    and the banded candidates lose nothing (the r12 cap-default drop
+    to 1024 left the above-cap path verified only by a toy pytest —
+    this row puts it under the driver gate at fixture scale)."""
+    return semantic_dedup_frame(spark, sf_dir, giant_cluster_cap=32)
+
+
 def semantic_dedup_frame(
     spark: SparkSession, sf_dir: str, giant_cluster_cap: int = 1024
 ) -> DataFrame:
@@ -3292,7 +3308,8 @@ def semantic_dedup_frame(
     GUARDED path (cap below the planted cluster size) at sf1, the plan
     a 100 TB deployment with a skewed cluster would actually run,
     while the registered query keeps the default cap (exact at fixture
-    scale, oracle-checked)."""
+    scale, oracle-checked); ``semantic_dedup_banded`` gate-pins the
+    guarded path's oracle equality at sf0.01."""
     from mevi_spark.operators.dedup import semantic_dedup
     from mevi_spark.operators.rq import rq_level_centroids
 

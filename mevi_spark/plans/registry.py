@@ -80,15 +80,23 @@ _LOADED = False
 # (executed at sf0.1 by BENCH every round, deliberately never
 # windowed); 2 are round-13-new. Exposure order:
 #
-#   tier 1 — the TWO round-13-new queries (zero driver evidence):
+#   tier 1 — the THREE round-13-new queries (zero driver evidence):
 #            streaming_raking (mixture weights re-raked from
 #            incrementally-maintained (lang, source) cell-count
-#            partials through the shared rake_cells kernel) and
+#            partials through the shared rake_cells kernel),
 #            streaming_budget_fill (the token-budget fill served from
 #            the curriculum store with lang + token count carried in
 #            the partial, through the shared budget_fill tail, with
 #            compact_curriculum folding the store on the serving
-#            path);
+#            path), and semantic_dedup_banded (the giant-cluster
+#            guard FORCED ON — cap 32, below the fixture's largest
+#            cluster — so the sign-LSH banded path every skewed
+#            cluster takes at scale is hash-verified against the
+#            exact-tournament oracle; it displaces tier-3
+#            chunk_dedup_overlap, which keeps STANDING sf1 scale-tier
+#            bench evidence every round — the same bench-evidence
+#            argument the r12 rotation used for the same name — and
+#            stays in the full local gate);
 #   tier 2 — the TWO r12-green names whose CONTRACT changed in r13
 #            and therefore need driver evidence on the new form:
 #            token_budget_mixture (plan rewritten — the per-domain
@@ -98,9 +106,10 @@ _LOADED = False
 #            the BIGINT cast so DuckDB matches the kernel's
 #            truncation at corpus sizes where w·N·1e6 is
 #            non-integral);
-#   tier 3 — the 46 r10-green names (3-round-stale), alphabetical.
+#   tier 3 — 45 of the 46 r10-green names (3-round-stale),
+#            alphabetical (chunk_dedup_overlap displaced per tier 1).
 #
-# 2 + 2 + 46 = exactly 50 — no r11-green name needs a slot this
+# 3 + 2 + 45 = exactly 50 — no r11-green name needs a slot this
 # round, so the whole 2-round-stale cohort stays out and is FIRST IN
 # LINE FOR R14 alongside any r14-new names (list = the r11 window,
 # CORRECTNESS_r11.json): ann_adc_topk, bloom_decontaminate,
@@ -134,6 +143,7 @@ _PRIORITY_ORDER: list[str] = [
     # tier 1 — new in round 13, zero driver evidence
     "streaming_raking",
     "streaming_budget_fill",
+    "semantic_dedup_banded",
     # tier 2 — r12-green, contract changed in r13 (see policy note)
     "token_budget_mixture",
     "mixture_raking_weights",
@@ -142,7 +152,6 @@ _PRIORITY_ORDER: list[str] = [
     "cdc_partitioned_merge",
     "cdc_time_travel",
     "chunk_dedup_append",
-    "chunk_dedup_overlap",
     "chunk_dedup_reconstruct",
     "compaction_roundtrip",
     "ensemble_hybrid",

@@ -33,11 +33,14 @@ def test_epoch_us_ltz_arm(spark):
 
 
 R13_NEW = [
-    # the 2 round-13-new queries (zero driver evidence): mixture
-    # weights re-raked from maintained cell-count partials, and the
-    # token-budget fill served from the curriculum store
+    # the 3 round-13-new queries (zero driver evidence): mixture
+    # weights re-raked from maintained cell-count partials, the
+    # token-budget fill served from the curriculum store, and the
+    # guarded SemDeDup path
     "streaming_raking",
     "streaming_budget_fill",
+    # the guarded SemDeDup path gate-pinned against the exact oracle
+    "semantic_dedup_banded",
     # r12-green names whose CONTRACT changed in r13 and need driver
     # evidence on the new form: the budget fill's plan moved to the
     # grouped bucketed prefix sum (oracle unchanged); the raking
@@ -54,6 +57,9 @@ R13_NEW = [
 # full local gate every round)
 R13_ROTATED_OUT = {
     "coarse_to_fine_retrieval",
+    # displaced from tier 3 by semantic_dedup_banded; keeps standing
+    # sf1 scale-tier bench evidence every round (see registry.py)
+    "chunk_dedup_overlap",
     "rq_beam_search",
     "rq_encode_two_level",
     "ann_adc_topk",
