@@ -12,6 +12,8 @@ from mevi_spark.functions.vector import (
 from mevi_spark.functions.fusion import rrf_fuse_score
 from mevi_spark.functions.text import (
     char_ngrams,
+    norm_text,
+    norm_tokens,
     normalize_text,
     tokens,
     word_shingles,
@@ -29,6 +31,8 @@ __all__ = [
     "code_unflat",
     "rrf_fuse_score",
     "tokens",
+    "norm_tokens",
+    "norm_text",
     "normalize_text",
     "word_shingles",
     "char_ngrams",

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-from mevi_spark.functions.text import normalize_text, tokens
+from mevi_spark.functions.text import norm_tokens, normalize_text, tokens
 
 
 def _c(c: Column | str) -> Column:
@@ -118,7 +118,7 @@ def _toks_of(c: Column | str, toks: Column | str | None) -> Column:
     pattern from the MinHash path).
     """
     if toks is None:
-        return tokens(normalize_text(c))
+        return norm_tokens(c)
     return F.col(toks) if isinstance(toks, str) else toks
 
 
@@ -222,7 +222,7 @@ _FP_MOD = 1048573  # largest prime < 2^20: acc*131 + h < 2^28, overflow-safe
 
 def _token_hashes(c: Column | str) -> Column:
     """Per-token small hashes: ``hash60(token) % _FP_MOD``."""
-    toks = tokens(normalize_text(c))
+    toks = norm_tokens(c)
     return F.transform(
         toks,
         lambda t: F.conv(
@@ -273,7 +273,7 @@ def simhash_bits_long(c: Column | str, n_bits: int = 60) -> Column:
     Charikar construction with unit weights. Pure column expression (a
     static fold per bit position): zero shuffles, zero row
     amplification — the 100 TB-friendly formulation."""
-    toks = F.array_distinct(tokens(normalize_text(c)))
+    toks = F.array_distinct(norm_tokens(c))
     hs = F.transform(toks, lambda t: hash60(t, "sh"))
     out = F.lit(0).cast("long")
 

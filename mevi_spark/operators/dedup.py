@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from mevi_spark.functions.text import normalize_text, word_shingles
+from mevi_spark.functions.text import norm_text, word_shingles
 from mevi_spark.functions.vector import lit_vec
 from mevi_spark.functions.text_analysis import simhash_bits_long
 
@@ -45,7 +45,7 @@ def dedup_exact(
     map-side in codegen.
     """
     keyed = df.select(
-        F.col(id_col).alias("_id"), F.md5(normalize_text(text_col)).alias("_k")
+        F.col(id_col).alias("_id"), F.md5(norm_text(text_col)).alias("_k")
     )
     return (
         keyed.groupBy("_k")
@@ -230,11 +230,11 @@ def shingle_frame(
     (non-cheap expression referenced >1×), so the regex+split runs once
     per row and every lambda reads an attribute.
     """
-    from mevi_spark.functions.text import normalize_text, tokens
+    from mevi_spark.functions.text import norm_tokens
 
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        tokens(normalize_text(text_col)).alias("_toks"),
+        norm_tokens(text_col).alias("_toks"),
     )
     t = F.col("_toks")
     sh = F.when(

@@ -39,11 +39,11 @@ def lexical_partials(
     (``functions/text.py::tokens(normalize_text(...))``) — the same
     one ``bm25_run`` scores with, so the maintained stats cannot drift
     from the batch searcher's."""
-    from mevi_spark.functions.text import normalize_text, tokens
+    from mevi_spark.functions.text import norm_tokens
 
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        tokens(normalize_text(text_col)).alias("t"),
+        norm_tokens(text_col).alias("t"),
     )
     df_rows = (
         toks.select(F.explode(F.array_distinct("t")).alias("term"))

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from mevi_spark.functions import text_analysis as TA
-from mevi_spark.functions.text import normalize_text
+from mevi_spark.functions.text import norm_text, normalize_text
 from mevi_spark.operators import dedup as D
 from mevi_spark.plans.registry import register
 from mevi_spark.sources.io import load_table
@@ -413,7 +413,7 @@ def text_quality_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE-ish regex), stopword ratio, type-token ratio, mean token length.
     Per-doc ratios round(6) then decimal-sum → order-independent
     averages (map-side partial agg does the heavy lifting at scale)."""
-    from mevi_spark.functions.text import tokens
+    from mevi_spark.functions.text import norm_tokens
     from mevi_spark.sources.io import spread_small_scan
 
     # regex-heavy per-row stage over a bounded input: spread it
@@ -424,7 +424,7 @@ def text_quality_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so inlining the tokenizer would re-run the normalize+split regex
     # per metric per row — the shingle_frame staging pattern
     staged = docs.select(
-        "source", "text", tokens(normalize_text("text")).alias("_toks")
+        "source", "text", norm_tokens("text").alias("_toks")
     )
     t = F.col("_toks")
     per_doc = staged.select(
@@ -483,11 +483,11 @@ def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: argmax of per-language stopword-profile
     hits (first profile wins ties) — the n-gram-free tier of web-corpus
     lang filtering. Tokens staged once, read by all five profiles."""
-    from mevi_spark.functions.text import normalize_text, tokens
+    from mevi_spark.functions.text import norm_tokens
 
     docs = load_table(spark, sf_dir, "documents")
     staged = docs.select(
-        "doc_id", tokens(normalize_text("text")).alias("_toks")
+        "doc_id", norm_tokens("text").alias("_toks")
     )
     return staged.select(
         "doc_id",
@@ -651,16 +651,16 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregates. Token totals are integer sums — deterministic
     with no decimal stabilization needed.
     """
-    from mevi_spark.functions.text import normalize_text, tokens
+    from mevi_spark.functions.text import norm_tokens
 
     corpus = _corpus(spark, sf_dir)
     keyed = corpus.select(
-        "doc_id", "text", F.md5(normalize_text("text")).alias("_k")
+        "doc_id", "text", F.md5(norm_text("text")).alias("_k")
     )
     canon = keyed.groupBy("_k").agg(F.min("doc_id").alias("doc_id"))
     kept = keyed.join(canon, ["_k", "doc_id"]).select("doc_id", "text")
     staged = kept.select(
-        "doc_id", tokens(normalize_text("text")).alias("_toks")
+        "doc_id", norm_tokens("text").alias("_toks")
     )
     t = F.col("_toks")
     f = staged.filter(
@@ -868,12 +868,12 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf·idf products from different (tf, df) pairs differ only past the
     6th decimal when a last-ulp ``ln`` disagrees, so rounding first
     keeps the cross-engine rank identical."""
-    from mevi_spark.functions.text import tokens
+    from mevi_spark.functions.text import norm_tokens
     from mevi_spark.operators.topk import topk_per_group
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(
-        "doc_id", tokens(normalize_text("text")).alias("t")
+        "doc_id", norm_tokens("text").alias("t")
     )
     terms = toks.select("doc_id", F.explode("t").alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -1030,11 +1030,11 @@ def canonicalize_from_labels(corpus: DataFrame, labels: DataFrame) -> DataFrame:
     ``incremental_components`` store), so serving from state cannot
     drift. Keep the longest doc, ties to the smallest id; singletons
     (no label row) are their own canonical."""
-    from mevi_spark.functions.text import tokens
+    from mevi_spark.functions.text import norm_tokens
 
     labeled = (
         corpus.select(
-            "doc_id", F.size(tokens(normalize_text("text"))).alias("n_t")
+            "doc_id", F.size(norm_tokens("text")).alias("n_t")
         )
         .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
         .select(
@@ -1194,7 +1194,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel; the O(d·u) per-doc frequency scan is bounded by doc
     length, not corpus size.
     """
-    from mevi_spark.functions.text import normalize_text as _norm, tokens
+    from mevi_spark.functions.text import norm_tokens
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     rep = docs.unionByName(
@@ -1203,7 +1203,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", "text", "text").alias("text"),
         )
     )
-    t = tokens(_norm("text"))
+    t = norm_tokens("text")
     frame = rep.select("doc_id", t.alias("t")).select(
         "doc_id",
         "t",
@@ -1331,14 +1331,14 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window, both passes see identical groups by construction.
     Counts stay < 2^53 (25T tokens ≈ 100 TB of text) so the
     floor-division parity with the oracle's integer ``//`` is exact."""
-    from mevi_spark.functions.text import tokens
+    from mevi_spark.functions.text import norm_tokens
     from mevi_spark.operators.cumsum import bucketed_cum_before
 
     docs = (
         load_table(spark, sf_dir, "documents")
         .select(
             "doc_id",
-            F.size(tokens(normalize_text("text"))).alias("n_tok"),
+            F.size(norm_tokens("text")).alias("n_tok"),
         )
         .filter(F.col("n_tok") > 0)
     )
@@ -1414,11 +1414,11 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from mevi_spark.functions.text import tokens
+    from mevi_spark.functions.text import norm_tokens
     from mevi_spark.sources.packed import write_packed_sequences
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens(normalize_text("text")).alias("toks")
+        "doc_id", norm_tokens("text").alias("toks")
     )
     base = tempfile.mkdtemp(prefix="mevi_packed_")
     try:
@@ -1454,14 +1454,14 @@ def packed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from mevi_spark.functions.text import tokens
+    from mevi_spark.functions.text import norm_tokens
     from mevi_spark.sources.packed import (
         append_packed_sequences,
         read_packed_state,
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens(normalize_text("text")).alias("toks")
+        "doc_id", norm_tokens("text").alias("toks")
     )
     mx = docs.agg(F.max("doc_id")).first()[0] or 0
     cuts = (int(mx) // 3, 2 * int(mx) // 3)
@@ -1571,10 +1571,10 @@ def bm25_run(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     ``plans/streaming_ops.py::streaming_bm25_serve`` runs the SAME
     scorer (:func:`bm25_score_with_stats`) against stats read from the
     maintained lexical state instead."""
-    from mevi_spark.functions.text import normalize_text as _n, tokens
+    from mevi_spark.functions.text import norm_tokens
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select("doc_id", tokens(_n("text")).alias("t")).select(
+    toks = docs.select("doc_id", norm_tokens("text").alias("t")).select(
         "doc_id", "t", F.size("t").alias("dl")
     )
     n, avgdl = toks.agg(
@@ -1770,10 +1770,10 @@ def ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_ngram_dfcut`'s discipline) before the scoring join; the only
     driver value is the scalar V."""
     from mevi_spark.functions.agg import scaled_long
-    from mevi_spark.functions.text import normalize_text as _n, tokens
+    from mevi_spark.functions.text import norm_tokens
 
     toks = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens(_n("text")).alias("t")
+        "doc_id", norm_tokens("text").alias("t")
     )
     occ = toks.filter(F.size("t") >= 2).select(
         "doc_id",
@@ -1927,12 +1927,12 @@ def heavy_hitters_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the vocabulary (the module docstring carries the pigeonhole
     completeness argument). The oracle is the full group-by the
     construction provably equals at this support."""
-    from mevi_spark.functions.text import normalize_text, tokens
+    from mevi_spark.functions.text import norm_tokens
     from mevi_spark.operators.sketch import heavy_hitters
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        F.explode(tokens(normalize_text("text"))).alias("term")
+        F.explode(norm_tokens("text")).alias("term")
     ).filter(F.col("term") != "")
     return heavy_hitters(toks, "term", 5, 1000)
 
@@ -1984,12 +1984,12 @@ def line_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency pass counts on ``hash60(line)`` (8-byte shuffle keys);
     the drop set is broadcast; reassembly is the one doc-keyed
     shuffle."""
-    from mevi_spark.functions.text import normalize_text, tokens
+    from mevi_spark.functions.text import norm_tokens
     from mevi_spark.operators.dedup import strip_frequent_lines
 
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
-    t = docs.select("doc_id", tokens(normalize_text("text")).alias("_t"))
+    t = docs.select("doc_id", norm_tokens("text").alias("_t"))
     n_lines = F.greatest(
         F.lit(1), F.floor((F.size("_t") + 7) / 8).cast("int")
     )
@@ -2036,7 +2036,7 @@ def bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     and compression are pinned against an independent
     re-implementation in ``tests/test_bpe.py`` (iterative training is
     not SQL-expressible; losslessness is, and is checked here)."""
-    from mevi_spark.functions.text import normalize_text, tokens
+    from mevi_spark.functions.text import norm_tokens
     from mevi_spark.operators.bpe import (
         EOW,
         bpe_encode,
@@ -2045,7 +2045,7 @@ def bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", tokens(normalize_text("text")).alias("_toks"))
+    t = docs.select("doc_id", norm_tokens("text").alias("_toks"))
     stream = t.select(F.explode("_toks").alias("term")).filter(
         F.col("term") != ""
     )
@@ -2471,10 +2471,10 @@ def budget_scored(docs: DataFrame) -> DataFrame:
     by the batch fill above and the maintenance store's per-batch
     scoring (``streaming/incremental.py``), so the maintained fill
     cannot drift from the batch answer (or their shared oracle)."""
-    from mevi_spark.functions.text import normalize_text, tokens
+    from mevi_spark.functions.text import norm_tokens
 
     staged = docs.select(
-        "doc_id", "lang", tokens(normalize_text("text")).alias("_toks")
+        "doc_id", "lang", norm_tokens("text").alias("_toks")
     )
     t = F.col("_toks")
     return staged.select(
@@ -2639,13 +2639,13 @@ def curriculum_scored(docs: DataFrame) -> DataFrame:
     (``streaming/incremental.py::incremental_curriculum``), so the
     maintained order cannot drift from the batch answer (or their
     shared oracle)."""
-    from mevi_spark.functions.text import normalize_text, tokens
+    from mevi_spark.functions.text import norm_tokens
 
     return docs.select(
         "doc_id",
         F.round(
             TA.stopword_ratio(
-                "text", toks=tokens(normalize_text("text"))
+                "text", toks=norm_tokens("text")
             ),
             6,
         ).alias("score"),

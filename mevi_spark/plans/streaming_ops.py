@@ -562,7 +562,7 @@ def streaming_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus-wide stats scan is the ONLY work maintenance removes,
     which at deployment scale is the difference between touching 100 TB
     per query batch and touching a GB-scale df table."""
-    from mevi_spark.functions.text import normalize_text as _n, tokens
+    from mevi_spark.functions.text import norm_tokens
     from mevi_spark.plans.pipeline_ops import bm25_score_with_stats
     from mevi_spark.streaming.incremental import (
         incremental_lexical_stats,
@@ -586,7 +586,7 @@ def streaming_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         sent["n_docs"]
     )
     dfreq = st.filter(F.col("term").isNotNull()).select("term", "df")
-    toks = docs.select("doc_id", tokens(_n("text")).alias("t")).select(
+    toks = docs.select("doc_id", norm_tokens("text").alias("t")).select(
         "doc_id", "t", F.size("t").alias("dl")
     )
     tf = toks.select(
@@ -973,7 +973,7 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-by oracle as the batch query. Capacity 250 > den/num = 200,
     so the cumulative undercount N/251 stays below the 0.5% support
     threshold across any batching of the ingest."""
-    from mevi_spark.functions.text import normalize_text, tokens
+    from mevi_spark.functions.text import norm_tokens
     from mevi_spark.streaming import incremental_heavy_hitters
 
     capacity = 250
@@ -987,7 +987,7 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{base}/in/s*", docs.schema, max_files_per_trigger=1
     )
     terms = stream.select(
-        F.explode(tokens(normalize_text("text"))).alias("term")
+        F.explode(norm_tokens("text")).alias("term")
     ).filter(F.col("term") != "")
     q = incremental_heavy_hitters(
         terms, f"{base}/out", f"{base}/ckpt", capacity
@@ -1008,7 +1008,7 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         spark.read.schema(docs.schema)
         .parquet(f"{base}/in/s*")
-        .select(F.explode(tokens(normalize_text("text"))).alias("term"))
+        .select(F.explode(norm_tokens("text")).alias("term"))
         .filter(F.col("term") != "")
     )
     out = exact_recount(toks, "term", state, 5, 1000)
