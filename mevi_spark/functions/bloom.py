@@ -13,13 +13,13 @@ verify join the result is bit-identical to the exact operator, which
 is why ``bloom_decontaminate`` shares ``decontaminate_eval``'s oracle
 verbatim.
 
-Scale shape of the BUILD: set-bit *positions* are collected distinct —
-bounded by m (the sketch size) regardless of key count, because the
-map-side partial distinct caps what shuffles; the m/32-word bitset
-folds driver-side and inlines into the probe expression via
-``sql_json_literal`` (2 analysis-time nodes, ConstantFolding → one
-Literal). 32-bit words keep every inlined value and every probe
-intermediate inside non-negative BIGINT arithmetic.
+Scale shape of the BUILD: set-bit positions are OR-folded into their
+32-bit words DISTRIBUTED (``bit_or`` partial-aggregates map-side), so
+the shuffle and the driver collect carry ≤ m/32 word rows — bounded by
+the sketch size regardless of key count; the word list inlines into
+the probe expression via ``sql_json_literal`` (2 analysis-time nodes,
+ConstantFolding → one Literal). 32-bit words keep every inlined value
+and every probe intermediate inside non-negative BIGINT arithmetic.
 
 Standard construction (Bloom, CACM 1970); no reference counterpart
 (the reference has no blocklist analytics).
@@ -113,14 +113,64 @@ def words_from_positions(rows, m: int) -> list[int]:
     return words
 
 
+def bloom_size_bits(
+    n_keys: int,
+    bits_per_key: int = 12,
+    floor: int = 1 << 18,
+    cap: int = 1 << 23,
+) -> int:
+    """Scale-adaptive ``m``: the next power of two ≥
+    ``bits_per_key · n_keys``, clamped to ``[floor, cap]``.
+
+    A FIXED m saturates as the blocklist grows — at ``k·n/m ≈ 43``
+    (the sf1 fixture against the old constant 2^18) every bit is 1 and
+    the probe passes 100% of keys while still costing its per-row
+    hashes: pure overhead, measured. 12 bits/key ≈ 1.1% FP at k=4
+    (``(1 − e^{−k/12·k})^k``); the cap bounds the *inlined literal*
+    (2^23 bits = 256k words ≈ 2.6 MB of JSON) — past it this
+    driver-inlined representation is the wrong tool and the bitset
+    should live in the maintained position store
+    (``streaming/incremental.py::incremental_bloom``) or a broadcast
+    artifact, not a plan literal. Above the cap the filter degrades
+    gracefully (higher FP, never false negatives), and the exact
+    verify join keeps the composed result bit-identical regardless —
+    which is also why re-sizing m never changes any query's output."""
+    want = max(int(floor), min(int(cap), int(bits_per_key) * max(1, int(n_keys))))
+    m = 1 << (int(want) - 1).bit_length()
+    return min(int(cap), max(int(floor), m))
+
+
 def bloom_build(
     df: DataFrame, col: str, m: int, n_hashes: int, salt: str = "bloom"
 ) -> list[int]:
     """Build the bitset as ``ceil(m/32)`` 32-bit words. One map-only
-    pass over the key frame; the distinct-position shuffle is ≤ m rows
-    by construction."""
-    rows = bloom_position_frame(df, col, m, n_hashes, salt).collect()
-    return words_from_positions(rows, m)
+    pass over the key frame; the shuffle and the driver collect carry
+    ≤ ``m/32`` word rows — the positions are OR-folded into their
+    32-bit word DISTRIBUTED (``bit_or`` partial-aggregates map-side),
+    so neither scales with the key count and both are 32× smaller
+    than the former distinct-position collect. Output is identical to
+    folding distinct positions driver-side (OR is idempotent and
+    commutative — the same argument that makes the incremental
+    position store exact)."""
+    pos = df.select(
+        F.explode(
+            bloom_positions(F.col(col), m, n_hashes, salt)
+        ).alias("p")
+    )
+    rows = (
+        pos.groupBy(F.shiftright("p", 5).alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(cast(1 as bigint),"
+                " cast(pmod(p, 32) as int)))"
+            ).alias("bits")
+        )
+        .collect()
+    )
+    words = [0] * ((int(m) + 31) // 32)
+    for r in rows:
+        words[int(r["w"])] = int(r["bits"])
+    return words
 
 
 def bloom_probe(
@@ -130,24 +180,33 @@ def bloom_probe(
     n_hashes: int,
     salt: str = "bloom",
 ) -> Column:
-    """Boolean membership probe against an inlined bitset: for each of
-    the k positions, bit b of the word is read as
+    """Boolean membership probe against an inlined bitset:
+    ``forall`` over the k-position array, each position's bit read as
     ``word % 2^(b+1) >= 2^b`` — pure LONG arithmetic (``/`` would be
     double division; an inexactly-rounded quotient near an integer
-    could flip a bit test), whole-stage codegen, no UDF. PySpark's
-    ``shiftright`` only takes a literal shift, so the variable bit
-    extract goes through a 32-entry power-of-two lookup instead. The
-    k position expressions repeat the SAME two xxhash64 subtrees
-    (:func:`_strides`), which whole-stage codegen's subexpression
-    elimination evaluates once per row — two hashes per probe, not
-    k."""
+    could flip a bit test), no UDF. PySpark's ``shiftright`` only
+    takes a literal shift, so the variable bit extract goes through a
+    32-entry power-of-two lookup.
+
+    Structured as ONE higher-order ``forall(transform(sequence(...)))``
+    rather than an unrolled k-term conjunction: the unrolled form
+    repeated the m/32-word array literal 2·k times and the xxhash64
+    subtrees k times, which pushed the filter out of efficient
+    evaluation entirely — measured 13.3 s over the 2.84M-row sf1
+    blocklist vs 1.5 s for this form (bit-for-bit identical decisions;
+    the position arithmetic is verbatim :func:`bloom_positions`, so
+    build and probe still share one definition of the positions)."""
     w = F.expr(sql_json_literal(words, "array<bigint>"))
     pw = F.expr(sql_json_literal(_POW2, "array<bigint>"))
     h1, h2, mm = _strides(key, m, salt)
-    out = F.lit(True)
-    for i in range(n_hashes):
-        p = (h1 + F.lit(i) * h2) % mm
+    positions = F.transform(
+        F.sequence(F.lit(0), F.lit(int(n_hashes) - 1)),
+        lambda i: (h1 + i.cast("long") * h2) % mm,
+    )
+
+    def _bit_set(p: Column) -> Column:
         word = F.element_at(w, (F.shiftright(p, 5) + 1).cast("int"))
         bit = F.element_at(pw, (p % 32 + 1).cast("int"))
-        out = out & ((word % (bit * F.lit(2))) >= bit)
-    return out
+        return (word % (bit * F.lit(2))) >= bit
+
+    return F.forall(positions, _bit_set)

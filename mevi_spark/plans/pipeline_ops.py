@@ -2908,13 +2908,24 @@ def chunk_cut_positions(
     midpoint between aligned chunking and a distributed suffix array.
 
     Plan shape (100 TB): per-grid chunking is the same map-side
-    explode; first-occurrence is the hash-keyed partial-aggregable
-    ``groupBy(md5(chunk)).agg(min(struct(doc_id, start)))`` (16-byte
-    keys on the exchange, not text — collision accounting in
-    ``chunk_dedup_reconstruct``); cuts come from ONE equi-join of the
-    chunk rows back to their group's winner — no collect_list over a
-    chunk's occurrence group, which for boilerplate chunks is
-    corpus-sized and would OOM an executor.
+    explode; cuts are the non-first rows of a ``row_number`` window
+    over ``md5(chunk)`` (16-byte keys on the exchange, not text —
+    collision accounting in ``chunk_dedup_reconstruct``). The window
+    replaced the r12 form (min-struct aggregate + equi-join of the
+    chunk rows back to their group's winner): this query needs every
+    NON-winner, so the join side shipped ALL chunk rows regardless —
+    the aggregate's map-side combine bought nothing — while the
+    self-referencing two-sided plan computed the split+md5 chunk
+    subtree twice (no exchange reuse between a groupBy child and the
+    bare frame). One window = one chunk-compute pass, one exchange,
+    same per-key skew exposure as the join it replaces (both route
+    every occurrence of a hot chunk to one task; the window is
+    sort-based and spills, never a collect_list). Measured at sf1:
+    8.6 s → 3.7-4.2 s warm, 8 Exchanges → 6 per consumer query
+    (plans/r13). Unlike
+    ``chunk_dedup_reconstruct``, whose winners-only output keeps the
+    partial-aggregable min-struct strictly better than a window —
+    that one is deliberately unchanged.
     """
     if len({int(o) % int(w_words) for o in offsets}) != len(offsets) or any(
         not (0 <= int(o) < int(w_words)) for o in offsets
@@ -2951,15 +2962,10 @@ def chunk_cut_positions(
             ).alias("_h"),
         )
     )
-    firsts = chunked.groupBy("_h").agg(
-        F.min(F.struct("doc_id", "start")).alias("f")
-    )
+    w = Window.partitionBy("_h").orderBy("doc_id", "start")
     return (
-        chunked.join(firsts, "_h")
-        .filter(
-            (F.col("doc_id") != F.col("f.doc_id"))
-            | (F.col("start") != F.col("f.start"))
-        )
+        chunked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
         .select("doc_id", "start")
     )
 
@@ -3134,8 +3140,8 @@ def chunk_dedup_overlap_reconstruct(
     cuts come from the half-offset grid).
 
     Plan shape (100 TB): cut extraction is :func:`chunk_cut_positions`
-    (hash-keyed first-occurrence, equi-join back — no all-pairs,
-    16-byte exchange keys); the rebuild joins each doc's cut list back
+    (hash-keyed first-occurrence window — no all-pairs, 16-byte
+    exchange keys); the rebuild joins each doc's cut list back
     as ONE sorted array (per-doc bounded: ≤ n_words/ (w/2) cuts) and
     drops covered words in a single map-side higher-order filter —
     word-level coverage never explodes to one row per covered word on
@@ -3576,10 +3582,14 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole point of the bitset is a blocklist too big to broadcast raw,
     so the survivors meet it in a keyed shuffle join sized by
     candidates + blocklist keys, never the corpus."""
-    from mevi_spark.functions.bloom import bloom_build, bloom_probe
+    from mevi_spark.functions.bloom import (
+        bloom_build,
+        bloom_probe,
+        bloom_size_bits,
+    )
     from mevi_spark.operators.cache import defer_unpersist
 
-    m, k_h = 1 << 18, 4
+    k_h = 4
     # persisted for the same per-element Generate re-evaluation reason
     # as decontaminate_eval (and both eval/train legs read it)
     sh = D.shingle_frame(_corpus(spark, sf_dir), shingle_n=5).select(
@@ -3594,6 +3604,14 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # m sized to the MEASURED blocklist (guide-§3.2 discipline: a
+    # Bloom filter is only a filter when m tracks n): the fixed 2^18
+    # of rounds 11-12 saturates at ~2.8M sf1 keys (k·n/m ≈ 43 → every
+    # bit 1 → 100% pass, pure per-row overhead, measured). The count
+    # is a one-job read of the already-checkpointed blocklist; the
+    # result is invariant to m (no false negatives + exact verify),
+    # so the oracle pins this re-sizing as a pure plan change.
+    m = bloom_size_bits(ev.count())
     words = bloom_build(ev, "g", m, k_h)
     cand = (
         sh.filter(F.col("doc_id") < 100000)
