@@ -30,7 +30,23 @@ from mevi_spark.sources.io import load_table
 # shared corpus-with-planted-duplicates (Spark + SQL twin definitions)
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """``documents`` scan spread to cluster width for the
+    tokenizer-heavy consumers (regex split + higher-order-function
+    metrics are the map-side CPU of the whole text tier; the fixture's
+    single-row-group file otherwise plans ONE scan task). Identity at
+    production listing widths — see ``sources/io.py::spread_small_scan``."""
+    from mevi_spark.sources.io import spread_small_scan
+
+    df = load_table(spark, sf_dir, "documents")
+    if cols:
+        df = df.select(*cols)
+    return spread_small_scan(spark, df)
+
+
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mevi_spark.sources.io import spread_small_scan
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     exact = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
@@ -39,7 +55,17 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.regexp_replace("text", r"^\S+\s*", "").alias("text"),
     )
-    return docs.unionByName(exact).unionByName(near)
+    # every consumer of the planted corpus runs regex/md5-heavy per-row
+    # work (tokenize, shingle, hash-keying); the documents fixture is a
+    # single row group, so the union plans |branches| scan tasks and
+    # the whole map stage serializes onto 3 cores (measured at the sf1
+    # tier: the 5-gram shingle pass alone was ~5 s on 3 of 32 cores).
+    # spread_small_scan is the scale-adaptive fix: identity whenever
+    # the scan already plans at least cluster width (guide §2.5 input
+    # skew / §2.6 idle capacity).
+    return spread_small_scan(
+        spark, docs.unionByName(exact).unionByName(near)
+    )
 
 
 _SQL_CORPUS = r"""
@@ -485,7 +511,7 @@ def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang filtering. Tokens staged once, read by all five profiles."""
     from mevi_spark.functions.text import norm_tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     staged = docs.select(
         "doc_id", norm_tokens("text").alias("_toks")
     )
@@ -511,7 +537,7 @@ def text_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens vs BPE-ish regex pre-tokens
     over text with injected punctuation/digits (``' (v<id>)'`` suffix)
     so the two counters genuinely diverge."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = _docs_spread(spark, sf_dir).select(
         "doc_id",
         F.concat(
             F.col("text"), F.lit(" (v"), F.col("doc_id").cast("string"), F.lit(")")
@@ -557,7 +583,7 @@ FROM d
 def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-doc polynomial rolling hash +
     winnowing-style min-of-5-token-windows hash (edit-robust)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return docs.select(
         "doc_id",
         TA.doc_fingerprint("text").alias("fp"),
@@ -598,7 +624,7 @@ def tokenize_padded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``MEVI/main_models.py:445-466``). The id/mask arrays are
     CSV-serialized per the registry convention (position order matters,
     so no sort) — the driver's canonicalizer cannot hash raw arrays."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     tok = TA.tokenize_padded("text", max_len=16, vocab_size=30000)
     return docs.select("doc_id", tok.alias("t")).select(
         "doc_id",
@@ -733,9 +759,7 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the replacement output is byte-identical, not just the
     counts. All codegen ``regexp_*`` — a map-only pass at any scale.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
-    )
+    docs = _docs_spread(spark, sf_dir, "doc_id", "source", "text")
     did = F.col("doc_id")
     planted = docs.withColumn(
         "text",
@@ -871,7 +895,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mevi_spark.functions.text import norm_tokens
     from mevi_spark.operators.topk import topk_per_group
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_spread(spark, sf_dir, "doc_id", "text")
     toks = docs.select(
         "doc_id", norm_tokens("text").alias("t")
     )
@@ -1196,12 +1220,17 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from mevi_spark.functions.text import norm_tokens
 
+    from mevi_spark.sources.io import spread_small_scan
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    rep = docs.unionByName(
-        docs.filter(F.col("doc_id") % 11 == 0).select(
-            (F.col("doc_id") + 300000).alias("doc_id"),
-            F.concat_ws(" ", "text", "text").alias("text"),
-        )
+    rep = spread_small_scan(
+        spark,
+        docs.unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat_ws(" ", "text", "text").alias("text"),
+            )
+        ),
     )
     t = norm_tokens("text")
     frame = rep.select("doc_id", t.alias("t")).select(
@@ -1335,7 +1364,7 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mevi_spark.operators.cumsum import bucketed_cum_before
 
     docs = (
-        load_table(spark, sf_dir, "documents")
+        _docs_spread(spark, sf_dir)
         .select(
             "doc_id",
             F.size(norm_tokens("text")).alias("n_tok"),
@@ -1573,7 +1602,7 @@ def bm25_run(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     maintained lexical state instead."""
     from mevi_spark.functions.text import norm_tokens
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_spread(spark, sf_dir, "doc_id", "text")
     toks = docs.select("doc_id", norm_tokens("text").alias("t")).select(
         "doc_id", "t", F.size("t").alias("dl")
     )
@@ -1772,7 +1801,7 @@ def ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mevi_spark.functions.agg import scaled_long
     from mevi_spark.functions.text import norm_tokens
 
-    toks = load_table(spark, sf_dir, "documents").select(
+    toks = _docs_spread(spark, sf_dir).select(
         "doc_id", norm_tokens("text").alias("t")
     )
     occ = toks.filter(F.size("t") >= 2).select(
@@ -1930,7 +1959,7 @@ def heavy_hitters_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mevi_spark.functions.text import norm_tokens
     from mevi_spark.operators.sketch import heavy_hitters
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     toks = docs.select(
         F.explode(norm_tokens("text")).alias("term")
     ).filter(F.col("term") != "")
@@ -1989,7 +2018,9 @@ def line_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
-    t = docs.select("doc_id", norm_tokens("text").alias("_t"))
+    t = _docs_spread(spark, sf_dir).select(
+        "doc_id", norm_tokens("text").alias("_t")
+    )
     n_lines = F.greatest(
         F.lit(1), F.floor((F.size("_t") + 7) / 8).cast("int")
     )
@@ -2044,7 +2075,7 @@ def bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_frequencies,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     t = docs.select("doc_id", norm_tokens("text").alias("_toks"))
     stream = t.select(F.explode("_toks").alias("term")).filter(
         F.col("term") != ""
@@ -2171,7 +2202,11 @@ def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_kept=0, md5('')) — dropping them silently is how dedup bugs
     hide.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from mevi_spark.sources.io import spread_small_scan
+
+    # chunking + per-chunk md5 is the map-side CPU; spread the
+    # single-row-group scan (identity at production widths)
+    docs = spread_small_scan(spark, load_table(spark, sf_dir, "documents"))
     kept = chunk_winners(chunk_grid(docs, 8))
     return rebuild_kept_docs(docs, kept, 8)
 
@@ -2387,7 +2422,14 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle pins the identical total order with a global
     ROW_NUMBER (it only needs to be correct, not scale)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from mevi_spark.sources.io import spread_small_scan
+
+    # same single-row-group spread as token_budget_mixture: the
+    # stopword-ratio scoring tokenizes every row
+    docs = spread_small_scan(
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+    )
     return ranked_by_range_buckets(
         curriculum_scored(docs), "score", ["doc_id"], n_buckets=_CURR_BUCKETS
     )
@@ -2448,9 +2490,17 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference assembles by fixed id lists); beyond-reference pipeline
     operator."""
     from mevi_spark.operators.cache import defer_unpersist
+    from mevi_spark.sources.io import spread_small_scan
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text"
+    # the one tokenize pass is the query's map-side CPU: spread the
+    # single-row-group scan so it runs cluster-wide (identity at
+    # production listing sizes; the maintenance store's per-batch
+    # budget_scored is NOT spread — small batches, see kmv note)
+    docs = spread_small_scan(
+        spark,
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        ),
     )
     scored = budget_scored(docs).persist()
     defer_unpersist(scored)
@@ -2661,7 +2711,19 @@ def ranked_by_range_buckets(
     """Attach ``global_rank`` = position in the total order
     ``(score_col ASC, *tie_cols ASC)`` via order-aligned range buckets
     — the value-ordered sibling of :func:`shuffle_block_assign`'s
-    bucket-major numbering (never a single-partition window)."""
+    bucket-major numbering (never a single-partition window).
+
+    ``df`` is persisted here: the one-shot ordering reads it THREE
+    times (the percentile sketch, the per-bucket counts, the final
+    windows), and when the score is an expression over raw text —
+    ``curriculum_order``'s tokenizer — each un-persisted pass re-runs
+    the whole map-side CPU (measured at sf1: 6.7 s → ~3 s). The
+    maintenance path calls :func:`ranked_with_bounds` directly on its
+    store read and is unaffected."""
+    from mevi_spark.operators.cache import defer_unpersist
+
+    df = df.persist()
+    defer_unpersist(df)
     probes = [i / n_buckets for i in range(1, n_buckets)]
     bounds = df.agg(
         F.percentile_approx(score_col, probes, 10_000).alias("b")
@@ -2975,9 +3037,16 @@ def planted_shifted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``+100000``, verbatim) and SHIFTED copies (``doc_id % 5`` →
     ``+200000``, 4-word deterministic prefix). ONE definition shared by
     ``chunk_dedup_overlap`` and ``chunk_dedup_overlap_reconstruct`` —
-    both oracles repeat the same plant in SQL, so it must not fork."""
+    both oracles repeat the same plant in SQL, so it must not fork.
+
+    Spread like ``_corpus``: the chunkers split/slice/md5 every row,
+    and the single-row-group fixture otherwise plans the whole map
+    stage onto |branches| tasks (identity at production widths)."""
+    from mevi_spark.sources.io import spread_small_scan
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return (
+    return spread_small_scan(
+        spark,
         docs.unionByName(
             docs.filter(F.col("doc_id") % 7 == 0).select(
                 (F.col("doc_id") + 100000).alias("doc_id"), "text"
@@ -3504,9 +3573,17 @@ def kmv_shingle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintained form is ``streaming_kmv``, whose drain shares
     :func:`kmv_sample_frame` and this oracle."""
     from mevi_spark.operators.sketch import kmv_bottom_k, kmv_certify
+    from mevi_spark.sources.io import spread_small_scan
 
+    # regex+md5-heavy per-row stage over a single-row-group scan:
+    # spread it (identity once the listing exceeds cluster width).
+    # The micro-batch twin's per-batch shingle_keys is deliberately
+    # NOT spread — an exchange per small batch is pure overhead there.
     keys = shingle_keys(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        spread_small_scan(
+            spark,
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        )
     )
     # the sketch is ≤ k rows: pin it once so the certificate's collect
     # and the returned frame share one execution of the prune

@@ -290,3 +290,43 @@ def test_strip_frequent_lines_matches_brute_force(spark, rows, thr):
         for r in D.strip_frequent_lines(lines, thr).collect()
     }
     assert got == want
+
+
+def test_jaccard_verify_union_arithmetic(spark):
+    """The verify kernel's |A|+|B|-|A∩B| union (r13 optimization) must
+    equal brute-force set jaccard on distinct arrays, including the
+    empty-set edge (union 0 → score 0.0, pair rejected)."""
+    sh = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c"]),
+            (2, ["b", "c", "d"]),
+            (3, []),
+            (4, []),
+            (5, ["a", "b", "c", "d"]),
+        ],
+        "doc_id long, shingles array<string>",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (1, 5), (1, 3)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_verify(pairs, sh, threshold=0.0).collect()
+    }
+    rows = {r["doc_id"]: set(r["shingles"]) for r in sh.collect()}
+
+    def brute(a, b):
+        u = rows[a] | rows[b]
+        return len(rows[a] & rows[b]) / len(u) if u else 0.0
+
+    assert got[(1, 2)] == brute(1, 2) == 0.5
+    assert got[(1, 5)] == brute(1, 5) == 0.75
+    assert got[(1, 3)] == brute(1, 3) == 0.0
+    # union 0: score must be 0.0 and NOT pass any positive threshold
+    assert got[(3, 4)] == 0.0
+    assert (
+        D.jaccard_verify(pairs, sh, threshold=0.1)
+        .filter("id_a = 3")
+        .count()
+        == 0
+    )
