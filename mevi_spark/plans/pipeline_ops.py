@@ -1212,11 +1212,14 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant is planted (``doc_id % 11 == 0`` → ``doc_id + 300000``,
     text self-concatenated) so the flag has a known-true population.
 
-    100 TB plan shape: ZERO shuffles — every statistic is an array
-    expression over the doc's own token list (``array_distinct`` /
-    ``filter`` / ``array_max``), whole-stage codegen, embarrassingly
+    100 TB plan shape: ZERO keyed shuffles — every statistic is an
+    array expression over the doc's own token list (``array_distinct``
+    / ``filter`` / ``array_max``), whole-stage codegen, embarrassingly
     parallel; the O(d·u) per-doc frequency scan is bounded by doc
-    length, not corpus size.
+    length, not corpus size. The only exchange is the opt-in
+    ``spread_small_scan`` round-robin repartition that widens the
+    tiny fixture scan; at production listing widths the guard makes
+    it the identity and the plan is map-only again.
     """
     from mevi_spark.functions.text import norm_tokens
 

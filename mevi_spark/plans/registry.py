@@ -69,130 +69,99 @@ _LOADED = False
 # queries crowd out never-driver-tested ones (round 3 silently dropped
 # 16 of 66), so the exposure order is now explicit:
 #
-# Round-13 policy (oldest evidence first — the minimal-max-staleness
-# round-robin adopted in r10; at 151 names / 50 slots the steady-state
-# refresh period is 3 rounds). Evidence state after r12: 50 names have
-# a fresh r12 row; 50 are r11-green (2-round-stale); 46 are r10-green
-# (3-round-stale — the oldest evidence in the registry: the 44 names
-# both prior rotation notes queued for r13 PLUS heavy_hitters_terms
-# and chunk_dedup_overlap, displaced from the r12 tier 4 by the
-# late-r12 assembly pair); 3 are the bench-exercised headliners
-# (executed at sf0.1 by BENCH every round, deliberately never
-# windowed); 2 are round-13-new. Exposure order:
+# Round-14 policy (optimization round 2: CHANGED-PLAN-FIRST, per the
+# r13 verdict's Next-round item 3 — "changed-plan-first beats
+# staleness-first after an optimization round"). Evidence state after
+# r13: 50 names are r13-green; 48 are r12-green (1-round-stale); 50
+# are r11-green (now 3-round-stale, queued by the r13 note as "FIRST
+# IN LINE FOR R14"); chunk_dedup_overlap is r10-green (displaced
+# twice); 3 are the bench-exercised headliners (deliberately never
+# windowed). Exposure order:
 #
-#   tier 1 — the THREE round-13-new queries (zero driver evidence):
-#            streaming_raking (mixture weights re-raked from
-#            incrementally-maintained (lang, source) cell-count
-#            partials through the shared rake_cells kernel),
-#            streaming_budget_fill (the token-budget fill served from
-#            the curriculum store with lang + token count carried in
-#            the partial, through the shared budget_fill tail, with
-#            compact_curriculum folding the store on the serving
-#            path), and semantic_dedup_banded (the giant-cluster
-#            guard FORCED ON — cap 32, below the fixture's largest
-#            cluster — so the sign-LSH banded path every skewed
-#            cluster takes at scale is hash-verified against the
-#            exact-tournament oracle; it displaces tier-3
-#            chunk_dedup_overlap, which keeps STANDING sf1 scale-tier
-#            bench evidence every round — the same bench-evidence
-#            argument the r12 rotation used for the same name — and
-#            stays in the full local gate);
-#   tier 2 — the TWO r12-green names whose CONTRACT changed in r13
-#            and therefore need driver evidence on the new form:
-#            token_budget_mixture (plan rewritten — the per-domain
-#            running total moved from a per-lang window to the
-#            grouped bucketed prefix sum; oracle unchanged) and
-#            mixture_raking_weights (oracle corrected — FLOOR before
-#            the BIGINT cast so DuckDB matches the kernel's
-#            truncation at corpus sizes where w·N·1e6 is
-#            non-integral);
-#   tier 3 — 45 of the 46 r10-green names (3-round-stale),
-#            alphabetical (chunk_dedup_overlap displaced per tier 1).
+#   tier 1 — the SEVENTEEN queries whose pinned plan changed in the
+#            r13 optimization pass but which were outside the r13
+#            window (the verdict's mandated list): bloom_decontaminate
+#            + decontaminate_eval (Bloom resize + distributed build +
+#            forall probe), chunk_dedup_overlap +
+#            chunk_dedup_overlap_reconstruct (row_number cut window),
+#            curriculum_order (spread + persist), dedup_exact and the
+#            dedup_ngram_dfcut / dedup_ngram_jaccard / dedup_simhash /
+#            dedup_canonicalize family (fused tokenizer + spread),
+#            bm25_search, corpus_prep_pipeline, doc_fingerprints,
+#            line_boilerplate_strip, ngram_lm_quality, text_redact_pii,
+#            tokenize_padded (fused tokenizer / spread sites). 14 of
+#            the 17 are also the oldest-evidence r11 cohort, so the
+#            rotation policy and the verdict mandate mostly coincide.
+#   tier 2 — the rest of the r11-green cohort (3-round-stale),
+#            alphabetical, MINUS three displaced names (see below).
 #
-# 3 + 2 + 45 = exactly 50 — no r11-green name needs a slot this
-# round, so the whole 2-round-stale cohort stays out and is FIRST IN
-# LINE FOR R14 alongside any r14-new names (list = the r11 window,
-# CORRECTNESS_r11.json): ann_adc_topk, bloom_decontaminate,
-# bm25_search, bucketed_join_rollup, chunk_dedup_overlap_reconstruct,
-# cluster_projection, complement_qg10, corpus_prep_pipeline,
-# curriculum_order, dataset_split, dedup_canonicalize,
-# dedup_components, dedup_exact, dedup_minhash_pairs,
-# dedup_ngram_dfcut, dedup_ngram_jaccard, dedup_simhash,
-# doc_query_sets, events_value_winsorize, grouped_kmv_sample,
-# inverse_answer_index, jsonl_roundtrip, kmv_shingle_sample,
-# line_boilerplate_strip, media_meta_stats, negatives_cluster,
-# negatives_notclus, ngram_lm_quality, nq_hit_test,
-# rq_assign_nearest, rq_centroids_label, rq_ema_step,
-# rq_kmeans_invariant, sessionize_events_window,
-# stratified_sample_exact, streaming_bm25_serve,
-# streaming_canonicalize, streaming_components,
-# streaming_eval_metrics, streaming_kmv, streaming_lexical_stats,
-# streaming_quantiles, streaming_zorder, text_redact_pii,
-# tokenize_padded, tsv_queries_roundtrip, tsv_run_roundtrip,
-# wds_shards_roundtrip, weighted_sample_topk, zorder_box_scan.
-#
-# Rotated out (101 = 151 − 50, by evidence age): the 48 remaining
-# r12-green names (1-round-stale — freshest possible outside the
-# window), the 50 r11-green names above (2-round-stale), and the
-# three bench-exercised r7-green names (coarse_to_fine_retrieval,
-# rq_beam_search, rq_encode_two_level) — all re-validated against the
-# identical oracle by the full local gate (tools/check_correctness.py)
-# every round. EVERY round-14-new query must go to tier 1 with the
-# displacement documented here; otherwise it sorts after the window.
+# 17 + 33 = exactly 50. Displaced to make room for the 3 tier-1 names
+# not already in the r11 cohort (decontaminate_eval, doc_fingerprints,
+# chunk_dedup_overlap): tsv_queries_roundtrip, tsv_run_roundtrip,
+# wds_shards_roundtrip — interop roundtrips with NO r13/r14 plan
+# change whose reader/writer kernels are exercised in-window by their
+# r13-green siblings (tsv_corpus_roundtrip, wds_shards_append); they
+# stay in the full local gate (tools/check_correctness.py) and are
+# first in line for any future round alongside the 48 r12-green and
+# 50 r13-green names rotated out. The three bench-exercised r7-green
+# names (coarse_to_fine_retrieval, rq_beam_search,
+# rq_encode_two_level) stay out as always — executed at sf0.1 by
+# BENCH every round and re-validated against the identical oracle by
+# the full local gate. EVERY round-15-new query must go to tier 1
+# with the displacement documented here.
 _PRIORITY_ORDER: list[str] = [
-    # tier 1 — new in round 13, zero driver evidence
-    "streaming_raking",
-    "streaming_budget_fill",
-    "semantic_dedup_banded",
-    # tier 2 — r12-green, contract changed in r13 (see policy note)
-    "token_budget_mixture",
-    "mixture_raking_weights",
-    # tier 3 — r10-green, 3-round-stale (alphabetical)
-    "bpe_roundtrip",
-    "cdc_partitioned_merge",
-    "cdc_time_travel",
-    "chunk_dedup_append",
-    "chunk_dedup_reconstruct",
-    "compaction_roundtrip",
-    "ensemble_hybrid",
-    "events_range_pairs",
-    "events_rolling_stats",
-    "events_type_pivot",
-    "events_type_stats",
-    "events_value_quantiles",
-    "heavy_hitters_terms",
-    "memmap_roundtrip",
-    "order_priority_histogram",
-    "orders_merge_upsert",
-    "packed_append",
-    "packed_sequences",
-    "partition_pruning_stats",
-    "pq_adc_topk",
-    "pq_encode_reconstruct",
-    "pq_ivf_adc_topk",
-    "rq_model_roundtrip",
-    "rq_reconstruct",
-    "salted_hot_key_rollup",
-    "sequence_pack",
-    "shuffle_blocks_append",
-    "sq8_encode_reconstruct",
-    "streaming_cdc_apply",
-    "streaming_dedup_ingest",
-    "streaming_hypertable_refresh",
-    "streaming_neardup_ingest",
-    "streaming_quantize_index",
-    "streaming_sessionize",
-    "streaming_sessionize_evict",
-    "streaming_sessionize_window",
-    "streaming_topk_maintenance",
-    "suppliers_in_region_semi",
-    "text_lang_id",
-    "text_repetition_stats",
-    "text_tfidf_topterms",
-    "text_token_counts",
-    "topk_orders_per_customer",
-    "tsv_corpus_roundtrip",
-    "wds_shards_append",
+    # tier 1 — plan changed in r13, driver-unverified on the new form
+    "bloom_decontaminate",
+    "decontaminate_eval",
+    "chunk_dedup_overlap",
+    "chunk_dedup_overlap_reconstruct",
+    "curriculum_order",
+    "dedup_exact",
+    "dedup_ngram_dfcut",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_canonicalize",
+    "bm25_search",
+    "corpus_prep_pipeline",
+    "doc_fingerprints",
+    "line_boilerplate_strip",
+    "ngram_lm_quality",
+    "text_redact_pii",
+    "tokenize_padded",
+    # tier 2 — r11-green cohort, 3-round-stale (alphabetical)
+    "ann_adc_topk",
+    "bucketed_join_rollup",
+    "cluster_projection",
+    "complement_qg10",
+    "dataset_split",
+    "dedup_components",
+    "dedup_minhash_pairs",
+    "doc_query_sets",
+    "events_value_winsorize",
+    "grouped_kmv_sample",
+    "inverse_answer_index",
+    "jsonl_roundtrip",
+    "kmv_shingle_sample",
+    "media_meta_stats",
+    "negatives_cluster",
+    "negatives_notclus",
+    "nq_hit_test",
+    "rq_assign_nearest",
+    "rq_centroids_label",
+    "rq_ema_step",
+    "rq_kmeans_invariant",
+    "sessionize_events_window",
+    "stratified_sample_exact",
+    "streaming_bm25_serve",
+    "streaming_canonicalize",
+    "streaming_components",
+    "streaming_eval_metrics",
+    "streaming_kmv",
+    "streaming_lexical_stats",
+    "streaming_quantiles",
+    "streaming_zorder",
+    "weighted_sample_topk",
+    "zorder_box_scan",
 ]
 
 

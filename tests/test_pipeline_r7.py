@@ -178,8 +178,11 @@ def test_repetition_stats_flag_doubled_docs(spark, sf_dir):
 
 
 def test_round7_plan_shapes(spark, sf_dir):
-    """Lock the docstring claims: repetition stats is map-only (zero
-    exchanges); decontamination joins only by broadcast hash."""
+    """Lock the docstring claims: repetition stats shuffles at most
+    once — the opt-in ``spread_small_scan`` round-robin exchange that
+    widens the tiny fixture scan (identity at production listing
+    widths) — and never by key; decontamination joins only by
+    broadcast hash."""
     from mevi_spark.plans.pipeline_ops import (
         decontaminate_eval,
         text_repetition_stats,
@@ -191,7 +194,11 @@ def test_round7_plan_shapes(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert "Exchange" not in rep
+    # The ONLY allowed exchange is the spread's round-robin one: no
+    # hash/range partitioning (no keyed shuffle), and at most one
+    # Exchange node total.
+    assert rep.count("Exchange") <= 1
+    assert "hashpartitioning" not in rep and "rangepartitioning" not in rep
 
     dec = (
         decontaminate_eval(spark, sf_dir)

@@ -32,86 +32,88 @@ def test_epoch_us_ltz_arm(spark):
     assert got == 1704067201_000000
 
 
-R13_NEW = [
-    # the 3 round-13-new queries (zero driver evidence): mixture
-    # weights re-raked from maintained cell-count partials, the
-    # token-budget fill served from the curriculum store, and the
-    # guarded SemDeDup path
-    "streaming_raking",
-    "streaming_budget_fill",
-    # the guarded SemDeDup path gate-pinned against the exact oracle
-    "semantic_dedup_banded",
-    # r12-green names whose CONTRACT changed in r13 and need driver
-    # evidence on the new form: the budget fill's plan moved to the
-    # grouped bucketed prefix sum (oracle unchanged); the raking
-    # oracle's target cast gained FLOOR to match the kernel's
-    # truncation — rationale per name in plans/registry.py
-    "token_budget_mixture",
-    "mixture_raking_weights",
-]
-
-# the only names allowed to lack both an r12 driver row AND an r13
-# window slot (the registry rotation note documents each: three are
-# bench-exercised at sf0.1 every round; the 50 r11-green names are
-# 2-round-stale and first in line for r14; all re-validated by the
-# full local gate every round)
-R13_ROTATED_OUT = {
-    "coarse_to_fine_retrieval",
-    # displaced from tier 3 by semantic_dedup_banded; keeps standing
-    # sf1 scale-tier bench evidence every round (see registry.py)
-    "chunk_dedup_overlap",
-    "rq_beam_search",
-    "rq_encode_two_level",
-    "ann_adc_topk",
+# Round-14 policy (changed-plan-first — see plans/registry.py): the 17
+# queries whose pinned plan changed in the r13 optimization pass but
+# which were outside the r13 driver window MUST hold r14 window slots.
+R14_MANDATED = [
     "bloom_decontaminate",
-    "bm25_search",
-    "bucketed_join_rollup",
+    "decontaminate_eval",
+    "chunk_dedup_overlap",
     "chunk_dedup_overlap_reconstruct",
-    "cluster_projection",
-    "complement_qg10",
-    "corpus_prep_pipeline",
     "curriculum_order",
-    "dataset_split",
-    "dedup_canonicalize",
-    "dedup_components",
     "dedup_exact",
-    "dedup_minhash_pairs",
     "dedup_ngram_dfcut",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "doc_query_sets",
-    "events_value_winsorize",
-    "grouped_kmv_sample",
-    "inverse_answer_index",
-    "jsonl_roundtrip",
-    "kmv_shingle_sample",
+    "dedup_canonicalize",
+    "bm25_search",
+    "corpus_prep_pipeline",
+    "doc_fingerprints",
     "line_boilerplate_strip",
-    "media_meta_stats",
-    "negatives_cluster",
-    "negatives_notclus",
     "ngram_lm_quality",
-    "nq_hit_test",
-    "rq_assign_nearest",
-    "rq_centroids_label",
-    "rq_ema_step",
-    "rq_kmeans_invariant",
-    "sessionize_events_window",
-    "stratified_sample_exact",
-    "streaming_bm25_serve",
-    "streaming_canonicalize",
-    "streaming_components",
-    "streaming_eval_metrics",
-    "streaming_kmv",
-    "streaming_lexical_stats",
-    "streaming_quantiles",
-    "streaming_zorder",
     "text_redact_pii",
     "tokenize_padded",
+]
+
+R14_ROTATED_OUT = {
+    # bench-exercised at sf0.1 every round, never windowed
+    "coarse_to_fine_retrieval",
+    "rq_beam_search",
+    "rq_encode_two_level",
+    # r11-green interop roundtrips displaced by the 3 tier-1
+    # names not in the r11 cohort; kernels covered in-window by
+    # tsv_corpus_roundtrip / wds_shards_append (see registry.py)
     "tsv_queries_roundtrip",
     "tsv_run_roundtrip",
     "wds_shards_roundtrip",
-    "weighted_sample_topk",
-    "zorder_box_scan",
+    # the 46 r12-green names — freshest evidence outside the
+    # window, rotated out by the changed-plan-first policy
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "augment_spans",
+    "beam_constrained",
+    "brand_set_ops",
+    "code_prefix_members",
+    "code_token_arith",
+    "corpus_sample_remap",
+    "customer_order_rollup",
+    "customer_order_running_stats",
+    "customers_without_orders",
+    "dedup_embedding_cosine",
+    "doc2query_expand",
+    "domain_mix_sample",
+    "embed_determinism",
+    "ensemble_fuse",
+    "ensemble_grid",
+    "eval_all_codes",
+    "events_asof_attribution",
+    "events_cohort_retention",
+    "events_funnel_stages",
+    "events_hypertable_rollup",
+    "events_json_extract",
+    "global_shuffle_blocks",
+    "image_resize",
+    "knn_topk_cosine",
+    "knn_topk_ip",
+    "media_decode_stats",
+    "multi_assign_recall",
+    "nation_revenue",
+    "opq_encode_reconstruct",
+    "pq_ivf_recall_curve",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "retrieval_eval_metrics",
+    "rq_assign_topr",
+    "semantic_dedup",
+    "sessionize_events",
+    "streaming_bloom_decontaminate",
+    "streaming_curriculum",
+    "streaming_event_window_counts",
+    "streaming_grouped_kmv",
+    "streaming_heavy_hitters",
+    "streaming_semdedup",
+    "text_quality_stats",
+    "video_frame_sample",
 }
 
 
@@ -120,10 +122,10 @@ def test_driver_window_invariants():
     registered queries, so the priority window must (a) hold exactly 50
     names, (b) name only registered queries, (c) contain every query
     that has never received a driver row (or whose plan changed) —
-    this round, the R13_NEW cohort — and (d) every name with no r12
-    driver row except the documented rotations (r11-green names are
-    2-round-stale and allowed out). A drifted window silently starves
-    new queries of evidence."""
+    this round, the R14_MANDATED cohort — and (d) every name with no
+    r13 driver row except the documented rotations (r12-green names
+    are the freshest outside the window and allowed out). A drifted
+    window silently starves changed queries of evidence."""
     import json
     import os
 
@@ -132,23 +134,23 @@ def test_driver_window_invariants():
     assert len(set(REG._PRIORITY_ORDER)) == 50
     window = list(REG.get_queries())[:50]
     assert set(window) == set(REG._PRIORITY_ORDER)
-    missing = [n for n in R13_NEW if n not in window]
-    assert not missing, f"zero-evidence queries outside the window: {missing}"
-    r12 = os.path.join(
-        os.path.dirname(__file__), "..", "CORRECTNESS_r12.json"
+    missing = [n for n in R14_MANDATED if n not in window]
+    assert not missing, f"plan-changed queries outside the window: {missing}"
+    r13 = os.path.join(
+        os.path.dirname(__file__), "..", "CORRECTNESS_r13.json"
     )
-    if os.path.exists(r12):
-        with open(r12, encoding="utf-8") as fh:
-            r12_names = set(json.load(fh))
+    if os.path.exists(r13):
+        with open(r13, encoding="utf-8") as fh:
+            r13_names = set(json.load(fh))
         stale = [
             n
             for n in REG.get_queries()
-            if n not in r12_names
+            if n not in r13_names
             and n not in window
-            and n not in R13_ROTATED_OUT
-            and n not in R13_NEW
+            and n not in R14_ROTATED_OUT
+            and n not in R14_MANDATED
         ]
-        assert not stale, f"undocumented 3-round-stale evidence: {stale}"
+        assert not stale, f"undocumented stale evidence outside the window: {stale}"
     # every windowed query must also carry an oracle (strict row, not
     # rows-only) unless deliberately registered without one
     no_oracle = [n for n in window if n not in REG.get_oracles()]
