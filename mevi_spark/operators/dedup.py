@@ -211,9 +211,27 @@ def jaccard_verify(
     )
     inter = F.size(F.array_intersect("_sa", "_sb"))
     union = F.col("_na") + F.col("_nb") - inter
+    # Size-ratio bound BEFORE the per-pair intersect (guide §3.2 "reduce
+    # the join input"): J(A,B) = |A∩B|/|A∪B| ≤ min/max, so
+    # min < τ·max ⟹ J < τ and the pair is one the jaccard filter below
+    # would reject anyway — dropping it early is output-invariant. The
+    # size test is two already-computed map-side longs; rows failing it
+    # never evaluate the O(|A|+|B|) hash-set intersect (CombineFilters
+    # keeps this predicate FIRST in the conjunction, and codegen
+    # short-circuits left-to-right). Boundary exactness: sizes are
+    # integers (< 2^51), so fl(τ·max) ≤ min whenever τ·max ≤ min — a
+    # J == τ pair can never be rounded out (pinned in
+    # tests/test_dedup.py::test_jaccard_verify_size_ratio_cut…).
+    # Measured sf1 (dedup_minhash_pairs, interleaved A/B, warm
+    # medians): 8.37 s → 7.35 s.
+    ratio_ok = (
+        F.least("_na", "_nb").cast("double")
+        >= F.lit(threshold) * F.greatest("_na", "_nb").cast("double")
+    )
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
+        .filter(ratio_ok)
         .withColumn(
             "jaccard",
             F.when(union == 0, F.lit(0.0)).otherwise(

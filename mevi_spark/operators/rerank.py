@@ -72,7 +72,18 @@ def coarse_to_fine(
     # A7: a doc reachable through multiple predicted clusters scores once,
     # max-aggregated (np.unique + max-agg, MEVI/main_models.py:3999-4011 —
     # NOT dropDuplicates, which keeps an arbitrary row and silently picks
-    # wrong answers the moment scores differ per cluster)
-    scored = scored.groupBy(query_id, doc_id).agg(F.max("score").alias("score"))
-    # W2/W3: per-query top-k
+    # wrong answers the moment scores differ per cluster).
+    #
+    # ONE exchange for A7 + W2 (guide §2.4 "two operations keyed the
+    # same way can share one exchange"): hash-partitioning by query_id
+    # alone satisfies BOTH the (query_id, doc_id) aggregation's
+    # clustering requirement (a subset partitioning colocates every
+    # group) and the top-k window's — the default groupBy shape paid a
+    # (query_id, doc_id) exchange of every candidate row AND a second
+    # query_id exchange for the window. Bit-identical results: max is
+    # order-independent and the window tie-breaks on doc_id.
+    scored = scored.repartition(query_id).groupBy(query_id, doc_id).agg(
+        F.max("score").alias("score")
+    )
+    # W2/W3: per-query top-k (same exchange as A7)
     return topk_per_group(scored, [query_id], "score", k, [doc_id])

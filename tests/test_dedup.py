@@ -330,3 +330,33 @@ def test_jaccard_verify_union_arithmetic(spark):
         .count()
         == 0
     )
+
+
+def test_jaccard_verify_size_ratio_cut_is_output_invariant(spark):
+    """The r14 size-ratio pre-filter (min < τ·max ⟹ J < τ, so the
+    dropped pairs are exactly ones the jaccard filter rejects) must
+    keep boundary pairs: J == τ exactly (min == τ·max) survives, and
+    a pair failing the ratio test never appears regardless of its
+    intersect."""
+    sh = spark.createDataFrame(
+        [
+            # |A|=2, |B|=4, A⊂B: J = 2/4 = 0.5 — EXACTLY τ; the ratio
+            # test min=2 ≥ 0.5·4=2 must keep it
+            (1, ["a", "b"]),
+            (2, ["a", "b", "c", "d"]),
+            # |A|=1, |B|=4: min/max = 0.25 < τ → cut by ratio; J would
+            # be 0.25 anyway (rejected either way — invariance)
+            (3, ["a"]),
+            # equal sizes, disjoint: ratio passes (1 ≥ 0.5), jaccard 0
+            (4, ["x", "y"]),
+        ],
+        "doc_id long, shingles array<string>",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 2), (1, 4)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_verify(pairs, sh, threshold=0.5).collect()
+    }
+    assert got == {(1, 2): 0.5}
